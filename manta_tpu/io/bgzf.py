@@ -1,0 +1,143 @@
+"""BGZF (blocked gzip) codec.
+
+Implements the BGZF container from the SAM/BAM specification (SAMv1.pdf
+section 4.1): a series of standard gzip members, each carrying a 'BC'
+extra subfield holding BSIZE (total block length - 1), payload <= 64KiB.
+Virtual file offsets are (compressed_block_start << 16) | within_block.
+
+Capability-parity target: htslib's bgzf.c as used by the reference's
+htsapi layer (reference: src/c++/lib/htsapi/bam_streamer.hpp).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+# Fixed 28-byte EOF marker block from the SAM spec.
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_HDR = struct.Struct("<4BI2B2H")  # magic(4) mtime xfl os xlen
+
+
+def _parse_block_header(buf: bytes, off: int) -> tuple[int, int]:
+    """Return (payload_offset, total_block_size) for the gzip member at off."""
+    if buf[off : off + 4] != b"\x1f\x8b\x08\x04":
+        raise ValueError(f"not a BGZF block at offset {off}")
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    xoff = off + 12
+    xend = xoff + xlen
+    bsize = -1
+    while xoff < xend:
+        si1, si2, slen = buf[xoff], buf[xoff + 1], struct.unpack_from("<H", buf, xoff + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            bsize = struct.unpack_from("<H", buf, xoff + 4)[0] + 1
+        xoff += 4 + slen
+    if bsize < 0:
+        raise ValueError(f"BGZF block at {off} missing BC subfield")
+    return xend, bsize
+
+
+def bgzf_decompress_all(data: bytes) -> bytes:
+    """Decompress an entire BGZF byte string into one contiguous buffer."""
+    out = []
+    off = 0
+    n = len(data)
+    while off < n:
+        payload_off, bsize = _parse_block_header(data, off)
+        # payload runs to block end minus CRC32(4) + ISIZE(4)
+        comp = data[payload_off : off + bsize - 8]
+        if comp:
+            out.append(zlib.decompress(comp, wbits=-15))
+        off += bsize
+    return b"".join(out)
+
+
+def bgzf_compress_block(payload: bytes, level: int = 6) -> bytes:
+    """Compress <=64KiB payload into a single BGZF block."""
+    assert len(payload) <= 0xFF00, "BGZF payload must be <= 65280 bytes"
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    comp = co.compress(payload) + co.flush()
+    bsize = len(comp) + 26  # header(12) + extra(6) + crc(4) + isize(4)
+    hdr = (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 5 + b"\xff"
+        + struct.pack("<H", 6)
+        + b"BC" + struct.pack("<HH", 2, bsize - 1)
+    )
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    return hdr + comp + struct.pack("<II", crc, len(payload))
+
+
+class BgzfWriter:
+    """Streaming BGZF writer (used for .vcf.gz / evidence-BAM output)."""
+
+    def __init__(self, fileobj, level: int = 6):
+        self._f = fileobj
+        self._level = level
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= 0xFF00:
+            self._f.write(bgzf_compress_block(bytes(self._buf[:0xFF00]), self._level))
+            del self._buf[:0xFF00]
+
+    def close(self) -> None:
+        if self._buf:
+            self._f.write(bgzf_compress_block(bytes(self._buf), self._level))
+            self._buf.clear()
+        self._f.write(BGZF_EOF)
+        self._f.flush()
+
+
+class BgzfReader:
+    """Random-access BGZF reader with virtual-offset support.
+
+    Reads whole blocks on demand and caches the most recently used block,
+    which is the access pattern of index-driven region queries.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._data = f.read()
+        self._cache_off = -1
+        self._cache: bytes = b""
+
+    def block_at(self, coffset: int) -> tuple[bytes, int]:
+        """Decompress block starting at compressed offset; return (payload, next_coffset)."""
+        payload_off, bsize = _parse_block_header(self._data, coffset)
+        if coffset != self._cache_off:
+            comp = self._data[payload_off : coffset + bsize - 8]
+            self._cache = zlib.decompress(comp, wbits=-15) if comp else b""
+            self._cache_off = coffset
+        return self._cache, coffset + bsize
+
+    def read_range(self, vstart: int, vend: int) -> bytes:
+        """Read the uncompressed bytes between two virtual offsets."""
+        cstart, ustart = vstart >> 16, vstart & 0xFFFF
+        cend, uend = vend >> 16, vend & 0xFFFF
+        out = []
+        coff = cstart
+        first = True
+        while True:
+            payload, nxt = self.block_at(coff)
+            lo = ustart if first else 0
+            if coff == cend:
+                out.append(payload[lo:uend])
+                break
+            out.append(payload[lo:])
+            first = False
+            coff = nxt
+            if coff >= len(self._data) or coff > cend:
+                break
+        return b"".join(out)
+
+    def decompress_all(self) -> bytes:
+        return bgzf_decompress_all(self._data)
+
+    @property
+    def size(self) -> int:
+        return len(self._data)

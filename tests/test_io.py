@@ -1,0 +1,104 @@
+"""I/O layer tests: BGZF, BAM parsing, BAI region queries, FASTA."""
+
+import numpy as np
+import pytest
+
+from manta_tpu.io import BamReader
+from manta_tpu.io.bam import C_D, C_I, C_M, C_S, C_EQ, C_X, FLAG_UNMAPPED
+from manta_tpu.io.bgzf import BgzfWriter, bgzf_compress_block, bgzf_decompress_all
+from manta_tpu.io.fasta import FastaReader
+
+
+def test_bgzf_roundtrip():
+    payload = bytes(range(256)) * 100
+    block = bgzf_compress_block(payload)
+    assert bgzf_decompress_all(block) == payload
+
+
+def test_bgzf_writer_roundtrip(tmp_path):
+    p = tmp_path / "x.gz"
+    data = b"hello world\n" * 20000  # spans multiple blocks
+    with open(p, "wb") as f:
+        w = BgzfWriter(f)
+        w.write(data)
+        w.close()
+    import gzip
+    assert gzip.open(p, "rb").read() == data
+
+
+def test_bam_header(tumor_bam, normal_bam):
+    t = BamReader(tumor_bam)
+    assert t.header.ref_names[:2] == ["1", "2"] or len(t.header.ref_names) > 0
+    assert "8" in t.header.name_to_tid and "11" in t.header.name_to_tid
+    n = BamReader(normal_bam)
+    assert n.header.sample_names() == ["HCC1954_BL"] or n.header.sample_names()
+
+
+def test_bam_read_all_consistency(normal_bam):
+    r = BamReader(normal_bam)
+    batch = r.read_all()
+    assert batch.n > 1000
+    # refids in range (or -1 for unmapped)
+    assert batch.refid.max() < len(r.header.ref_names)
+    # CIGAR read-consuming ops must sum to l_seq for mapped reads with seq
+    ops = (batch.cigar & 0xF).astype(np.int64)
+    lens = (batch.cigar >> 4).astype(np.int64)
+    consumes_read = (ops == C_M) | (ops == C_I) | (ops == C_S) | (ops == C_EQ) | (ops == C_X)
+    contrib = np.where(consumes_read, lens, 0)
+    csum = np.concatenate([[0], np.cumsum(contrib)])
+    read_span = csum[batch.cigar_off[1:]] - csum[batch.cigar_off[:-1]]
+    seq_len = batch.seq_off[1:] - batch.seq_off[:-1]
+    has_cigar = (batch.cigar_off[1:] - batch.cigar_off[:-1]) > 0
+    mapped = (batch.flag & FLAG_UNMAPPED) == 0
+    check = has_cigar & mapped & (seq_len > 0)
+    assert np.array_equal(read_span[check], seq_len[check])
+    # sequences decode to ACGTN=
+    assert set(np.unique(batch.seq)) <= set(b"=ACMGRSVTWYHKDBN")
+
+
+def test_bam_fetch_matches_scan(normal_bam):
+    r = BamReader(normal_bam)
+    assert r.index is not None
+    tid = r.header.name_to_tid["8"]
+    beg, end = 107652000, 107655000
+    via_index = r.fetch("8", beg, end)
+    full = r.read_all()
+    keep = (full.refid == tid) & (full.pos < end) & (full.end_pos > beg)
+    via_scan = full.subset(keep)
+    assert via_index.n == via_scan.n
+    assert np.array_equal(np.sort(via_index.pos), np.sort(via_scan.pos))
+
+
+def test_bam_tags(tumor_bam):
+    r = BamReader(tumor_bam)
+    b = r.fetch("8", 107652000, 107655000)
+    # at least some reads should carry standard tags
+    found = 0
+    for i in range(min(b.n, 200)):
+        if b.get_tag(i, b"RG") is not None or b.get_tag(i, b"NM") is not None:
+            found += 1
+    assert found > 0
+
+
+def test_fasta(demo_fasta):
+    fa = FastaReader(demo_fasta)
+    assert "8" in fa.names and "11" in fa.names
+    seq = fa.fetch("8", 107653400, 107653420)
+    assert len(seq) == 20
+    assert set(seq) <= set(b"ACGTN")
+    # clamping
+    assert fa.fetch("8", -10, 5) == fa.fetch("8", 0, 5)
+
+
+def test_subset_and_concat(normal_bam):
+    from manta_tpu.io.bam import ReadBatch
+    r = BamReader(normal_bam)
+    b = r.fetch("8", 107652000, 107653000)
+    idx = np.arange(0, b.n, 2)
+    s = b.subset(idx)
+    assert s.n == len(idx)
+    assert s.name_str(1) == b.name_str(2)
+    assert s.seq_str(1) == b.seq_str(2)
+    c = ReadBatch.concat([s, s])
+    assert c.n == 2 * s.n
+    assert c.name_str(s.n) == s.name_str(0)
