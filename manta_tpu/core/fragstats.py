@@ -1,0 +1,428 @@
+"""Phase-0 fragment-size statistics estimation.
+
+Behavioral parity with the reference's GetAlignmentStats pipeline
+(reference: src/c++/lib/manta/ReadGroupStatsUtil.cpp: convergent
+chromosome-cycling sampling with buffered abnormal-region rejection,
+orientation consensus voting, and 0.9995-quantile tail filtering;
+spec docs/methods/primary/methods.tex:91).
+
+Persistence uses JSON instead of boost xml; the content (histogram,
+orientation, read counts) is equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.bam import (
+    C_H, C_N, C_P, C_S, C_D, C_I, C_M, C_EQ, C_X,
+    FLAG_PAIRED, FLAG_READ1, FLAG_REVERSE, BamReader, ReadBatch,
+)
+from .readfilter import (
+    ORIENT_RP, has_sa_tag, is_mapped_chrom_pair, is_non_strict_supplement,
+    is_read_filtered_core, pair_orientation,
+)
+from .sizedist import SizeDistribution
+
+ORIENT_LABELS = ["UNKNOWN", "Fm", "Fp", "Rm", "Rp"]
+
+
+@dataclass
+class ReadCounter:
+    total: int = 0
+    paired: int = 0
+    unpaired: int = 0
+    paired_low_mapq: int = 0
+    high_confidence_pairs: int = 0
+
+    def to_dict(self):
+        return self.__dict__.copy()
+
+    @classmethod
+    def from_dict(cls, d):
+        rc = cls()
+        rc.__dict__.update(d)
+        return rc
+
+    def add(self, other: "ReadCounter"):
+        for k in self.__dict__:
+            self.__dict__[k] += other.__dict__[k]
+
+
+@dataclass
+class ReadGroupStats:
+    frag_stats: SizeDistribution = field(default_factory=SizeDistribution)
+    rel_orient: int = ORIENT_RP
+    counter: ReadCounter = field(default_factory=ReadCounter)
+
+    def to_dict(self):
+        return {
+            "fragmentSizeDistribution": self.frag_stats.to_dict(),
+            "pairOrientation": ORIENT_LABELS[self.rel_orient],
+            "readCount": self.counter.to_dict(),
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(
+            frag_stats=SizeDistribution.from_dict(d["fragmentSizeDistribution"]),
+            rel_orient=ORIENT_LABELS.index(d["pairOrientation"]),
+            counter=ReadCounter.from_dict(d["readCount"]),
+        )
+
+
+class ReadGroupStatsSet:
+    """Per-alignment-file stats collection (one group per BAM, matching
+    the reference's non-READ_GROUPS build)."""
+
+    def __init__(self):
+        self._stats: dict[str, ReadGroupStats] = {}
+
+    def set_stats(self, label: str, stats: ReadGroupStats):
+        self._stats[label] = stats
+
+    def get_stats(self, label_or_index) -> ReadGroupStats:
+        if isinstance(label_or_index, int):
+            return list(self._stats.values())[label_or_index]
+        return self._stats[label_or_index]
+
+    @property
+    def labels(self) -> list[str]:
+        return list(self._stats)
+
+    def merge(self, other: "ReadGroupStatsSet"):
+        for k, v in other._stats.items():
+            self._stats[k] = v
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            json.dump({k: v.to_dict() for k, v in self._stats.items()}, f, indent=1)
+
+    @classmethod
+    def load(cls, path: str) -> "ReadGroupStatsSet":
+        out = cls()
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                out._stats[k] = ReadGroupStats.from_dict(v)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# estimation
+
+def _cigar_ops_lens(batch: ReadBatch, i: int):
+    cg = batch.cigar_arr(i)
+    return (cg & 0xF), (cg >> 4)
+
+
+def _refskip_lens(batch: ReadBatch) -> np.ndarray:
+    """Per-read total N (refskip) length, vectorized."""
+    ops = (batch.cigar & 0xF).astype(np.int64)
+    lens = (batch.cigar >> 4).astype(np.int64)
+    contrib = np.where(ops == C_N, lens, 0)
+    csum = np.concatenate([[0], np.cumsum(contrib)])
+    return (csum[batch.cigar_off[1:]] - csum[batch.cigar_off[:-1]]).astype(np.int64)
+
+
+def _align_shape_ok(batch: ReadBatch) -> np.ndarray:
+    """Keep only conservative alignments {X}M({Z}N{X2}M)?({Y}S)? with the
+    op order reversed for reverse-strand reads
+    (reference: ReadAlignFilter, ReadGroupStatsUtil.cpp:525-558).
+    Returns True where the read is KEPT."""
+    n = batch.n
+    out = np.zeros(n, dtype=bool)
+    rev = (batch.flag & FLAG_REVERSE) != 0
+    for i in range(n):
+        ops, _ = _cigar_ops_lens(batch, i)
+        seq = ops[::-1] if rev[i] else ops
+        matched = skip = clipped = False
+        ok = True
+        for op in seq:
+            if op in (C_M, C_EQ, C_X):
+                if clipped:
+                    ok = False
+                    break
+                matched = True
+            elif op == C_N:
+                if skip:
+                    ok = False
+                    break
+                skip = True
+            elif op == C_S:
+                clipped = True
+            else:
+                ok = False
+                break
+        out[i] = ok and matched
+    return out
+
+
+def simplified_frag_size(size: int) -> int:
+    """Zero all but the top 4 decimal digits (histogram compression;
+    reference: ReadGroupStatsUtil.cpp:87-99)."""
+    steps = 0
+    while size > 1000:
+        size //= 10
+        steps += 1
+    return size * (10 ** steps)
+
+
+def _is_stat_set_match(a: SizeDistribution, b: SizeDistribution) -> bool:
+    """Convergence: all deciles within 1 and cdf within 0.001
+    (reference: ReadGroupStatsUtil.cpp:44-62)."""
+    prob = np.float32(0.05)
+    while prob < 1:
+        if abs(a.quantile(float(prob)) - b.quantile(float(prob))) >= 1:
+            return False
+        fs = b.quantile(float(prob))
+        if abs(a.cdf(fs) - b.cdf(fs)) >= 0.001:
+            return False
+        prob = np.float32(prob + np.float32(0.1))
+    return True
+
+
+class _Tracker:
+    """Sequential estimation state for one read group."""
+
+    MIN_OBS = 100
+    CHECK_CNT = 100000
+    MAX_RECORDS = 5000000
+
+    def __init__(self):
+        self.stats = ReadGroupStats()
+        self.orient_counts = np.zeros(5, np.int64)
+        self.total_orient = 0
+        self.converged = False
+        self.checked = False
+        self._old: SizeDistribution | None = None
+        # buffer
+        self.buf: list[tuple[int, int]] = []
+        self.buf_rp = 0
+        self.buf_abnormal = 0
+
+    def add_observation(self, ori: int, sz: int) -> bool:
+        """Returns False if the buffered region looked abnormal."""
+        self.buf.append((ori, sz))
+        if ori == ORIENT_RP:
+            self.buf_rp += 1
+            if sz >= 5000:
+                self.buf_abnormal += 1
+        normal = True
+        if self.buf_rp >= 1000:
+            if self.buf_abnormal / self.buf_rp < 0.01:
+                self._commit()
+                if self.stats.frag_stats.total_observations % self.CHECK_CNT == 0:
+                    self.checked = True
+            else:
+                normal = False
+            self.buf.clear()
+            self.buf_rp = 0
+            self.buf_abnormal = 0
+        return normal
+
+    def _commit(self):
+        for ori, sz in self.buf:
+            if self.total_orient < 100000 and ori != 0:
+                self.orient_counts[ori] += 1
+                self.total_orient += 1
+            self.stats.counter.high_confidence_pairs += 1
+            if ori == ORIENT_RP:
+                self.stats.frag_stats.add_observation(sz)
+
+    def update_convergence(self):
+        if self._old is not None and self._old.total_observations > 0:
+            self.converged = _is_stat_set_match(self._old, self.stats.frag_stats)
+        self._old = SizeDistribution.from_dict(self.stats.frag_stats.to_dict())
+
+    def finalize(self, label: str):
+        if self.buf_rp > 0 and self.buf_abnormal / self.buf_rp < 0.01:
+            self._commit()
+        self.buf.clear()
+        if self.total_orient < self.MIN_OBS:
+            raise RuntimeError(
+                f"Too few high-confidence read pairs ({self.total_orient}) to "
+                f"determine pair orientation for {label}; at least "
+                f"{self.MIN_OBS} required."
+            )
+        max_idx = int(np.argmax(self.orient_counts))
+        if self.orient_counts[max_idx] < 0.9 * self.total_orient:
+            raise RuntimeError(
+                f"Can't determine consensus pair orientation of {label}."
+            )
+        self.stats.rel_orient = max_idx
+        if max_idx != ORIENT_RP:
+            raise RuntimeError(
+                f"Unexpected consensus read orientation for {label}: only "
+                f"paired-end (FR) reads are supported."
+            )
+        if not self.converged:
+            if self.stats.frag_stats.total_observations < self.MIN_OBS:
+                raise RuntimeError(
+                    f"Can't generate pair statistics for {label}: only "
+                    f"{self.stats.frag_stats.total_observations} observations."
+                )
+            if not self.checked:
+                self.update_convergence()
+        self.stats.frag_stats.filter_observations_over_quantile(0.9995)
+
+
+def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000) -> ReadGroupStats:
+    """Estimate fragment stats for one BAM by convergent sampling.
+
+    Mirrors extractReadGroupStatsFromAlignmentFile
+    (reference: ReadGroupStatsUtil.cpp:833-947): cycle chromosomes,
+    streaming reads from the highest position seen; per-region abnormal
+    buffers cause a chromSize/100 skip; stop when the distribution
+    converges (deciles stable over 100k observations) or 5M observations.
+    """
+    reader = BamReader(bam_path)
+    chrom_count = len(reader.header.ref_names)
+    chrom_size = list(reader.header.ref_lengths)
+    highest = [-1] * chrom_count
+
+    tracker = _Tracker()
+    # ReadPairDepthFilter state
+    good_mates: set[tuple[bytes, int]] = set()
+    last_tid = 0
+    last_pos = 0
+    pos_count = 0
+
+    stop = False
+    active = True
+    while active and not stop:
+        active = False
+        for ci in range(chrom_count):
+            if stop:
+                break
+            finished_slice = False
+            while not finished_slice:
+                start = highest[ci] + 1
+                if start >= chrom_size[ci]:
+                    break
+                # stream this slice in chunks (semantically a single
+                # region query to the chromosome end)
+                got_any = False
+                break_slice = False
+                chunk_beg = start
+                while chunk_beg < chrom_size[ci] and not break_slice:
+                    chunk_end = min(chunk_beg + chunk_size, chrom_size[ci])
+                    batch = reader.fetch(ci, chunk_beg, chunk_end)
+                    if batch.n:
+                        # discard reads starting before the slice or in a
+                        # later chunk (overlap dupes)
+                        keep = (batch.pos >= start) & (batch.pos < chunk_end) & \
+                               (batch.pos >= chunk_beg)
+                        batch = batch.subset(keep)
+                    if batch.n == 0:
+                        chunk_beg = chunk_end
+                        continue
+                    got_any = True
+                    sa = has_sa_tag(batch)
+                    core_bad = is_read_filtered_core(batch, sa)
+                    nss = is_non_strict_supplement(batch, sa)
+                    chrom_pair = is_mapped_chrom_pair(batch)
+                    orient = pair_orientation(batch)
+                    skip_len = _refskip_lens(batch)
+                    align_ok = _align_shape_ok(batch)
+                    is_paired = (batch.flag & FLAG_PAIRED) != 0
+                    is_first = (batch.flag & FLAG_READ1) != 0
+
+                    for i in range(batch.n):
+                        pos = int(batch.pos[i])
+                        highest[ci] = pos
+                        active = True
+                        tracker.stats.counter.total += 1
+                        if is_paired[i]:
+                            tracker.stats.counter.paired += 1
+                            if batch.mapq[i] == 0:
+                                tracker.stats.counter.paired_low_mapq += 1
+                        else:
+                            tracker.stats.counter.unpaired += 1
+
+                        # core filter chain (CoreInsertStatsReadFilter)
+                        if core_bad[i] or nss[i] or not chrom_pair[i]:
+                            continue
+                        if batch.mapq[i] == 0 or sa[i] or not align_ok[i]:
+                            continue
+
+                        # ReadPairDepthFilter
+                        tid = int(batch.refid[i])
+                        if tid != last_tid:
+                            good_mates.clear()
+                            last_tid = tid
+                            pos_count = 0
+                            last_pos = pos
+                        elif pos != last_pos:
+                            pos_count = 0
+                            last_pos = pos
+                        tl = int(batch.tlen[i])
+                        if tl == 0:
+                            continue
+                        mpos = int(batch.next_pos[i])
+                        readno = 1 if is_first[i] else 2
+                        name = bytes(
+                            batch.name[batch.name_off[i]:batch.name_off[i + 1]]
+                        )
+                        keep_read = False
+                        if pos > mpos or pos == mpos:
+                            mate_key = (name, 2 if readno == 1 else 1)
+                            if mate_key in good_mates:
+                                good_mates.discard(mate_key)
+                                keep_read = True
+                            elif pos > mpos:
+                                continue
+                        if not keep_read:
+                            if pos_count >= 1:
+                                continue
+                            pos_count += 1
+                            if len(good_mates) > 100000:
+                                good_mates.clear()
+                            if skip_len[i] > 0:
+                                continue
+                            good_mates.add((name, readno))
+                            continue
+
+                        # observation for the kept (downstream) read
+                        if tracker.converged:
+                            continue
+                        ori = int(orient[i])
+                        frag = 0
+                        if ori == ORIENT_RP:
+                            raw = abs(tl) - int(skip_len[i])
+                            if abs(tl) == 0:
+                                frag = 0
+                            elif raw <= 0:
+                                raise RuntimeError(
+                                    f"Unexpected fragment size ({raw}) in {bam_path}"
+                                )
+                            else:
+                                frag = simplified_frag_size(raw)
+                        normal = tracker.add_observation(ori, frag)
+                        if not normal:
+                            highest[ci] = pos + max(1, chrom_size[ci] // 100)
+                            break_slice = True
+                            break
+                        if not tracker.checked:
+                            continue
+                        tracker.update_convergence()
+                        tracker.checked = False
+                        finished_slice = True
+                        stop = tracker.converged or (
+                            tracker.stats.frag_stats.total_observations
+                            > tracker.MAX_RECORDS
+                        )
+                        break_slice = True
+                        break
+                    chunk_beg = chunk_end
+                if not got_any and not break_slice:
+                    highest[ci] = start + max(1, chrom_size[ci] // 100) - 1
+                elif highest[ci] <= start and not break_slice:
+                    highest[ci] += max(1, chrom_size[ci] // 100)
+                if finished_slice or stop:
+                    break
+
+    tracker.finalize(bam_path)
+    return tracker.stats

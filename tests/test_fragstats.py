@@ -1,0 +1,84 @@
+"""Phase-0 stats tests: SizeDistribution semantics + demo-BAM estimation."""
+
+import numpy as np
+import pytest
+
+from manta_tpu.core.fragstats import (
+    ReadGroupStatsSet, extract_read_group_stats, simplified_frag_size,
+)
+from manta_tpu.core.sizedist import SizeDistribution
+
+
+def test_sizedist_quantile_cdf():
+    sd = SizeDistribution()
+    for s in range(100, 200):
+        sd.add_observation(s, 10)
+    assert sd.total_observations == 1000
+    # median of uniform[100,199]
+    q50 = sd.quantile(0.5)
+    assert 148 <= q50 <= 151
+    assert sd.quantile(0.0) == 100
+    assert sd.quantile(1.0) == 199
+    assert abs(sd.cdf(199) - 1.0) < 1e-6
+    assert abs(sd.cdf(149) - 0.5) < 0.01
+    assert sd.cdf(99) == 0.0
+
+
+def test_sizedist_pdf_smoothing():
+    sd = SizeDistribution()
+    sd.add_observation(100, 10)
+    sd.add_observation(102, 10)
+    sd.add_observation(104, 10)
+    # pdf at 102 takes the 3 bins (only 3 available), span 100..104
+    p = sd.pdf(102)
+    assert abs(p - 30 / (30 * 5)) < 1e-6
+
+
+def test_sizedist_filter_quantile():
+    sd = SizeDistribution()
+    for s in range(100, 200):
+        sd.add_observation(s, 100)
+    sd.add_observation(100000, 1)  # outlier: 1/10001 < 0.0005 tail
+    sd.filter_observations_over_quantile(0.9995)
+    assert sd.total_observations == 10000
+    assert sd.quantile(1.0) == 199
+
+
+def test_sizedist_roundtrip():
+    sd = SizeDistribution()
+    sd.add_observations(np.array([300, 300, 310, 320]))
+    sd2 = SizeDistribution.from_dict(sd.to_dict())
+    assert sd2.total_observations == 4
+    assert sd2.quantile(0.5) == sd.quantile(0.5)
+
+
+def test_simplified_frag_size():
+    assert simplified_frag_size(999) == 999
+    assert simplified_frag_size(1000) == 1000
+    assert simplified_frag_size(1001) == 1000
+    assert simplified_frag_size(12345) == 12300
+    assert simplified_frag_size(123456) == 123000
+
+
+@pytest.mark.parametrize("which", ["normal", "tumor"])
+def test_demo_stats(which, normal_bam, tumor_bam):
+    path = normal_bam if which == "normal" else tumor_bam
+    stats = extract_read_group_stats(path)
+    fs = stats.frag_stats
+    # HCC1954 libraries: median fragment size should be in a plausible
+    # short-insert range
+    med = fs.quantile(0.5)
+    assert 100 < med < 1000, med
+    assert fs.total_observations >= 100
+    q01, q99 = fs.quantile(0.01), fs.quantile(0.99)
+    assert q01 < med < q99
+    # roundtrip through the stats-set file
+    ss = ReadGroupStatsSet()
+    ss.set_stats(path, stats)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "stats.json")
+        ss.save(p)
+        ss2 = ReadGroupStatsSet.load(p)
+        assert ss2.get_stats(path).frag_stats.quantile(0.5) == med
+        assert ss2.get_stats(path).counter.total == stats.counter.total
