@@ -1,0 +1,728 @@
+"""Read -> SV-evidence scanner: the single source of truth shared by
+graph building (phase 1) and candidate generation (phase 2).
+
+Behavioral parity with the reference SVLocusScanner
+(reference: src/c++/lib/manta/SVLocusScanner.{hpp,cpp}) including:
+CIGAR indel candidates (SVLocusScanner.cpp:356), SA-tag split-read
+candidates (:236,322), semi-aligned edge candidates (:475 +
+SVLocusScannerSemiAligned.cpp), anomalous-pair analysis with
+large-event breakend-region scaling (AlignmentPairAnalyzer :547-858),
+and the fast isSVEvidence pre-filter (:1437).
+
+Architecture note: the fast pre-filter and pair classification are
+vectorized numpy masks over whole ReadBatches (device-friendly);
+full candidate generation runs per evidence-read on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import cigar as cg
+from ..core.readfilter import has_sa_tag, is_innie_pair, is_mapped_pair
+from ..core.svmodel import (
+    BND_COMPLEX, BND_LEFT_OPEN, BND_RIGHT_OPEN, BND_UNKNOWN,
+    EV_CIGAR, EV_LOCAL_PAIR, EV_PAIR, EV_SEMIALIGN, EV_SPLIT_ALIGN,
+    FRAG_READ1, FRAG_READ2, FRAG_READ_PAIR,
+    GenomeInterval, SVBreakend, SVObservation,
+)
+from ..io.bam import (
+    C_D, C_I, C_M, C_N, C_S,
+    FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER_PAIR,
+    FLAG_READ1, FLAG_READ2, FLAG_REVERSE, FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+    FLAG_UNMAPPED, ReadBatch,
+)
+
+
+@dataclass
+class ScannerOptions:
+    """Defaults mirror the reference ReadScannerOptions
+    (options/ReadScannerOptions.hpp:25-112) with configManta.py.ini
+    overrides applied by the workflow (minCandidateVariantSize=8)."""
+
+    min_mapq: int = 15
+    min_tier2_mapq: int = 5
+    breakend_edge_quantile_prob: float = 0.25
+    large_scale_event_breakend_edge_quantile_prob: float = 0.1
+    proper_pair_quantile_prob: float = 0.01
+    evidence_trim_quantile_prob: float = 0.15
+    shadow_search_distance_quantile_prob: float = 0.05
+    shadow_search_distance_factor: float = 1.2
+    min_candidate_variant_size: int = 8
+    max_candidate_size_for_local_assm_evidence: int = 100
+    min_pair_breakend_size: int = 40
+    min_semi_aligned_mismatch_len: int = 8
+    min_rna_cis_length: int = 100000
+    min_rna_length: int = 1000
+    min_singleton_mapq_graph: int = 30
+    min_singleton_mapq_candidates: int = 15
+    use_overlap_pair_evidence: bool = False
+    is_ignore_anom_proper_pair: bool = False
+    max_depth_factor: float = 12.0
+    max_local_depth_factor_for_remote_read_retrieval: float = 7.0
+
+    @property
+    def is_small_candidates(self) -> bool:
+        return self.min_candidate_variant_size <= \
+            self.max_candidate_size_for_local_assm_evidence
+
+    @property
+    def before_breakend(self) -> int:
+        return self.min_pair_breakend_size // 2
+
+    @property
+    def after_breakend(self) -> int:
+        return self.min_pair_breakend_size - self.before_breakend
+
+
+# evidence weights (reference: SVLocusScanner.hpp:68-77)
+WEIGHT_OBSERVATION = 3
+WEIGHT_READ_PAIR = 3
+WEIGHT_CLOSE_READ_PAIR = 1
+WEIGHT_INTERNAL_READ_EVENT = 3
+
+CLOSE_PAIR_FACTOR = 4.0
+MIN_LARGE_EVENT_REGION_FACTOR = 10.0
+MAX_LARGE_EVENT_REGION_FACTOR = 20.0
+
+
+@dataclass
+class CachedReadGroupStats:
+    """Summary stats from one fragment-size distribution
+    (reference: SVLocusScanner.hpp:241-270, ctor :1276-1329)."""
+
+    breakend_region: tuple[float, float] = (0, 0)
+    large_scale_breakend_region: tuple[float, float] = (0, 0)
+    proper_pair: tuple[float, float] = (0, 0)
+    evidence_pair: tuple[float, float] = (0, 0)
+    fifth_perc: tuple[float, float] = (0, 0)
+    shadow_search_distance: int = 0
+    min_distant_fragment_size: int = 0
+    large_event_region_min: int = 0
+    large_event_region_max: int = 0
+
+    def large_event_region_scale(self, val: float) -> float:
+        f = (val - self.large_event_region_min) / max(
+            1e-30, float(self.large_event_region_max - self.large_event_region_min))
+        return min(1.0, max(0.0, f))
+
+
+def _quantile_range(dist, prob: float) -> tuple[float, float]:
+    lo = dist.quantile(prob)
+    hi = dist.quantile(1 - prob)
+    return (max(0.0, float(lo)), float(hi))
+
+
+def build_cached_stats(dist, opt: ScannerOptions) -> CachedReadGroupStats:
+    s = CachedReadGroupStats()
+    s.breakend_region = _quantile_range(dist, opt.breakend_edge_quantile_prob)
+    s.large_scale_breakend_region = _quantile_range(
+        dist, opt.large_scale_event_breakend_edge_quantile_prob)
+    s.proper_pair = _quantile_range(dist, opt.proper_pair_quantile_prob)
+    s.evidence_pair = _quantile_range(dist, opt.evidence_trim_quantile_prob)
+    s.fifth_perc = _quantile_range(dist, 0.05)
+    s.shadow_search_distance = int(
+        dist.quantile(1 - opt.shadow_search_distance_quantile_prob)
+        * opt.shadow_search_distance_factor)
+    s.min_distant_fragment_size = int(s.proper_pair[1] * CLOSE_PAIR_FACTOR)
+    s.large_event_region_min = int(s.proper_pair[1] * MIN_LARGE_EVENT_REGION_FACTOR)
+    s.large_event_region_max = int(s.proper_pair[1] * MAX_LARGE_EVENT_REGION_FACTOR)
+    return s
+
+
+@dataclass
+class SimpleAlign:
+    """Minimal alignment view (tid, pos, strand, cigar arrays)."""
+    tid: int
+    pos: int
+    is_fwd: bool
+    ops: np.ndarray
+    lens: np.ndarray
+
+    @property
+    def ref_length(self) -> int:
+        return cg.ref_length(self.ops, self.lens)
+
+    @property
+    def read_length(self) -> int:
+        return cg.read_length(self.ops, self.lens)
+
+    @property
+    def end_pos(self) -> int:
+        return self.pos + self.ref_length
+
+
+def get_alignment(batch: ReadBatch, i: int) -> SimpleAlign:
+    ops, lens = cg.cigar_to_arrays(batch.cigar_arr(i))
+    return SimpleAlign(
+        tid=int(batch.refid[i]), pos=int(batch.pos[i]),
+        is_fwd=(batch.flag[i] & FLAG_REVERSE) == 0, ops=ops, lens=lens)
+
+
+def get_mate_alignment(batch: ReadBatch, i: int) -> SimpleAlign:
+    """Mate alignment from the MC tag if present, else faked as a full
+    match of this read's length (reference:
+    SimpleAlignment_bam_util.cpp:43-61)."""
+    mc = batch.get_tag(i, b"MC")
+    if mc is not None:
+        ops, lens = cg.string_to_arrays(mc)
+    else:
+        ops = np.array([C_M], np.int32)
+        lens = np.array([batch.read_len(i)], np.int32)
+    return SimpleAlign(
+        tid=int(batch.next_refid[i]), pos=int(batch.next_pos[i]),
+        is_fwd=(batch.flag[i] & FLAG_MATE_REVERSE) == 0, ops=ops, lens=lens)
+
+
+class SVScanner:
+    def __init__(self, opt: ScannerOptions, frag_dists: list, chrom_lengths: list[int],
+                 chrom_names: list[str], is_rna: bool = False,
+                 is_transcript_strand_known: bool = False):
+        self.opt = opt
+        self.stats = [build_cached_stats(d, opt) for d in frag_dists]
+        self.frag_dists = frag_dists
+        self.chrom_lengths = chrom_lengths
+        self.chrom_names = chrom_names
+        self.name_to_tid = {n: i for i, n in enumerate(chrom_names)}
+        self.is_rna = is_rna
+        self.is_transcript_strand_known = is_transcript_strand_known
+        fps = [s.fifth_perc for s in self.stats]
+        self.extreme_fifth = (min(f[0] for f in fps), max(f[1] for f in fps)) \
+            if fps else (0.0, 0.0)
+
+    # ------------------------------------------------------------------
+    # vectorized batch masks
+
+    def anomalous_pair_mask(self, batch: ReadBatch, rg: int) -> np.ndarray:
+        """isAnomalousReadPair (SVLocusScanner.cpp:1356-1374); assumes
+        callers apply this only where meaningful (paired mapped)."""
+        ppr = self.stats[rg].proper_pair
+        innie = is_innie_pair(batch)
+        frag = np.abs(batch.tlen)
+        anom = (~innie) | (frag == 0) | (frag > 1.5 * ppr[1]) | (frag < ppr[0])
+        return anom
+
+    def _fragment_large_mask(self, batch: ReadBatch, rg: int) -> np.ndarray:
+        """isLarge(fragment size type): CLOSE/DISTANT/UNKNOWN."""
+        st = self.stats[rg]
+        diff_chrom = batch.refid != batch.next_refid
+        frag = np.abs(batch.tlen)
+        unknown = frag == 0
+        compressed = frag < st.proper_pair[0]
+        normal = (frag >= st.proper_pair[0]) & (frag <= st.proper_pair[1])
+        return diff_chrom | (~diff_chrom & (unknown | ~(compressed | normal)))
+
+    def non_compressed_anomalous_mask(self, batch: ReadBatch, rg: int) -> np.ndarray:
+        """isNonCompressedAnomalousReadPair (SVLocusScanner.cpp:1391)."""
+        mapped_pair = is_mapped_pair(batch)
+        anom = self.anomalous_pair_mask(batch, rg)
+        innie = is_innie_pair(batch)
+        large = self._fragment_large_mask(batch, rg)
+        return mapped_pair & anom & ((~innie) | large)
+
+    def local_indel_mask(self, batch: ReadBatch) -> np.ndarray:
+        """Any I/D cigar op with length >= minCandidateVariantSize."""
+        ops = (batch.cigar & 0xF).astype(np.int32)
+        lens = (batch.cigar >> 4).astype(np.int64)
+        hit = ((ops == C_I) | (ops == C_D)) & (lens >= self.opt.min_candidate_variant_size)
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        return (csum[batch.cigar_off[1:]] - csum[batch.cigar_off[:-1]]) > 0
+
+    def sv_evidence_mask(self, batch: ReadBatch, rg: int, refseq: np.ndarray,
+                         ref_offset: int, sa: np.ndarray | None = None) -> np.ndarray:
+        """Fast pre-filter isSVEvidence (SVLocusScanner.cpp:1437-1483)."""
+        if sa is None:
+            sa = has_sa_tag(batch)
+        anom = self.non_compressed_anomalous_mask(batch, rg)
+        indel = self.local_indel_mask(batch)
+        out = anom | sa | indel
+        if self.opt.is_small_candidates:
+            rest = np.flatnonzero(~out & ~sa)
+            for i in rest:
+                lead, _, trail, _ = self.semi_aligned_lengths(batch, int(i), refseq, ref_offset)
+                if lead >= self.opt.min_semi_aligned_mismatch_len or \
+                        trail >= self.opt.min_semi_aligned_mismatch_len:
+                    out[i] = True
+        return out
+
+    # ------------------------------------------------------------------
+    # semi-aligned edge detection
+
+    def _is_overlapping_pair(self, batch: ReadBatch, i: int, al: SimpleAlign) -> bool:
+        f = int(batch.flag[i])
+        if not (f & FLAG_PAIRED) or (f & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED)):
+            return False
+        if batch.refid[i] != batch.next_refid[i]:
+            return False
+        fwd = (f & FLAG_REVERSE) == 0
+        mate_fwd = (f & FLAG_MATE_REVERSE) == 0
+        if fwd == mate_fwd:
+            return False
+        pos_diff = int(batch.pos[i]) - int(batch.next_pos[i])
+        if not fwd:
+            pos_diff = -pos_diff
+        if pos_diff > batch.read_len(i):
+            return False
+        if fwd:
+            return (al.end_pos - int(batch.next_pos[i])) >= 0
+        mate = get_mate_alignment(batch, i)
+        return (al.pos - mate.end_pos) <= 0
+
+    def _is_adapter_pair(self, batch: ReadBatch, i: int, al: SimpleAlign,
+                         sa_split: bool) -> bool:
+        if sa_split:
+            return False
+        if batch.get_tag(i, b"MC") is not None:
+            mate = get_mate_alignment(batch, i)
+            if al.is_fwd:
+                endpos = al.end_pos + cg.soft_clip_trail_size(al.ops, al.lens)
+                mate_start = mate.end_pos + cg.soft_clip_trail_size(mate.ops, mate.lens)
+                return endpos > mate_start
+            endpos = al.pos - cg.soft_clip_lead_size(al.ops, al.lens)
+            mate_start = mate.pos - cg.soft_clip_lead_size(mate.ops, mate.lens)
+            return endpos < mate_start
+        sc = cg.soft_clip_trail_size(al.ops, al.lens) if al.is_fwd \
+            else cg.soft_clip_lead_size(al.ops, al.lens)
+        return sc > 0
+
+    def semi_aligned_lengths(self, batch: ReadBatch, i: int, refseq: np.ndarray,
+                             ref_offset: int, min_bq: int = 20,
+                             min_hq_frac: float = 0.75):
+        """getSVBreakendCandidateSemiAligned
+        (SVLocusScannerSemiAligned.cpp): returns
+        (lead_len, lead_ref_pos, trail_len, trail_ref_pos)."""
+        al = get_alignment(batch, i)
+        sa_split = batch.get_tag(i, b"SA") is not None
+        overlapping = self._is_overlapping_pair(batch, i, al)
+        if overlapping:
+            if (not self.opt.use_overlap_pair_evidence) or \
+                    self._is_adapter_pair(batch, i, al, sa_split):
+                return 0, 0, 0, 0
+
+        read = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]]
+        qual = batch.qual_arr(i)
+        n = len(read)
+        mpos, mops, mlens = cg.matchify_edge_soft_clip(al.pos, al.ops, al.lens)
+
+        lead_tmp, lead_ref, trail_tmp, trail_ref = _edge_poor_alignment(
+            mpos, mops, mlens, read, refseq, ref_offset, 5)
+        if lead_tmp + trail_tmp >= n:
+            return 0, 0, 0, 0
+
+        fwd = (batch.flag[i] & FLAG_REVERSE) == 0
+        lead = trail = 0
+        if lead_tmp and ((not overlapping) or sa_split or fwd):
+            hq = int((qual[:lead_tmp] >= min_bq).sum())
+            if hq / lead_tmp >= min_hq_frac:
+                lead = lead_tmp
+        if trail_tmp and ((not overlapping) or sa_split or not fwd):
+            hq = int((qual[n - trail_tmp:] >= min_bq).sum())
+            if hq / trail_tmp >= min_hq_frac:
+                trail = trail_tmp
+        return lead, lead_ref, trail, trail_ref
+
+    # ------------------------------------------------------------------
+    # candidate generation
+
+    def _split_candidate(self, tid: int, left: int, right: int, ev: int,
+                         frag_source: int, is_complex: bool = False) -> SVObservation:
+        """getSplitSVCandidate (SVLocusScanner.cpp:93-138)."""
+        opt = self.opt
+        chrom_len = self.chrom_lengths[tid]
+        sv = SVObservation()
+        sv.ev_type = ev
+        sv.frag_source = frag_source
+        sv.bp1.interval.tid = tid
+        sv.bp2.interval.tid = tid
+        sv.bp1.add_evidence(ev)
+        if not is_complex:
+            sv.bp2.add_evidence(ev)
+            sv.bp1.state = BND_RIGHT_OPEN
+            sv.bp2.state = BND_LEFT_OPEN
+        else:
+            sv.bp1.state = BND_COMPLEX
+            sv.bp2.state = BND_UNKNOWN
+        sv.bp1.interval.beg = max(0, left - opt.before_breakend)
+        if not is_complex:
+            sv.bp1.interval.end = min(chrom_len, left + opt.after_breakend)
+        else:
+            sv.bp1.interval.end = min(chrom_len, right + opt.after_breakend)
+        sv.bp2.interval.beg = max(0, right - opt.before_breakend)
+        sv.bp2.interval.end = min(chrom_len, right + opt.after_breakend)
+        return sv
+
+    def _indel_candidates(self, al: SimpleAlign, frag_source: int,
+                          out: list[SVObservation]) -> None:
+        """getSVCandidatesFromReadIndels (SVLocusScanner.cpp:356-460)."""
+        opt = self.opt
+        first, last = cg.match_edge_segments(al.ops)
+        path_index = 0
+        ref_head = al.pos
+        nseg = len(al.ops)
+        while path_index < nseg:
+            o = int(al.ops[path_index])
+            l = int(al.lens[path_index])
+            is_edge = path_index < first or path_index > last
+            is_swap = cg.is_swap_start(al.ops, path_index)
+            consumed = 1
+            if is_edge:
+                if o == C_I and l >= opt.min_candidate_variant_size:
+                    out.append(self._split_candidate(
+                        al.tid, ref_head, ref_head, EV_CIGAR, frag_source,
+                        is_complex=True))
+            elif is_swap:
+                n_seg, ins_len, del_len = cg.swap_info(al.ops, al.lens, path_index)
+                if del_len >= opt.min_candidate_variant_size or \
+                        ins_len >= opt.min_candidate_variant_size:
+                    out.append(self._split_candidate(
+                        al.tid, ref_head, ref_head + del_len, EV_CIGAR, frag_source))
+                consumed = n_seg
+            elif o in (C_I, C_D):
+                if l >= opt.min_candidate_variant_size:
+                    if o == C_D:
+                        out.append(self._split_candidate(
+                            al.tid, ref_head, ref_head + l, EV_CIGAR, frag_source))
+                    else:
+                        out.append(self._split_candidate(
+                            al.tid, ref_head, ref_head, EV_CIGAR, frag_source))
+            for k in range(consumed):
+                oo = int(al.ops[path_index])
+                ll = int(al.lens[path_index])
+                if oo in cg.REF_LEN_OPS:
+                    ref_head += ll
+                path_index += 1
+
+    def parse_sa_alignments(self, batch: ReadBatch, i: int) -> list[SimpleAlign]:
+        """parseSACandidatesFromRead (SVLocusScanner.cpp:236-307)."""
+        sa = batch.get_tag(i, b"SA")
+        if sa is None:
+            return []
+        segs = [s for s in sa.split(";") if s]
+        if len(segs) > 1:
+            return []
+        out = []
+        for seg in segs:
+            fields = seg.split(",")
+            if len(fields) != 6:
+                raise ValueError(f"Unexpected SA format: {seg}")
+            chrom, pos, strand, cig, mapq, _nm = fields
+            if int(mapq) < self.opt.min_mapq:
+                continue
+            if chrom not in self.name_to_tid:
+                raise ValueError(f"SA segment maps to unknown chromosome: {chrom}")
+            ops, lens = cg.string_to_arrays(cig)
+            out.append(SimpleAlign(
+                tid=self.name_to_tid[chrom], pos=int(pos) - 1,
+                is_fwd=(strand == "+"), ops=ops, lens=lens))
+        return out
+
+    def _sa_breakend(self, al: SimpleAlign) -> SVBreakend:
+        """updateSABreakend (SVLocusScanner.cpp:149-184)."""
+        bp = SVBreakend()
+        downstream = cg.clip_lead_size(al.ops, al.lens) < cg.clip_trail_size(al.ops, al.lens)
+        bp.state = BND_RIGHT_OPEN if downstream else BND_LEFT_OPEN
+        bp.interval.tid = al.tid
+        pos = al.pos
+        if downstream:
+            pos += al.ref_length
+        chrom_len = self.chrom_lengths[al.tid]
+        bp.interval.beg = max(0, pos - self.opt.before_breakend)
+        bp.interval.end = min(chrom_len, pos + self.opt.after_breakend)
+        return bp
+
+    def _sa_candidates(self, batch: ReadBatch, i: int, al: SimpleAlign,
+                       frag_source: int, out: list[SVObservation]) -> None:
+        """getSACandidatesFromRead (SVLocusScanner.cpp:322-349)."""
+        remotes = self.parse_sa_alignments(batch, i)
+        if len(remotes) != 1:
+            return
+        for ral in remotes:
+            sv = SVObservation()
+            sv.ev_type = EV_SPLIT_ALIGN
+            sv.frag_source = frag_source
+            sv.bp1 = self._sa_breakend(al)
+            sv.bp1.add_evidence(EV_SPLIT_ALIGN)
+            sv.bp2 = self._sa_breakend(ral)
+            if self.is_transcript_strand_known:
+                downstream = cg.clip_lead_size(al.ops, al.lens) < \
+                    cg.clip_trail_size(al.ops, al.lens)
+                is_first = (batch.flag[i] & FLAG_READ1) != 0
+                fwd = (batch.flag[i] & FLAG_REVERSE) == 0
+                if (is_first == fwd) == downstream:
+                    sv.forward_transcript_strand_read_count += 1
+                else:
+                    sv.reverse_transcript_strand_read_count += 1
+            out.append(sv)
+
+    def _semi_aligned_candidates(self, batch: ReadBatch, i: int, al: SimpleAlign,
+                                 frag_source: int, refseq: np.ndarray,
+                                 ref_offset: int, out: list[SVObservation]) -> None:
+        """getSVCandidatesFromSemiAligned (SVLocusScanner.cpp:475-534)."""
+        lead, lead_ref, trail, trail_ref = self.semi_aligned_lengths(
+            batch, i, refseq, ref_offset)
+        if lead + trail >= batch.read_len(i):
+            return
+        tid = int(batch.refid[i])
+        if lead >= self.opt.min_semi_aligned_mismatch_len:
+            out.append(self._split_candidate(
+                tid, lead_ref, lead_ref, EV_SEMIALIGN, frag_source, is_complex=True))
+        if trail >= self.opt.min_semi_aligned_mismatch_len:
+            out.append(self._split_candidate(
+                tid, trail_ref, trail_ref, EV_SEMIALIGN, frag_source, is_complex=True))
+
+    def _pair_candidate(self, batch: ReadBatch, i: int, al: SimpleAlign, rg: int,
+                        remote: tuple[ReadBatch, int] | None,
+                        out: list[SVObservation]) -> None:
+        """getSVCandidatesFromPair + AlignmentPairAnalyzer
+        (SVLocusScanner.cpp:547-918)."""
+        f = int(batch.flag[i])
+        if not (f & FLAG_PAIRED):
+            return
+        sa_split = batch.get_tag(i, b"SA") is not None
+        if (f & FLAG_SUPPLEMENTARY) or ((f & FLAG_SECONDARY) and sa_split):
+            return
+        if f & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED):
+            return
+        if self.opt.is_ignore_anom_proper_pair and (f & FLAG_PROPER_PAIR):
+            return
+
+        if remote is not None:
+            ral = get_alignment(remote[0], remote[1])
+        else:
+            ral = get_mate_alignment(batch, i)
+        st = self.stats[rg]
+
+        # setLargeEventRegionScale
+        local_noninsert = al.read_length - (
+            cg.unaligned_suffix_size(al.ops, al.lens) if al.is_fwd
+            else cg.unaligned_prefix_size(al.ops, al.lens))
+        remote_noninsert = ral.read_length - (
+            cg.unaligned_suffix_size(ral.ops, ral.lens) if ral.is_fwd
+            else cg.unaligned_prefix_size(ral.ops, ral.lens))
+        total_noninsert = local_noninsert + remote_noninsert
+        local_end = al.end_pos
+        remote_end = ral.end_pos
+
+        scale = 1.0
+        if al.tid == ral.tid and al.is_fwd != ral.is_fwd:
+            if al.is_fwd:
+                ins_beg, ins_end = local_end, ral.pos
+            else:
+                ins_beg, ins_end = remote_end, al.pos
+            cigar_adj_frag = total_noninsert + (ins_end - ins_beg)
+            if cigar_adj_frag >= 0:
+                if cigar_adj_frag > st.proper_pair[1] + self.opt.min_candidate_variant_size:
+                    scale = st.large_event_region_scale(cigar_adj_frag)
+                else:
+                    scale = -1.0
+        if scale < 0:
+            return  # non-anomalous
+
+        # isAlignedToChromEnds
+        if al.is_fwd:
+            if local_end >= self.chrom_lengths[al.tid]:
+                return
+        elif al.pos <= 0:
+            return
+        if ral.is_fwd:
+            if remote_end >= self.chrom_lengths[ral.tid]:
+                return
+        elif ral.pos <= 0:
+            return
+
+        # getSVObservation
+        sv = SVObservation()
+        sv.ev_type = EV_LOCAL_PAIR
+        sv.frag_source = FRAG_READ_PAIR
+        sv.bp1.add_evidence(EV_LOCAL_PAIR)
+        if self.is_transcript_strand_known:
+            if f & FLAG_READ1:
+                sv.forward_transcript_strand_read_count += 1
+            else:
+                sv.reverse_transcript_strand_read_count += 1
+        if remote is not None:
+            sv.bp2.add_evidence(EV_LOCAL_PAIR)
+            sv.bp1.add_evidence(EV_PAIR)
+            sv.bp2.add_evidence(EV_PAIR)
+            sv.ev_type = EV_PAIR
+
+        max_frag = (scale * st.large_scale_breakend_region[1]
+                    + (1.0 - scale) * st.breakend_region[1])
+        bk_size = max(self.opt.min_pair_breakend_size,
+                      int(max_frag - total_noninsert))
+
+        lchrom = self.chrom_lengths[al.tid]
+        sv.bp1.interval.tid = al.tid
+        if al.is_fwd:
+            sv.bp1.state = BND_RIGHT_OPEN
+            sv.bp1.interval.beg = min(lchrom, local_end)
+            sv.bp1.interval.end = min(lchrom, local_end + bk_size)
+        else:
+            sv.bp1.state = BND_LEFT_OPEN
+            sv.bp1.interval.end = al.pos
+            sv.bp1.interval.beg = max(0, al.pos - bk_size)
+        rchrom = self.chrom_lengths[ral.tid]
+        sv.bp2.interval.tid = ral.tid
+        if ral.is_fwd:
+            sv.bp2.state = BND_RIGHT_OPEN
+            sv.bp2.interval.beg = min(rchrom, remote_end)
+            sv.bp2.interval.end = min(rchrom, remote_end + bk_size)
+        else:
+            sv.bp2.state = BND_LEFT_OPEN
+            sv.bp2.interval.end = ral.pos
+            sv.bp2.interval.beg = max(0, ral.pos - bk_size)
+        out.append(sv)
+
+    def _single_read_candidates(self, batch: ReadBatch, i: int, al: SimpleAlign,
+                                refseq: np.ndarray, ref_offset: int,
+                                out: list[SVObservation]) -> None:
+        """getSingleReadSVCandidates (SVLocusScanner.cpp:992-1031)."""
+        f = int(batch.flag[i])
+        is_read2 = bool(f & FLAG_PAIRED) and bool(f & FLAG_READ2)
+        frag_source = FRAG_READ2 if is_read2 else FRAG_READ1
+        self._indel_candidates(al, frag_source, out)
+        if batch.get_tag(i, b"SA") is not None:
+            self._sa_candidates(batch, i, al, frag_source, out)
+        elif self.opt.is_small_candidates:
+            self._semi_aligned_candidates(
+                batch, i, al, frag_source, refseq, ref_offset, out)
+
+    def get_read_breakends(self, batch: ReadBatch, i: int, rg: int,
+                           refseq: np.ndarray, ref_offset: int,
+                           remote: tuple[ReadBatch, int] | None = None,
+                           remote_refseq: tuple[np.ndarray, int] | None = None):
+        """getReadBreakendsImpl (SVLocusScanner.cpp:1037-1158):
+        returns (candidates, local_evidence_range)."""
+        out: list[SVObservation] = []
+        al = get_alignment(batch, i)
+        self._single_read_candidates(batch, i, al, refseq, ref_offset, out)
+        if remote is not None:
+            rr, ri = remote
+            ral = get_alignment(rr, ri)
+            rref, roff = remote_refseq
+            self._single_read_candidates(rr, ri, ral, rref, roff, out)
+        self._pair_candidate(batch, i, al, rg, remote, out)
+        ev_range = (al.pos, al.pos + al.ref_length)
+        return out, ev_range
+
+    def get_read_loci_data(self, batch: ReadBatch, i: int, rg: int,
+                           refseq: np.ndarray, ref_offset: int):
+        """Per-candidate graph insertion data, mirroring getSVLociImpl
+        (SVLocusScanner.cpp:1166-1260): list of
+        (bp1, bp2|None, weight1, weight2, evidence_range, is_complex)."""
+        cands, ev_range = self.get_read_breakends(batch, i, rg, refseq, ref_offset)
+        st = self.stats[rg]
+        out = []
+        for cand in cands:
+            is_complex = (cand.bp1.state == BND_COMPLEX
+                          and cand.bp2.state == BND_UNKNOWN)
+            lb, rb = cand.bp1, cand.bp2
+            assert lb.interval.size() > 0 and (is_complex or rb.interval.size() > 0)
+            w1 = w2 = 0
+            if lb.get_any_non_pair_count() != 0:
+                w1 = WEIGHT_INTERNAL_READ_EVENT
+                if rb.get_any_non_pair_count() != 0:
+                    w2 = WEIGHT_INTERNAL_READ_EVENT
+            elif lb.get_local_pair_count() != 0:
+                is_close = _is_innie_read(batch, i) and \
+                    abs(int(batch.tlen[i])) < st.min_distant_fragment_size
+                w = WEIGHT_CLOSE_READ_PAIR if is_close else WEIGHT_READ_PAIR
+                w1 = w
+                if rb.get_local_pair_count() != 0:
+                    w2 = w
+            out.append((lb, (None if is_complex else rb), w1, w2, ev_range,
+                        is_complex))
+        return out
+
+
+def _is_innie_read(batch: ReadBatch, i: int) -> bool:
+    """Scalar is_innie_pair for one read (htsapi/bam_record_util.cpp:44)."""
+    f = int(batch.flag[i])
+    if not (f & FLAG_PAIRED) or (f & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED)):
+        return False
+    if batch.refid[i] != batch.next_refid[i]:
+        return False
+    fwd = (f & FLAG_REVERSE) == 0
+    mate_fwd = (f & FLAG_MATE_REVERSE) == 0
+    if fwd == mate_fwd:
+        return False
+    if batch.pos[i] < batch.next_pos[i]:
+        return fwd
+    if batch.pos[i] > batch.next_pos[i]:
+        return not fwd
+    return True
+
+
+def _edge_poor_alignment(pos: int, ops: np.ndarray, lens: np.ndarray,
+                         read: np.ndarray, refseq: np.ndarray, ref_offset: int,
+                         contiguous: int):
+    """leading/trailingEdgePoorAlignmentLength
+    (SVLocusScannerSemiAligned.cpp:33-131). N bases always match."""
+    n_read = len(read)
+
+    def base_match(r_idx: int, f_idx: int) -> bool:
+        rb = read[r_idx]
+        fi = f_idx - ref_offset
+        fb = refseq[fi] if 0 <= fi < len(refseq) else ord("N")
+        return rb == ord("N") or fb == ord("N") or rb == fb
+
+    # leading
+    read_idx = 0
+    ref_idx = pos
+    lead_len = None
+    lead_ref = pos
+    run = 0
+    for o, l in zip(ops.tolist(), lens.tolist()):
+        if o in cg.MATCH_OPS:
+            for sp in range(l):
+                if base_match(read_idx + sp, ref_idx + sp):
+                    run += 1
+                    if run >= contiguous:
+                        lead_len = (read_idx + sp) - (run - 1)
+                        lead_ref = (ref_idx + sp) - (run - 1)
+                        break
+                else:
+                    run = 0
+            if lead_len is not None:
+                break
+        elif o in cg.INDEL_OPS:
+            run = 0
+        if o in cg.READ_LEN_OPS:
+            read_idx += l
+        if o in cg.REF_LEN_OPS:
+            ref_idx += l
+    if lead_len is None:
+        lead_len = read_idx
+        lead_ref = ref_idx
+
+    # trailing
+    read_idx = n_read - 1
+    ref_idx = pos + cg.ref_length(ops, lens) - 1
+    trail_len = None
+    trail_ref = 0
+    run = 0
+    for o, l in zip(ops.tolist()[::-1], lens.tolist()[::-1]):
+        if o in cg.MATCH_OPS:
+            for sp in range(l):
+                if base_match(read_idx - sp, ref_idx - sp):
+                    run += 1
+                    if run >= contiguous:
+                        trail_len = (n_read - (read_idx - sp)) - run
+                        trail_ref = (ref_idx - sp) + run
+                        break
+                else:
+                    run = 0
+            if trail_len is not None:
+                break
+        elif o in cg.INDEL_OPS:
+            run = 0
+        if o in cg.READ_LEN_OPS:
+            read_idx -= l
+        if o in cg.REF_LEN_OPS:
+            ref_idx -= l
+    if trail_len is None:
+        trail_len = n_read - (read_idx + 1)
+        trail_ref = ref_idx + 1
+    return lead_len, lead_ref, trail_len, trail_ref
