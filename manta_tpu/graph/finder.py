@@ -1,0 +1,247 @@
+"""Phase-1 driver: scan genome-segment reads into the breakend graph.
+
+Behavioral parity with the reference EstimateSVLoci application
+(reference: src/c++/lib/applications/EstimateSVLoci/
+SVLocusSetFinder.cpp:79-170, SVLocusSetFinderActiveRegionManager.cpp,
+EstimateSVLociRunner.cpp:53-110): per-read core filters, non-tumor
+depth tracking with high-depth skips, the fast SV-evidence pre-filter,
+rolling region denoising at a 5kb protected border, and per-read graph
+locus insertion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.readfilter import has_sa_tag, is_read_unmapped_or_filtered_core
+from ..io.bam import BamReader, ReadBatch
+from ..scan.scanner import ScannerOptions, SVScanner
+from .locusgraph import SVLocus, SVLocusSet, SVLocusSetOptions
+
+DENOISE_BORDER = 5000
+MIN_DENOISE_REGION_SIZE = 1000
+DEPTH_COMPRESSION = 16
+
+
+class DepthBuffer:
+    """Compressed per-position depth estimate
+    (reference: blt_util/depth_buffer.hpp:82-119)."""
+
+    def __init__(self, compression: int = DEPTH_COMPRESSION):
+        self.c = compression
+        self.bins: dict[int, int] = {}
+
+    def inc(self, pos: int, length: int):
+        end = pos + length
+        while pos < end:
+            b = pos // self.c
+            block_end = min((b + 1) * self.c, end)
+            self.bins[b] = self.bins.get(b, 0) + (block_end - pos)
+            pos = block_end
+
+    def val(self, pos: int) -> int:
+        return (self.bins.get(pos // self.c, 0) + self.c // 2) // self.c
+
+    def clear_below(self, pos: int):
+        """Free bins fully below pos (memory management only)."""
+        b = pos // self.c
+        for k in [k for k in self.bins if k < b]:
+            del self.bins[k]
+
+
+@dataclass
+class SampleCounts:
+    """Per-sample input/evidence statistics (observability parity with
+    SampleReadInputCounts / SampleEvidenceCounts)."""
+    total: int = 0
+    min_mapq: int = 0
+    not_filtered: int = 0
+    evidence: int = 0
+    anom: int = 0
+    split: int = 0
+    indel: int = 0
+    assm: int = 0
+    ignored: int = 0
+
+
+class SVLocusSetFinder:
+    """Builds graph evidence from one scan region's position-sorted reads."""
+
+    def __init__(self, scanner: SVScanner, locus_set: SVLocusSet,
+                 tid: int, beg: int, end: int,
+                 is_tumor: list[bool],
+                 max_depth: float | None = None,
+                 refseq: np.ndarray | None = None, ref_offset: int = 0):
+        self.scanner = scanner
+        self.locus_set = locus_set
+        self.tid, self.beg, self.end = tid, beg, end
+        self.is_tumor = is_tumor
+        self.max_depth = max_depth
+        self.refseq = refseq
+        self.ref_offset = ref_offset
+        self.depth = DepthBuffer()
+        self.counts = [SampleCounts() for _ in is_tumor]
+        # denoise region: scan region shrunk by the protected border on
+        # any edge adjacent to another scan segment
+        dn_beg = beg + DENOISE_BORDER if beg > 0 else beg
+        chrom_len = scanner.chrom_lengths[tid]
+        dn_end = end - DENOISE_BORDER if end < chrom_len else end
+        self.dn_beg, self.dn_end = dn_beg, dn_end
+        self._in_denoise_region = False
+        self._denoise_start = 0
+        self._head = None  # highest head position processed
+
+    # ------------------------------------------------------------------
+    # rolling denoise (stage_manager emulation at offset DENOISE_BORDER)
+
+    def _handle_new_pos(self, pos: int):
+        if self._head is not None and pos <= self._head:
+            return
+        self._head = pos
+        self._process_denoise_up_to(pos - DENOISE_BORDER)
+        self.depth.clear_below(pos - 10)
+
+    def _process_denoise_up_to(self, d_max: int):
+        if d_max < self.dn_beg:
+            return
+        if not self._in_denoise_region and d_max < self.dn_end:
+            self._in_denoise_region = True
+            self._denoise_start = self.dn_beg
+        if self._in_denoise_region:
+            # fire at every d = start + (MIN_SIZE-1) crossing within region
+            while True:
+                d = self._denoise_start + (MIN_DENOISE_REGION_SIZE - 1)
+                if d > min(d_max, self.dn_end - 1):
+                    break
+                self.locus_set.clean_region(self.tid, self._denoise_start, d + 1)
+                self._denoise_start = d + 1
+        if d_max >= self.dn_end:
+            if self._in_denoise_region:
+                if self.dn_end - self._denoise_start > 0:
+                    self.locus_set.clean_region(
+                        self.tid, self._denoise_start, self.dn_end)
+                    self._denoise_start = self.dn_end
+                self._in_denoise_region = False
+
+    def flush(self):
+        """Process all remaining positions (stage_manager::reset)."""
+        self._process_denoise_up_to(self.end - 1)
+
+    # ------------------------------------------------------------------
+
+    def update_batch(self, batch: ReadBatch, sample_index: int):
+        """Feed a position-sorted batch of one sample's reads."""
+        if batch.n == 0:
+            return
+        order = [(sample_index, i) for i in range(batch.n)]
+        batches = [ReadBatch.concat([]) for _ in self.is_tumor]
+        batches[sample_index] = batch
+        _run_merged(self, batches, order)
+
+
+def merge_sorted_batches(batches: list[ReadBatch]) -> list[tuple[int, int]]:
+    """K-way position-merge across per-sample batches: yields
+    (sample_index, read_index) in position order (reference:
+    input_stream_handler, blt_util/input_stream_handler.hpp:105)."""
+    order = []
+    for si, b in enumerate(batches):
+        for i in range(b.n):
+            order.append((int(b.pos[i]), si, i))
+    order.sort(key=lambda t: (t[0], t[1]))
+    return [(si, i) for (_pos, si, i) in order]
+
+
+def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
+                     scanner: SVScanner, graph_opt: SVLocusSetOptions,
+                     regions: list[tuple[int, int, int]], fasta,
+                     chrom_depths: dict[str, float] | None = None,
+                     max_depth_factor: float = 12.0) -> SVLocusSet:
+    """Run phase-1 graph construction over the given scan regions
+    (reference: EstimateSVLociRunner.cpp:53-110)."""
+    readers = [BamReader(p) for p in bam_paths]
+    names = readers[0].header.ref_names
+    lengths = readers[0].header.ref_lengths
+    locus_set = SVLocusSet(graph_opt, names, lengths, len(bam_paths))
+
+    for (tid, beg, end) in regions:
+        chrom = names[tid]
+        ref_off = max(0, beg - 500)
+        refseq = fasta.fetch_arr(chrom, ref_off, end + 500)
+        max_depth = None
+        if chrom_depths is not None and chrom in chrom_depths:
+            max_depth = chrom_depths[chrom] * max_depth_factor
+        finder = SVLocusSetFinder(
+            scanner, locus_set, tid, beg, end, is_tumor,
+            max_depth=max_depth, refseq=refseq, ref_offset=ref_off)
+        batches = []
+        for r in readers:
+            b = r.fetch(tid, beg, end)
+            if b.n:
+                keep = (b.pos >= beg) & (b.pos < end)
+                b = b.subset(keep)
+            batches.append(b)
+        # interleave samples by position (the reference's k-way merge order)
+        _run_merged(finder, batches, merge_sorted_batches(batches))
+        finder.flush()
+    return locus_set
+
+
+def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
+                order: list[tuple[int, int]]):
+    """Process a position-merged multi-sample stream."""
+    # Precompute per-sample vectorized filters once
+    sas = [has_sa_tag(b) for b in batches]
+    core_bads = [is_read_unmapped_or_filtered_core(b, s)
+                 for b, s in zip(batches, sas)]
+    min_mapq = finder.scanner.opt.min_mapq
+    ev_masks = []
+    for si, b in enumerate(batches):
+        survivors = ~core_bads[si] & (b.mapq >= min_mapq)
+        ev = np.zeros(b.n, dtype=bool)
+        if survivors.any():
+            sub = finder.scanner.sv_evidence_mask(
+                b.subset(survivors), si, finder.refseq, finder.ref_offset,
+                sa=sas[si][survivors])
+            ev[np.flatnonzero(survivors)] = sub
+        ev_masks.append(ev)
+
+    for (si, i) in order:
+        b = batches[si]
+        counts = finder.counts[si]
+        counts.total += 1
+        if core_bads[si][i]:
+            continue
+        pos = int(b.pos[i])
+        if not finder.is_tumor[si] and finder.max_depth is not None:
+            finder.depth.inc(pos, b.read_len(i))
+        if finder.max_depth is not None and \
+                finder.depth.val(pos) > finder.max_depth:
+            continue
+        if b.mapq[i] < min_mapq:
+            counts.min_mapq += 1
+            continue
+        if not ev_masks[si][i]:
+            counts.ignored += 1
+            continue
+        counts.evidence += 1
+        if not (finder.beg <= pos < finder.end):
+            continue
+        finder._handle_new_pos(pos)
+        loci_data = finder.scanner.get_read_loci_data(
+            b, i, si, finder.refseq, finder.ref_offset)
+        for (bp1, bp2, w1, w2, ev_range, is_complex) in loci_data:
+            locus = SVLocus()
+            n1 = locus.add_node(bp1.interval.tid, bp1.interval.beg,
+                                bp1.interval.end)
+            locus.set_node_evidence(n1, ev_range[0], ev_range[1])
+            if is_complex:
+                locus.link_nodes(n1, n1, w1)
+            else:
+                n2 = locus.add_node(bp2.interval.tid, bp2.interval.beg,
+                                    bp2.interval.end)
+                locus.link_nodes(n1, n2, w1, w2)
+                locus.merge_self_overlap()
+            if not locus.empty():
+                finder.locus_set.merge_locus(locus)
