@@ -1,0 +1,534 @@
+// manta_tpu native core: affine-gap SWG aligners with jump/large-indel
+// states, exact integer DP with deterministic tie-breaking.
+//
+// Behavioral parity targets (reference, studied not copied):
+//   - GlobalAligner          (alignment/GlobalAlignerImpl.hpp)
+//   - GlobalJumpAligner      (alignment/GlobalJumpAlignerImpl.hpp)
+//   - GlobalLargeIndelAligner(alignment/GlobalLargeIndelAlignerImpl.hpp)
+//
+// Design: flat row-state score vectors (two rolling rows), one packed
+// pointer byte per (state) per cell, C ABI for ctypes binding. Paths are
+// emitted as BAM cigar op codes (M=0, I=1, D=2, S=4).
+//
+// Build: g++ -O3 -shared -fPIC -o libmanta_core.so manta_core.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int32_t BAD = -10000;
+
+enum State : uint8_t { ST_MATCH = 0, ST_DELETE = 1, ST_INSERT = 2, ST_JUMP = 3, ST_JUMPINS = 4 };
+
+// BAM cigar op codes for path output
+constexpr uint8_t OP_M = 0, OP_I = 1, OP_D = 2, OP_S = 4, OP_NONE = 255;
+
+struct Scores {
+  int32_t match, mismatch, open, extend, off_edge;
+  bool allow_edge_insertion;
+};
+
+struct Btrace {
+  int32_t max = 0;
+  uint8_t state = ST_MATCH;
+  int32_t qb = 0, rb = 0;
+  bool init = false;
+};
+
+inline void upd_btrace(Btrace& bt, int32_t v, int32_t r, int32_t q, uint8_t st = ST_MATCH) {
+  if (!bt.init || v > bt.max) {
+    bt.max = v; bt.rb = r; bt.qb = q; bt.init = true; bt.state = st;
+  }
+}
+
+// winner-takes-first tie-breaking: later candidates only win on strict >
+inline uint8_t best3(int32_t& out, int32_t v0, int32_t v1, int32_t v2) {
+  out = v0; uint8_t p = 0;
+  if (v1 > v0) { out = v1; p = 1; }
+  if (v2 > out) { out = v2; p = 2; }
+  return p;
+}
+inline uint8_t best4(int32_t& out, int32_t v0, int32_t v1, int32_t v2, int32_t v3) {
+  out = v0; uint8_t p = 0;
+  if (v1 > v0) { out = v1; p = 1; }
+  if (v2 > out) { out = v2; p = 2; }
+  if (v3 > out) { out = v3; p = 3; }
+  return p;
+}
+inline uint8_t best5(int32_t& out, int32_t v0, int32_t v1, int32_t v2, int32_t v3, int32_t v4) {
+  out = v0; uint8_t p = 0;
+  if (v1 > v0) { out = v1; p = 1; }
+  if (v2 > out) { out = v2; p = 2; }
+  if (v3 > out) { out = v3; p = 3; }
+  if (v4 > out) { out = v4; p = 4; }
+  return p;
+}
+
+// incremental path builder replicating the updatePath/ps mechanics
+struct PathBuilder {
+  std::vector<uint8_t> ops;
+  std::vector<int32_t> lens;
+  uint8_t cur_op = OP_NONE;
+  int32_t cur_len = 0;
+
+  void switch_op(uint8_t op) {
+    if (cur_op == op) return;
+    if (cur_op != OP_NONE) { ops.push_back(cur_op); lens.push_back(cur_len); }
+    cur_op = op;
+    cur_len = 0;
+  }
+  void bump() { cur_len++; }
+  void flush() {
+    if (cur_op != OP_NONE) { ops.push_back(cur_op); lens.push_back(cur_len); }
+    cur_op = OP_NONE; cur_len = 0;
+  }
+  void push_direct(uint8_t op, int32_t len) { ops.push_back(op); lens.push_back(len); }
+  void reverse() {
+    std::reverse(ops.begin(), ops.end());
+    std::reverse(lens.begin(), lens.end());
+  }
+};
+
+inline int emit_path(const PathBuilder& pb, uint8_t* out_ops, int32_t* out_lens,
+                     int32_t* out_n, int32_t cap) {
+  int n = (int)pb.ops.size();
+  if (n > cap) return -1;
+  for (int i = 0; i < n; i++) { out_ops[i] = pb.ops[i]; out_lens[i] = pb.lens[i]; }
+  *out_n = n;
+  return 0;
+}
+
+// pointer matrix entry: one byte per state per cell
+struct PtrMat {
+  std::vector<uint8_t> data;  // (nq+1) * (nr+1) * n_states
+  int stride_q, n_states;
+  void init(int nq, int nr, int states) {
+    n_states = states;
+    stride_q = states;
+    data.assign((size_t)(nq + 1) * (nr + 1) * states, 0);
+  }
+  inline uint8_t* at(int q, int r) {
+    return &data[((size_t)r * 0 + 0)];  // overwritten below
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Global aligner (single reference, M/D/I states)
+
+extern "C" int mt_align_global(
+    const char* query, int32_t nq, const char* ref, int32_t nr,
+    int32_t s_match, int32_t s_mismatch, int32_t s_open, int32_t s_extend,
+    int32_t s_off_edge, int32_t allow_edge_ins,
+    int32_t* out_score, int32_t* out_begin,
+    uint8_t* out_ops, int32_t* out_lens, int32_t* out_n, int32_t cap) {
+  if (nq <= 0 || nr <= 0) return -2;
+  const Scores sc{s_match, s_mismatch, s_open, s_extend, s_off_edge,
+                  allow_edge_ins != 0};
+
+  std::vector<int32_t> m0(nq + 1), d0(nq + 1), i0(nq + 1);
+  std::vector<int32_t> m1(nq + 1), d1(nq + 1), i1(nq + 1);
+  int32_t *pm = m0.data(), *pd = d0.data(), *pi = i0.data();
+  int32_t *cm = m1.data(), *cd = d1.data(), *ci = i1.data();
+
+  // ptr codes: per cell, 3 states x 2 bits packed into one byte
+  std::vector<uint8_t> ptr((size_t)(nq + 1) * (nr + 1));
+  auto P = [&](int q, int r) -> uint8_t& { return ptr[(size_t)r * (nq + 1) + q]; };
+  auto pack = [](uint8_t pm_, uint8_t pd_, uint8_t pi_) -> uint8_t {
+    return (uint8_t)(pm_ | (pd_ << 2) | (pi_ << 4));
+  };
+  auto get_state_ptr = [&](uint8_t packed, uint8_t state) -> uint8_t {
+    switch (state) {
+      case ST_MATCH: return packed & 3;
+      case ST_DELETE: return (packed >> 2) & 3;
+      default: return (packed >> 4) & 3;
+    }
+  };
+
+  for (int q = 0; q <= nq; q++) {
+    cm[q] = q * sc.off_edge;
+    cd[q] = BAD;
+    if (!sc.allow_edge_insertion) {
+      ci[q] = BAD;
+      P(q, 0) = pack(ST_MATCH, ST_MATCH, ST_MATCH);
+    } else {
+      ci[q] = sc.open + q * sc.extend;
+      P(q, 0) = pack(ST_MATCH, ST_MATCH, ST_INSERT);
+    }
+  }
+
+  Btrace bt;
+  for (int r = 0; r < nr; r++) {
+    std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi);
+    cm[0] = 0; cd[0] = BAD; ci[0] = BAD;
+    P(0, r + 1) = pack(ST_MATCH, ST_MATCH, ST_MATCH);
+    const char rc = ref[r];
+    for (int q = 0; q < nq; q++) {
+      int32_t vm, vd, vi;
+      uint8_t ptm = best3(vm, pm[q], pd[q], pi[q]);
+      vm += (query[q] == rc ? sc.match : sc.mismatch);
+      uint8_t ptd = best3(vd, pm[q + 1] + sc.open, pd[q + 1], pi[q + 1]);
+      vd += sc.extend;
+      if (q == 0) vd = BAD;
+      uint8_t pti = best3(vi, cm[q] + sc.open, BAD, ci[q]);
+      vi += sc.extend;
+      if (q == 0) vi = BAD;
+      cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi;
+      P(q + 1, r + 1) = pack(ptm, ptd, pti);
+    }
+    upd_btrace(bt, cm[nq], r + 1, nq);
+  }
+  if (sc.allow_edge_insertion) upd_btrace(bt, ci[nq], nr, nq, ST_INSERT);
+  for (int q = 0; q < nq; q++) {
+    upd_btrace(bt, cm[q] + (nq - q) * sc.off_edge, nr, q);
+  }
+
+  // backtrace
+  *out_score = bt.max;
+  PathBuilder pb;
+  if (bt.qb < nq) { pb.cur_op = OP_S; pb.cur_len = nq - bt.qb; }
+  int q = bt.qb, r = bt.rb;
+  uint8_t st = bt.state;
+  while (true) {
+    uint8_t next = get_state_ptr(P(q, r), st);
+    if (st == ST_MATCH) {
+      if (q < 1 || r < 1) break;
+      pb.switch_op(OP_M); q--; r--;
+    } else if (st == ST_DELETE) {
+      if (r < 1) break;
+      pb.switch_op(OP_D); r--;
+    } else {  // INSERT
+      if (q < 1) break;
+      pb.switch_op(OP_I); q--;
+    }
+    st = next;
+    pb.bump();
+  }
+  pb.flush();
+  if (q != 0) pb.push_direct(OP_S, q);
+  *out_begin = r;
+  pb.reverse();
+  return emit_path(pb, out_ops, out_lens, out_n, cap);
+}
+
+// ---------------------------------------------------------------------------
+// Jump aligner (two references, M/D/I/J states)
+
+extern "C" int mt_align_jump(
+    const char* query, int32_t nq,
+    const char* ref1, int32_t nr1, const char* ref2, int32_t nr2,
+    int32_t s_match, int32_t s_mismatch, int32_t s_open, int32_t s_extend,
+    int32_t s_off_edge, int32_t jump_score,
+    int32_t* out_score,
+    int32_t* out_begin1, uint8_t* out_ops1, int32_t* out_lens1, int32_t* out_n1,
+    int32_t* out_begin2, uint8_t* out_ops2, int32_t* out_lens2, int32_t* out_n2,
+    int32_t* out_jump_ins, int32_t* out_jump_range, int32_t cap) {
+  if (nq <= 0 || nr1 <= 0 || nr2 <= 0) return -2;
+  const int32_t jmp = jump_score;
+
+  std::vector<int32_t> m0(nq + 1), d0(nq + 1), i0(nq + 1), j0(nq + 1);
+  std::vector<int32_t> m1(nq + 1), d1(nq + 1), i1(nq + 1), j1(nq + 1);
+  int32_t *pm = m0.data(), *pd = d0.data(), *pi = i0.data(), *pj = j0.data();
+  int32_t *cm = m1.data(), *cd = d1.data(), *ci = i1.data(), *cj = j1.data();
+
+  // pointer codes: 4 states x 2 bits per cell, one byte
+  std::vector<uint8_t> ptr1((size_t)(nq + 1) * (nr1 + 1));
+  std::vector<uint8_t> ptr2((size_t)(nq + 1) * (nr2 + 1));
+  auto pack = [](uint8_t a, uint8_t b, uint8_t c, uint8_t d) -> uint8_t {
+    return (uint8_t)(a | (b << 2) | (c << 4) | (d << 6));
+  };
+  auto get_ptr = [](uint8_t packed, uint8_t state) -> uint8_t {
+    switch (state) {
+      case ST_MATCH: return packed & 3;
+      case ST_DELETE: return (packed >> 2) & 3;
+      case ST_INSERT: return (packed >> 4) & 3;
+      default: return (packed >> 6) & 3;
+    }
+  };
+
+  for (int q = 0; q <= nq; q++) {
+    cm[q] = q * s_off_edge;
+    cd[q] = BAD; ci[q] = BAD; cj[q] = BAD;
+    ptr1[q] = pack(ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH);
+    ptr2[q] = pack(ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH);
+  }
+
+  Btrace bt;
+  // --- ref1 phase
+  for (int r = 0; r < nr1; r++) {
+    std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi); std::swap(cj, pj);
+    cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cj[0] = BAD;
+    ptr1[(size_t)(r + 1) * (nq + 1)] = pack(ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH);
+    const char rc = ref1[r];
+    for (int q = 0; q < nq; q++) {
+      int32_t vm, vd, vi, vj;
+      uint8_t ptm = best3(vm, pm[q], pd[q], pi[q]);
+      vm += (query[q] == rc ? s_match : s_mismatch);
+      uint8_t ptd = best3(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1]);
+      vd += s_extend;
+      if (q == 0) vd = BAD;
+      uint8_t pti = best3(vi, cm[q] + s_open, BAD, ci[q]);
+      vi += s_extend;
+      if (q == 0) vi = BAD;
+      // jump from this cell's completed match/ins scores, or carried jump
+      uint8_t ptj = best4(vj, vm + jmp, BAD, vi + jmp, pj[q + 1]);
+      cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cj[q + 1] = vj;
+      ptr1[(size_t)(r + 1) * (nq + 1) + q + 1] = pack(ptm, ptd, pti, ptj);
+    }
+    upd_btrace(bt, cm[nq], r + 1, nq);
+  }
+  for (int q = 0; q < nq; q++) {
+    upd_btrace(bt, cm[q] + (nq - q) * s_off_edge, nr1, q);
+  }
+
+  // --- reset match/del/ins for ref2, preserve jump
+  for (int q = 0; q <= nq; q++) {
+    cm[q] = q * s_off_edge;
+    cd[q] = BAD; ci[q] = BAD;
+  }
+
+  // --- ref2 phase
+  for (int r = 0; r < nr2; r++) {
+    std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi); std::swap(cj, pj);
+    cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cj[0] = BAD;
+    ptr2[(size_t)(r + 1) * (nq + 1)] = pack(ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH);
+    const char rc = ref2[r];
+    for (int q = 0; q < nq; q++) {
+      int32_t vm, vd, vi, vj;
+      uint8_t ptm = best4(vm, pm[q], pd[q], pi[q], pj[q]);
+      vm += (query[q] == rc ? s_match : s_mismatch);
+      uint8_t ptd = best3(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1]);
+      vd += s_extend;
+      // jump->ins transition skips the gap-open penalty (breakend insertions)
+      uint8_t pti = best4(vi, cm[q] + s_open, BAD, ci[q], cj[q]);
+      vi += s_extend;
+      // jump carries across ref2 columns unchanged
+      vj = pj[q + 1];
+      uint8_t ptj = ST_JUMP;
+      cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cj[q + 1] = vj;
+      ptr2[(size_t)(r + 1) * (nq + 1) + q + 1] = pack(ptm, ptd, pti, ptj);
+    }
+    upd_btrace(bt, cm[nq], nr1 + r + 1, nq);
+  }
+  for (int q = 0; q < nq; q++) {
+    upd_btrace(bt, cm[q] + (nq - q) * s_off_edge, nr1 + nr2, q);
+  }
+
+  // --- backtrace
+  *out_score = bt.max;
+  *out_jump_ins = 0;
+  *out_jump_range = 0;
+  PathBuilder pb1, pb2;
+  PathBuilder* pb = nullptr;
+  // emulate the shared running-segment across both paths
+  uint8_t cur_op = OP_NONE;
+  int32_t cur_len = 0;
+  int32_t begin1 = 0, begin2 = 0;
+  bool begin2_set = false;
+
+  if (bt.qb < nq) { cur_op = OP_S; cur_len = nq - bt.qb; }
+  int q = bt.qb, r = bt.rb;
+  uint8_t st = bt.state;
+  bool is_ref2_end = false;
+
+  auto switch_seg = [&](PathBuilder& target, uint8_t op) {
+    if (cur_op == op) return;
+    if (cur_op != OP_NONE) { target.push_direct(cur_op, cur_len); }
+    cur_op = op; cur_len = 0;
+  };
+
+  while (q > 0 && r > 0) {
+    if (is_ref2_end) break;
+    const bool is_ref1 = (r <= nr1);
+    PathBuilder& apath = is_ref1 ? pb1 : pb2;
+    const int rx = r - (is_ref1 ? 0 : nr1);
+    const uint8_t packed = is_ref1 ? ptr1[(size_t)rx * (nq + 1) + q]
+                                   : ptr2[(size_t)rx * (nq + 1) + q];
+    const uint8_t next = get_ptr(packed, st);
+
+    if (st == ST_MATCH) {
+      if (!is_ref1 && rx == 1 && next == ST_MATCH) is_ref2_end = true;
+      switch_seg(apath, OP_M); q--; r--;
+    } else if (st == ST_DELETE) {
+      switch_seg(apath, OP_D); r--;
+    } else if (st == ST_INSERT) {
+      switch_seg(apath, OP_I); q--;
+    } else {  // JUMP
+      if (cur_op != OP_NONE) {
+        begin2 = r - nr1;
+        begin2_set = true;
+        if (cur_op == OP_I) {
+          *out_jump_ins += cur_len;
+          cur_op = OP_NONE; cur_len = 0;
+        } else {
+          pb2.push_direct(cur_op, cur_len);
+          cur_op = OP_NONE; cur_len = 0;
+        }
+      } else {
+        if (next == ST_JUMP) r--;
+      }
+    }
+    st = next;
+    cur_len++;
+  }
+
+  {
+    const bool is_ref1 = (r < nr1);
+    PathBuilder& apath = is_ref1 ? pb1 : pb2;
+    if (cur_op != OP_NONE) apath.push_direct(cur_op, cur_len);
+    if (q != 0) apath.push_direct(OP_S, q);
+    if (is_ref1) begin1 = r;
+    else { begin2 = r - nr1; begin2_set = true; }
+  }
+  (void)begin2_set;
+
+  pb1.reverse();
+  pb2.reverse();
+  *out_begin1 = begin1;
+  *out_begin2 = begin2;
+
+  // jumpRange: distance over which the breakpoint could shift right with
+  // equal score (breakend homology)
+  if (!pb1.ops.empty() && !pb2.ops.empty()) {
+    int64_t ref1_len_used = 0, read1_len_used = 0, ref2_len_used = 0;
+    for (size_t k = 0; k < pb1.ops.size(); k++) {
+      if (pb1.ops[k] == OP_M || pb1.ops[k] == OP_D) ref1_len_used += pb1.lens[k];
+      if (pb1.ops[k] == OP_M || pb1.ops[k] == OP_I || pb1.ops[k] == OP_S)
+        read1_len_used += pb1.lens[k];
+    }
+    (void)ref2_len_used;
+    int64_t r1 = begin1 + ref1_len_used;
+    int64_t r2 = begin2;
+    int64_t qk = read1_len_used;
+    int32_t jic = *out_jump_ins;
+    while (true) {
+      if (r1 >= nr1) break;
+      if (jic > 0) {
+        if (qk >= nq) break;
+        if (ref1[r1] != query[qk]) break;
+      } else {
+        if (r2 >= nr2) break;
+        if (ref1[r1] != ref2[r2]) break;
+      }
+      (*out_jump_range)++;
+      r1++;
+      if (jic > 0) { jic--; qk++; } else { r2++; }
+    }
+  }
+
+  int rc1 = emit_path(pb1, out_ops1, out_lens1, out_n1, cap);
+  int rc2 = emit_path(pb2, out_ops2, out_lens2, out_n2, cap);
+  return (rc1 < 0 || rc2 < 0) ? -1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Large-indel aligner (single ref; adds unpenalized-length jumpDel/jumpIns
+// states entered at largeIndelScore)
+
+extern "C" int mt_align_large_indel(
+    const char* query, int32_t nq, const char* ref, int32_t nr,
+    int32_t s_match, int32_t s_mismatch, int32_t s_open, int32_t s_extend,
+    int32_t s_off_edge, int32_t allow_edge_ins, int32_t large_indel_score,
+    int32_t* out_score, int32_t* out_begin, int32_t* out_is_jumped,
+    uint8_t* out_ops, int32_t* out_lens, int32_t* out_n, int32_t cap) {
+  if (nq <= 0 || nr <= 0) return -2;
+  const int32_t lis = large_indel_score;
+  const bool edge_ins = allow_edge_ins != 0;
+
+  std::vector<int32_t> m0(nq + 1), d0(nq + 1), i0(nq + 1), jd0(nq + 1), ji0(nq + 1);
+  std::vector<int32_t> m1(nq + 1), d1(nq + 1), i1(nq + 1), jd1(nq + 1), ji1(nq + 1);
+  int32_t *pm = m0.data(), *pd = d0.data(), *pi = i0.data(), *pjd = jd0.data(), *pji = ji0.data();
+  int32_t *cm = m1.data(), *cd = d1.data(), *ci = i1.data(), *cjd = jd1.data(), *cji = ji1.data();
+
+  // 5 states x 3 bits -> use 2 bytes per cell
+  std::vector<uint16_t> ptr((size_t)(nq + 1) * (nr + 1));
+  auto pack = [](uint8_t a, uint8_t b, uint8_t c, uint8_t d, uint8_t e) -> uint16_t {
+    return (uint16_t)(a | (b << 3) | (c << 6) | (d << 9) | (e << 12));
+  };
+  auto get_ptr = [](uint16_t packed, uint8_t state) -> uint8_t {
+    switch (state) {
+      case ST_MATCH: return packed & 7;
+      case ST_DELETE: return (packed >> 3) & 7;
+      case ST_INSERT: return (packed >> 6) & 7;
+      case ST_JUMP: return (packed >> 9) & 7;
+      default: return (packed >> 12) & 7;
+    }
+  };
+
+  for (int q = 0; q <= nq; q++) {
+    cm[q] = q * s_off_edge;
+    cd[q] = BAD;
+    cjd[q] = BAD; cji[q] = BAD;
+    if (!edge_ins) {
+      ci[q] = BAD;
+      ptr[q] = pack(ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH);
+    } else {
+      ci[q] = s_open + q * s_extend;
+      ptr[q] = pack(ST_MATCH, ST_MATCH, ST_INSERT, ST_MATCH, ST_MATCH);
+    }
+  }
+
+  Btrace bt;
+  for (int r = 0; r < nr; r++) {
+    std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi);
+    std::swap(cjd, pjd); std::swap(cji, pji);
+    cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cjd[0] = BAD; cji[0] = BAD;
+    ptr[(size_t)(r + 1) * (nq + 1)] = pack(ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH, ST_MATCH);
+    const char rc = ref[r];
+    for (int q = 0; q < nq; q++) {
+      int32_t vm, vd, vi, vjd, vji;
+      uint8_t ptm = best5(vm, pm[q], pd[q], pi[q], pjd[q], pji[q]);
+      vm += (query[q] == rc ? s_match : s_mismatch);
+      uint8_t ptd = best5(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1], BAD, pji[q + 1]);
+      vd += s_extend;
+      if (q == 0) vd = BAD;
+      uint8_t pti = best5(vi, cm[q] + s_open, BAD, ci[q], BAD, BAD);
+      vi += s_extend;
+      if (q == 0) vi = BAD;
+      uint8_t ptjd = best5(vjd, pm[q + 1] + lis, BAD, pi[q + 1] + lis - s_open,
+                           pjd[q + 1], pji[q + 1] + lis);
+      if (q == 0) vjd = BAD;
+      uint8_t ptji = best5(vji, cm[q] + lis, BAD, BAD, BAD, cji[q]);
+      if (q == 0) vji = BAD;
+      cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cjd[q + 1] = vjd; cji[q + 1] = vji;
+      ptr[(size_t)(r + 1) * (nq + 1) + q + 1] = pack(ptm, ptd, pti, ptjd, ptji);
+    }
+    upd_btrace(bt, cm[nq], r + 1, nq);
+  }
+  if (edge_ins) upd_btrace(bt, ci[nq], nr, nq, ST_INSERT);
+  for (int q = 0; q <= nq; q++) {
+    upd_btrace(bt, cm[q] + (nq - q) * s_off_edge, nr, q);
+  }
+
+  *out_score = bt.max;
+  *out_is_jumped = 0;
+  PathBuilder pb;
+  if (bt.qb < nq) { pb.cur_op = OP_S; pb.cur_len = nq - bt.qb; }
+  int q = bt.qb, r = bt.rb;
+  uint8_t st = bt.state;
+  while (true) {
+    const uint8_t next = get_ptr(ptr[(size_t)r * (nq + 1) + q], st);
+    if (st == ST_MATCH) {
+      if (q < 1 || r < 1) break;
+      pb.switch_op(OP_M); q--; r--;
+    } else if (st == ST_DELETE || st == ST_JUMP) {
+      if (r < 1) break;
+      pb.switch_op(OP_D); r--;
+    } else {  // INSERT / JUMPINS
+      if (q < 1) break;
+      pb.switch_op(OP_I); q--;
+    }
+    if (st == ST_JUMP || st == ST_JUMPINS) *out_is_jumped = 1;
+    st = next;
+    pb.bump();
+  }
+  pb.flush();
+  if (q != 0) pb.push_direct(OP_S, q);
+  *out_begin = r;
+  pb.reverse();
+  return emit_path(pb, out_ops, out_lens, out_n, cap);
+}
