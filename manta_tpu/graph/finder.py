@@ -54,16 +54,27 @@ class DepthBuffer:
 @dataclass
 class SampleCounts:
     """Per-sample input/evidence statistics (observability parity with
-    SampleReadInputCounts / SampleEvidenceCounts)."""
+    SampleReadInputCounts / SampleEvidenceCounts; used downstream for
+    candidate noise rates, SVFinder.cpp:39-62)."""
     total: int = 0
     min_mapq: int = 0
     not_filtered: int = 0
     evidence: int = 0
     anom: int = 0
     split: int = 0
+    anom_and_split: int = 0
     indel: int = 0
     assm: int = 0
     ignored: int = 0
+
+    def to_dict(self):
+        return self.__dict__.copy()
+
+    @classmethod
+    def from_dict(cls, d):
+        c = cls()
+        c.__dict__.update(d)
+        return c
 
 
 class SVLocusSetFinder:
@@ -185,6 +196,10 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
         # interleave samples by position (the reference's k-way merge order)
         _run_merged(finder, batches, merge_sorted_batches(batches))
         finder.flush()
+        for si, c in enumerate(finder.counts):
+            merged = locus_set.sample_counts[si]
+            for k, v in c.to_dict().items():
+                merged[k] = merged.get(k, 0) + v
     return locus_set
 
 
@@ -197,20 +212,32 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
                  for b, s in zip(batches, sas)]
     min_mapq = finder.scanner.opt.min_mapq
     ev_masks = []
+    type_masks = []
     for si, b in enumerate(batches):
         survivors = ~core_bads[si] & (b.mapq >= min_mapq)
         ev = np.zeros(b.n, dtype=bool)
+        tm = None
         if survivors.any():
-            sub = finder.scanner.sv_evidence_mask(
+            masks = finder.scanner.sv_evidence_masks(
                 b.subset(survivors), si, finder.refseq, finder.ref_offset,
                 sa=sas[si][survivors])
-            ev[np.flatnonzero(survivors)] = sub
+            idx = np.flatnonzero(survivors)
+            ev[idx] = masks["evidence"]
+            tm = {}
+            for k in ("anom", "split", "indel", "assm"):
+                full = np.zeros(b.n, dtype=bool)
+                full[idx] = masks[k]
+                tm[k] = full
+        type_masks.append(tm)
         ev_masks.append(ev)
+
+    supplementary = [
+        ((b.flag & 0x800) != 0) | (((b.flag & 0x100) != 0) & sas[si])
+        for si, b in enumerate(batches)]
 
     for (si, i) in order:
         b = batches[si]
         counts = finder.counts[si]
-        counts.total += 1
         if core_bads[si][i]:
             continue
         pos = int(b.pos[i])
@@ -222,6 +249,22 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
         if b.mapq[i] < min_mapq:
             counts.min_mapq += 1
             continue
+        # evidence-count statistics (SVLocusScanner.cpp:1457-1479):
+        # supplemental split segments are excluded from "normal" counts
+        tm = type_masks[si]
+        if not supplementary[si][i]:
+            counts.total += 1
+            if tm is not None:
+                if tm["anom"][i]:
+                    counts.anom += 1
+                if tm["split"][i]:
+                    counts.split += 1
+                if tm["anom"][i] and tm["split"][i]:
+                    counts.anom_and_split += 1
+                if tm["indel"][i]:
+                    counts.indel += 1
+                if tm["assm"][i]:
+                    counts.assm += 1
         if not ev_masks[si][i]:
             counts.ignored += 1
             continue

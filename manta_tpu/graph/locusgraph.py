@@ -368,6 +368,9 @@ class SVLocusSet:
         self.is_max_search_count = False
         self.is_max_search_density = False
         self.sample_count = sample_count
+        # per-sample evidence-count stats (plain dicts; see
+        # finder.SampleCounts) used for phase-2 noise rates
+        self.sample_counts: list[dict] = [{} for _ in range(sample_count)]
         self._merge_regions = [_RegionSum() for _ in range(4)]
 
     # ------------------------------------------------------------------
@@ -859,6 +862,7 @@ class SVLocusSet:
                 "is_max_search_count": self.is_max_search_count,
                 "is_max_search_density": self.is_max_search_density,
                 "sample_count": self.sample_count,
+                "sample_counts": self.sample_counts,
             }).encode(), np.uint8),
         )
 
@@ -875,6 +879,8 @@ class SVLocusSet:
         out.highest_search_density = meta["highest_search_density"]
         out.is_max_search_count = meta["is_max_search_count"]
         out.is_max_search_density = meta["is_max_search_density"]
+        out.sample_counts = meta.get("sample_counts",
+                                     [{} for _ in range(out.sample_count)])
         nodes = data["nodes"]
         edges = data["edges"]
         ni = ei = 0

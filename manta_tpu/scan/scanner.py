@@ -233,19 +233,31 @@ class SVScanner:
     def sv_evidence_mask(self, batch: ReadBatch, rg: int, refseq: np.ndarray,
                          ref_offset: int, sa: np.ndarray | None = None) -> np.ndarray:
         """Fast pre-filter isSVEvidence (SVLocusScanner.cpp:1437-1483)."""
+        return self.sv_evidence_masks(batch, rg, refseq, ref_offset, sa)["evidence"]
+
+    def sv_evidence_masks(self, batch: ReadBatch, rg: int, refseq: np.ndarray,
+                          ref_offset: int, sa: np.ndarray | None = None) -> dict:
+        """isSVEvidence with per-type component masks, for evidence-count
+        statistics (SVLocusScanner.cpp:1437-1483). The assm (semi-aligned)
+        mask is computed for all reads not already accepted by a cheaper
+        test AND all non-split reads, matching the reference's isAssm
+        definition."""
         if sa is None:
             sa = has_sa_tag(batch)
         anom = self.non_compressed_anomalous_mask(batch, rg)
         indel = self.local_indel_mask(batch)
-        out = anom | sa | indel
+        assm = np.zeros(batch.n, dtype=bool)
         if self.opt.is_small_candidates:
-            rest = np.flatnonzero(~out & ~sa)
-            for i in rest:
-                lead, _, trail, _ = self.semi_aligned_lengths(batch, int(i), refseq, ref_offset)
+            for i in np.flatnonzero(~sa):
+                lead, _, trail, _ = self.semi_aligned_lengths(
+                    batch, int(i), refseq, ref_offset)
                 if lead >= self.opt.min_semi_aligned_mismatch_len or \
                         trail >= self.opt.min_semi_aligned_mismatch_len:
-                    out[i] = True
-        return out
+                    assm[i] = True
+        return {
+            "evidence": anom | sa | indel | assm,
+            "anom": anom, "split": sa, "indel": indel, "assm": assm,
+        }
 
     # ------------------------------------------------------------------
     # semi-aligned edge detection
