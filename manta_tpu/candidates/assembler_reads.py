@@ -1,0 +1,330 @@
+"""Breakend read gathering for local assembly.
+
+Behavioral parity with the reference SVCandidateAssembler
+(reference: src/c++/lib/manta/SVCandidateAssembler.cpp): search-range
+expansion to >=400b, indel/semi-aligned/shadow read selection with
+low-quality base N-masking and strand normalization, remote MAPQ0 mate
+retrieval for large-insertion assembly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..assembly.assembler import AssemblerOptions, run_iterative_assembler
+from ..core import cigar as cg
+from ..core.readfilter import is_read_filtered_core, has_sa_tag
+from ..core.svmodel import BND_LEFT_OPEN, BND_RIGHT_OPEN, SVBreakend
+from ..io.bam import (
+    C_D, C_I, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
+    FLAG_READ2, FLAG_REVERSE, FLAG_UNMAPPED,
+)
+from ..scan.scanner import SVScanner, get_alignment
+
+_COMP = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def revcomp(s: str) -> str:
+    return s.encode().translate(_COMP)[::-1].decode()
+
+
+@dataclass
+class RemoteReadInfo:
+    """(reference: RemoteMateReadUtil.hpp RemoteReadInfo)."""
+    qname: str
+    read_no: int   # the MATE's read number (to search for)
+    tid: int
+    pos: int
+    local_pos: int
+    read_size: int
+    is_local_fwd: bool
+    is_found: bool = False
+    is_used: bool = False
+
+
+class BreakendReadAssembler:
+    """Gathers reads around breakends and runs the iterative assembler."""
+
+    MAX_NUM_READS = 1000
+
+    def __init__(self, scanner: SVScanner, readers, is_tumor: list[bool],
+                 assemble_opt: AssemblerOptions,
+                 chrom_depths: dict | None = None,
+                 max_depth_factor: float = 12.0,
+                 max_remote_depth_factor: float = 7.0):
+        self.scanner = scanner
+        self.readers = readers
+        self.is_tumor = is_tumor
+        self.opt = assemble_opt
+        self.chrom_depths = chrom_depths
+        self.max_depth_factor = max_depth_factor
+        self.max_remote_depth_factor = max_remote_depth_factor
+
+    def _insert_read(self, read_key: str, seq: str, qual: np.ndarray,
+                     is_reversed: bool, read_index: dict, reads: list) -> bool:
+        """(reference: insertAssemblyRead:75-106)."""
+        if read_key in read_index:
+            return False
+        read_index[read_key] = len(reads)
+        masked = "".join(
+            "N" if q < self.opt.min_qval else c for c, q in zip(seq, qual))
+        if is_reversed:
+            masked = revcomp(masked)
+        reads.append(masked)
+        return True
+
+    def get_breakend_reads(self, bp: SVBreakend, is_locus_reversed: bool,
+                           refseq: np.ndarray, ref_offset: int,
+                           search_remote_insertion: bool,
+                           remote_read_cache: dict,
+                           read_index: dict, reads: list):
+        """(reference: getBreakendReads:230-585)."""
+        beg, end = bp.interval.beg, bp.interval.end
+        if end - beg < 400:
+            missing = 400 - (end - beg)
+            wobble = missing // 2
+            sbeg = max(beg - wobble, 0)
+            send = end + wobble
+        else:
+            sbeg, send = beg, end
+        left_flank = (sbeg, beg)
+        right_flank = (end, send)
+
+        min_assemble_indel = self.scanner.opt.min_candidate_variant_size // 2
+        search_right_open = bp.state != BND_LEFT_OPEN
+        search_left_open = bp.state != BND_RIGHT_OPEN
+
+        tid = bp.interval.tid
+        chrom = self.scanner.chrom_names[tid]
+        max_depth = None
+        max_remote_depth = None
+        if self.chrom_depths is not None and chrom in self.chrom_depths:
+            max_depth = self.chrom_depths[chrom] * self.max_depth_factor
+            max_remote_depth = self.chrom_depths[chrom] * \
+                self.max_remote_depth_factor
+        depth = np.zeros(send - sbeg, np.int64) if max_depth is not None \
+            else None
+        remote_depth_triggered = False
+
+        remote_reads: list[list[RemoteReadInfo]] = [[] for _ in self.readers]
+
+        for bam_index, reader in enumerate(self.readers):
+            is_tumor = self.is_tumor[bam_index]
+            batch = reader.fetch(tid, sbeg, send)
+            if batch.n == 0:
+                continue
+            sa = has_sa_tag(batch)
+            core_bad = is_read_filtered_core(batch, sa)
+            order = np.argsort(batch.pos, kind="stable")
+            # shadow state
+            shadow_last_qname = None
+            shadow_last_mapq = 0
+            shadow_set = False
+            for oi in order:
+                i = int(oi)
+                if len(reads) >= self.MAX_NUM_READS:
+                    break
+                pos = int(batch.pos[i])
+                if pos >= send:
+                    break
+                if core_bad[i]:
+                    continue
+                flag = int(batch.flag[i])
+                unmapped = bool(flag & FLAG_UNMAPPED)
+                if max_depth is not None and not is_tumor and not unmapped:
+                    s = max(0, pos - sbeg)
+                    e = min(send - sbeg, pos - sbeg + batch.read_len(i))
+                    if e > s:
+                        depth[s:e] += 1
+                nss = bool(flag & 0x800) or (bool(flag & 0x100) and sa[i])
+                if nss:
+                    continue
+                if max_depth is not None:
+                    off = pos - sbeg
+                    if off >= 0:
+                        if depth[off] > max_remote_depth:
+                            remote_depth_triggered = True
+                        if depth[off] > max_depth:
+                            continue
+
+                al = get_alignment(batch, i)
+
+                if search_remote_insertion and not unmapped:
+                    if self._is_mate_insertion_candidate(batch, i):
+                        bam_range = self._matchify_ref_range(al)
+                        s_left = search_left_open and not (
+                            bam_range[1] > left_flank[0]
+                            and bam_range[0] < left_flank[1])
+                        s_right = search_right_open and not (
+                            bam_range[1] > right_flank[0]
+                            and bam_range[0] < right_flank[1])
+                        fwd = (flag & FLAG_REVERSE) == 0
+                        ok = not ((not s_left and not fwd)
+                                  or (not s_right and fwd))
+                        if ok:
+                            remote_reads[bam_index].append(RemoteReadInfo(
+                                qname=batch.name_str(i),
+                                read_no=2 if not (flag & FLAG_READ2) else 1,
+                                tid=int(batch.next_refid[i]),
+                                pos=int(batch.next_pos[i]),
+                                local_pos=pos,
+                                read_size=batch.read_len(i),
+                                is_local_fwd=fwd))
+
+                is_indel_keeper = False
+                if not unmapped:
+                    for o, l in zip(al.ops.tolist(), al.lens.tolist()):
+                        if o in (C_I, C_D):
+                            if l >= min_assemble_indel:
+                                is_indel_keeper = True
+                            break
+
+                is_semi_keeper = False
+                if not unmapped:
+                    lead, _, trail, _ = self.scanner.semi_aligned_lengths(
+                        batch, i, refseq, ref_offset)
+                    if search_right_open and trail >= 4:
+                        is_semi_keeper = True
+                    if search_left_open and lead >= 4:
+                        is_semi_keeper = True
+
+                # shadow check (reference: ShadowReadFinder::check) --
+                # any read consumes a pending anchor, valid shadow or not
+                is_shadow_keeper = False
+                if shadow_set:
+                    shadow_set = False
+                    if unmapped and not (flag & FLAG_MATE_UNMAPPED):
+                        qual = batch.qual_arr(i)
+                        avg_q = int(qual.sum()) // max(1, len(qual))
+                        if avg_q >= 25 and batch.name_str(i) == shadow_last_qname:
+                            is_shadow_keeper = True
+                if not is_shadow_keeper:
+                    # anchor check
+                    if (flag & FLAG_PAIRED) and not unmapped and \
+                            (flag & FLAG_MATE_UNMAPPED):
+                        fwd = (flag & FLAG_REVERSE) == 0
+                        ok = not ((not search_left_open and not fwd)
+                                  or (not search_right_open and fwd))
+                        if ok and batch.mapq[i] >= \
+                                self.scanner.opt.min_singleton_mapq_candidates:
+                            shadow_last_qname = batch.name_str(i)
+                            shadow_last_mapq = int(batch.mapq[i])
+                            shadow_set = True
+
+                if not (is_indel_keeper or is_semi_keeper or is_shadow_keeper):
+                    continue
+
+                is_reversed = is_locus_reversed
+                if is_shadow_keeper and ((flag & FLAG_MATE_REVERSE) == 0):
+                    is_reversed = not is_reversed
+                read_no = "2" if (flag & FLAG_READ2) else "1"
+                key = f"{batch.name_str(i)}_{read_no}_{bam_index}"
+                self._insert_read(key, batch.seq_str(i), batch.qual_arr(i),
+                                  is_reversed, read_index, reads)
+
+        # remote MAPQ0 mate retrieval
+        if search_remote_insertion and not remote_depth_triggered:
+            for bam_index, reader in enumerate(self.readers):
+                remotes = sorted(remote_reads[bam_index],
+                                 key=lambda r: (r.tid, r.pos))
+                for remote in remotes:
+                    if len(reads) >= self.MAX_NUM_READS:
+                        break
+                    if remote.tid < 0:
+                        continue
+                    rb = reader.fetch(remote.tid, remote.pos,
+                                      remote.pos + 2)
+                    for j in range(rb.n):
+                        fl = int(rb.flag[j])
+                        jnss = bool(fl & 0x800) or (
+                            bool(fl & 0x100)
+                            and rb.get_tag(j, b"SA") is not None)
+                        if jnss:
+                            continue
+                        jread_no = 2 if (fl & FLAG_READ2) else 1
+                        if jread_no != remote.read_no:
+                            continue
+                        if rb.name_str(j) != remote.qname:
+                            continue
+                        remote.is_found = True
+                        if rb.mapq[j] != 0:
+                            break
+                        is_reversed = is_locus_reversed
+                        if bool(fl & FLAG_REVERSE) == bool(fl & FLAG_MATE_REVERSE):
+                            is_reversed = not is_reversed
+                        key = f"{remote.qname}_{jread_no}_{bam_index}"
+                        if self._insert_read(key, rb.seq_str(j),
+                                             rb.qual_arr(j), is_reversed,
+                                             read_index, reads):
+                            remote_read_cache[remote.qname] = (
+                                jread_no, reads[-1])
+                            remote.is_used = True
+                        break
+        return
+
+    def _is_mate_insertion_candidate(self, batch, i) -> bool:
+        """(reference: RemoteMateReadUtil.cpp:29-45)."""
+        flag = int(batch.flag[i])
+        if not (flag & FLAG_PAIRED):
+            return False
+        sa = batch.get_tag(i, b"SA") is not None
+        if bool(flag & 0x800) or (bool(flag & 0x100) and sa):
+            return False
+        if flag & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED):
+            return False
+        if batch.mapq[i] < self.scanner.opt.min_mapq:
+            return False
+        if batch.refid[i] < 0 or batch.next_refid[i] < 0:
+            return False
+        if batch.refid[i] != batch.next_refid[i]:
+            return True
+        return abs(int(batch.pos[i]) - int(batch.next_pos[i])) >= 10000
+
+    @staticmethod
+    def _matchify_ref_range(al) -> tuple[int, int]:
+        """(reference: matchifyEdgeSoftClipRefRange)."""
+        beg = al.pos
+        end = beg
+        first, last = cg.match_edge_segments(al.ops)
+        for k, (o, l) in enumerate(zip(al.ops.tolist(), al.lens.tolist())):
+            is_edge = k < first or k > last
+            if is_edge:
+                if o in cg.READ_LEN_OPS:
+                    if k < first:
+                        beg -= l
+                    else:
+                        end += l
+            if o in cg.REF_LEN_OPS:
+                end += l
+        return (beg, end)
+
+    # ------------------------------------------------------------------
+
+    def assemble_complex(self, bp: SVBreakend, refseq: np.ndarray,
+                         ref_offset: int, search_remote_insertion: bool,
+                         remote_read_cache: dict):
+        """(reference: assembleComplexSVCandidate:587-601)."""
+        read_index: dict = {}
+        reads: list[str] = []
+        self.get_breakend_reads(bp, False, refseq, ref_offset,
+                                search_remote_insertion, remote_read_cache,
+                                read_index, reads)
+        contigs, read_info = run_iterative_assembler(self.opt, reads)
+        return contigs
+
+    def assemble_spanning(self, bp1: SVBreakend, bp2: SVBreakend,
+                          is_bp1_reversed: bool, is_bp2_reversed: bool,
+                          ref1: np.ndarray, off1: int,
+                          ref2: np.ndarray, off2: int):
+        """(reference: assembleSpanningSVCandidate:603-625)."""
+        read_index: dict = {}
+        reads: list[str] = []
+        cache: dict = {}
+        self.get_breakend_reads(bp1, is_bp1_reversed, ref1, off1, False,
+                                cache, read_index, reads)
+        self.get_breakend_reads(bp2, is_bp2_reversed, ref2, off2, False,
+                                cache, read_index, reads)
+        contigs, read_info = run_iterative_assembler(self.opt, reads)
+        return contigs

@@ -313,7 +313,11 @@ def parse_records(buf: bytes, start: int = 0, end: int | None = None,
     )
     if want_overlap is not None:
         tid, beg, iend = want_overlap
-        keep = (batch.refid == tid) & (batch.pos < iend) & (batch.end_pos > beg)
+        # zero-aligned-length records (e.g. unmapped shadow reads placed at
+        # their mate's position) are treated as 1-base intervals, matching
+        # htslib region-query semantics
+        end_pos = np.maximum(batch.end_pos, batch.pos + 1)
+        keep = (batch.refid == tid) & (batch.pos < iend) & (end_pos > beg)
         batch = batch.subset(keep)
     return batch
 
