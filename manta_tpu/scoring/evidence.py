@@ -1,0 +1,414 @@
+"""Scoring evidence structures and fragment evidence gathering.
+
+Behavioral parity with the reference scoring data model and evidence
+search (reference: GenerateSVCandidates/SVEvidence.hpp, SVScorerShared,
+SVScorerPair.cpp, SVScorePair{Processor,RefProcessor,AltProcessor},
+SVScorerSplit.cpp + SplitReadAlignment.cpp, manta/SVScoreInfo.cpp).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align.aligners import AlignmentScores, GlobalAligner
+from ..core import cigar as cg
+from ..core.readfilter import has_sa_tag, is_read_filtered_core
+from ..core.svmodel import (
+    BND_LEFT_OPEN, BND_RIGHT_OPEN, SVCandidate, get_sv_type, SV_INDEL,
+)
+from ..io.bam import (
+    C_D, C_EQ, C_I, C_M, C_N, C_S, C_X,
+    FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER_PAIR,
+    FLAG_READ1, FLAG_REVERSE, FLAG_UNMAPPED,
+)
+from ..candidates.assembler_reads import revcomp
+
+MAX_QSCORE = 70
+
+
+class QscoreSnp:
+    """(reference: blt_util/qscore_snp.cpp): basecall error probability
+    mixed with a SNP prior."""
+
+    def __init__(self, snp_prob: float):
+        comp_snp3 = 1.0 - snp_prob / 3.0
+        q = np.arange(MAX_QSCORE + 1, dtype=np.float64)
+        qerr = np.power(10.0, -q / 10.0)
+        self.p = qerr * comp_snp3 + (1.0 - qerr) * snp_prob
+        self.ln_comp_e = np.log1p(-self.p)
+        self.ln_e = np.log(self.p)
+
+
+@dataclass
+class PerReadBp:
+    """(reference: SVFragmentEvidenceAlleleBreakendPerRead)."""
+    is_split_support: bool = False
+    is_tier2_split_support: bool = False
+    is_split_evaluated: bool = False
+    split_evidence: float = 0.0
+    split_ln_lhood: float = 0.0
+
+
+@dataclass
+class AlleleBp:
+    is_fragment_support: bool = False
+    frag_length_prob: float = 0.0
+    read1: PerReadBp = field(default_factory=PerReadBp)
+    read2: PerReadBp = field(default_factory=PerReadBp)
+
+    def get_read(self, is_read1: bool) -> PerReadBp:
+        return self.read1 if is_read1 else self.read2
+
+    def clear_pair_support(self):
+        self.is_fragment_support = False
+        self.frag_length_prob = 0.0
+
+
+@dataclass
+class Allele:
+    bp1: AlleleBp = field(default_factory=AlleleBp)
+    bp2: AlleleBp = field(default_factory=AlleleBp)
+
+    def get_bp(self, is_bp1: bool) -> AlleleBp:
+        return self.bp1 if is_bp1 else self.bp2
+
+    def any_split_read_support(self, is_read1):
+        return (self.bp1.get_read(is_read1).is_split_support,
+                self.bp2.get_read(is_read1).is_split_support)
+
+    def any_tier2_split_read_support(self, is_read1):
+        return (self.bp1.get_read(is_read1).is_tier2_split_support,
+                self.bp2.get_read(is_read1).is_tier2_split_support)
+
+    def clear_pair_support(self):
+        self.bp1.clear_pair_support()
+        self.bp2.clear_pair_support()
+
+
+@dataclass
+class FragRead:
+    is_scanned: bool = False
+    is_shadow: bool = False
+    mapq: int = 0
+    size: int = 0
+    _anchored: bool = False
+    _tier2_anchored: bool = False
+
+    def is_anchored(self, tier2: bool) -> bool:
+        return self._tier2_anchored if tier2 else self._anchored
+
+    def is_observed_anchor(self, tier2: bool) -> bool:
+        return self.is_scanned and self.is_anchored(tier2)
+
+
+@dataclass
+class FragmentEvidence:
+    """(reference: SVFragmentEvidence)."""
+    read1: FragRead = field(default_factory=FragRead)
+    read2: FragRead = field(default_factory=FragRead)
+    alt: Allele = field(default_factory=Allele)
+    ref: Allele = field(default_factory=Allele)
+
+    def get_read(self, is_read1: bool) -> FragRead:
+        return self.read1 if is_read1 else self.read2
+
+    def is_any_spanning_pair_support(self) -> bool:
+        return (self.ref.bp1.is_fragment_support or
+                self.ref.bp2.is_fragment_support or
+                self.alt.bp1.is_fragment_support or
+                self.alt.bp2.is_fragment_support)
+
+    def is_alt_spanning_pair_support(self) -> bool:
+        return self.alt.bp1.is_fragment_support or \
+            self.alt.bp2.is_fragment_support
+
+    def any_split_read_support(self, is_read1):
+        a = self.alt.any_split_read_support(is_read1)
+        r = self.ref.any_split_read_support(is_read1)
+        return (a[0] or r[0], a[1] or r[1])
+
+    def is_alt_split_read_support(self, is_read1) -> bool:
+        a = self.alt.any_split_read_support(is_read1)
+        return a[0] or a[1]
+
+    def any_tier2_split_read_support(self, is_read1):
+        a = self.alt.any_tier2_split_read_support(is_read1)
+        r = self.ref.any_tier2_split_read_support(is_read1)
+        return (a[0] or r[0], a[1] or r[1])
+
+    def clear_pair_support(self):
+        self.ref.clear_pair_support()
+        self.alt.clear_pair_support()
+
+
+@dataclass
+class SampleAlleleInfo:
+    """(reference: SVSampleAlleleInfo)."""
+    spanning_pair_count: int = 0
+    confident_spanning_pair_count: int = 0
+    confident_semi_mapped_spanning_pair_count: int = 0
+    split_read_count: int = 0
+    split_read_evidence: float = 0.0
+    split_read_mapq: float = 0.0
+    confident_split_read_count: int = 0
+    confident_split_read_and_pair_count_ref_bp1: int = 0
+    confident_split_read_and_pair_count_ref_bp2: int = 0
+
+
+@dataclass
+class SampleInfo:
+    alt: SampleAlleleInfo = field(default_factory=SampleAlleleInfo)
+    ref: SampleAlleleInfo = field(default_factory=SampleAlleleInfo)
+
+
+@dataclass
+class ScoreInfo:
+    """(reference: SVScoreInfo)."""
+    samples: list[SampleInfo] = field(default_factory=list)
+    bp1_max_depth: int = 0
+    bp2_max_depth: int = 0
+    bp1_mq0_frac: float = 0.0
+    bp2_mq0_frac: float = 0.0
+
+
+def set_read_evidence(min_mapq: int, min_tier2_mapq: int, mapq: int,
+                      read_size: int, is_shadow: bool, read: FragRead):
+    """(reference: SVScorerShared.cpp:26-42)."""
+    if read.is_scanned:
+        return
+    read.is_scanned = True
+    read.mapq = mapq
+    read.is_shadow = is_shadow
+    read._anchored = mapq >= min_mapq
+    read._tier2_anchored = mapq >= min_tier2_mapq
+    read.size = read_size
+
+
+# ---------------------------------------------------------------------------
+# split-read scoring
+
+@dataclass
+class SRAlignmentInfo:
+    align_pos: int = 0
+    left_size: int = 0
+    hom_size: int = 0
+    right_size: int = 0
+    left_mismatches: int = 0
+    hom_mismatches: int = 0
+    right_mismatches: int = 0
+    align_score: int = 0
+    align_ln_lhood: float = 0.0
+    is_evidence: bool = False
+    is_tier2_evidence: bool = False
+    evidence: float = 0.0
+
+
+def _is_evidence_check(a: SRAlignmentInfo, min_flank: int) -> bool:
+    if a.left_size < min_flank or a.right_size < min_flank:
+        return False
+    if a.left_mismatches / a.left_size >= 0.25:
+        return False
+    if a.right_mismatches / a.right_size >= 0.25:
+        return False
+    size = float(a.left_size + a.right_size)
+    if a.align_score / size < 0.9:
+        return False
+    return True
+
+
+def _set_evidence(a: SRAlignmentInfo):
+    a.is_evidence = _is_evidence_check(a, 16)
+    a.is_tier2_evidence = _is_evidence_check(a, 8)
+    a.evidence = 0.0
+    if not (a.is_evidence or a.is_tier2_evidence):
+        return
+    size = float(a.left_size + a.right_size)
+    a.evidence = 2 * min(a.left_size, a.right_size) / size
+
+
+def split_read_aligner(flank_score_size: int, query: np.ndarray,
+                       qconv: QscoreSnp, qual: np.ndarray,
+                       target: np.ndarray, bp_beg: int, bp_end: int) -> SRAlignmentInfo:
+    """Sliding basecall-likelihood scan of a read across a breakpoint
+    junction (reference: SplitReadAlignment.cpp splitReadAligner).
+
+    query/target are uint8 ASCII arrays; (bp_beg, bp_end) is the
+    microhomology-aware breakend offset range in target coordinates.
+    Vectorized over scan positions with float32 sequential accumulation
+    to match the reference's summation order.
+    """
+    a = SRAlignmentInfo()
+    nq = len(query)
+    nt = len(target)
+    assert nq < nt, "split read alignment: query >= target"
+    scan_start = max(0, bp_beg - nq + 2)
+    scan_end = max(0, min(bp_end, nt - nq))
+    assert scan_end >= scan_start, "scanEnd < scanStart"
+    score_beg = bp_beg - flank_score_size
+    score_end = bp_end + flank_score_size
+
+    qual_i = np.clip(qual.astype(np.int64), 2, MAX_QSCORE)
+    ln_match = qconv.ln_comp_e[qual_i].astype(np.float32)
+    ln_mism = (qconv.ln_e[qual_i] + math.log(1 / 3.0)).astype(np.float32)
+    ln_random = np.float32(-math.log(4.0))
+
+    n_pos = scan_end - scan_start + 1
+    # windows[k, j] = target[scan_start + k + j]
+    idx = (np.arange(n_pos)[:, None] + scan_start) + np.arange(nq)[None, :]
+    win = target[idx]
+    q = query[None, :]
+    is_n = (q == ord("N")) | (win == ord("N"))
+    mismatch = (q != win) | (q == ord("N"))
+    terms = np.where(is_n, ln_random,
+                     np.where(mismatch, ln_mism[None, :], ln_match[None, :]))
+    # score-range gating: base j at scan pos k contributes iff
+    # score_beg < scan_start+k+j <= score_end
+    tpos = idx
+    gate = (tpos > score_beg) & (tpos <= score_end)
+    terms = np.where(gate, terms, np.float32(0))
+    lnl = np.cumsum(terms.astype(np.float32), axis=1)[:, -1]
+
+    best_k = 0
+    best = None
+    for k in range(n_pos):
+        v = float(lnl[k])
+        if best is None or v > best:
+            best = v
+            best_k = k
+    best_pos = scan_start + best_k
+
+    assert best_pos <= bp_end + 1
+    if best_pos <= bp_beg + 1:
+        a.left_size = (bp_beg + 1) - best_pos
+    else:
+        a.left_size = 0
+    assert a.left_size <= nq
+    a.hom_size = min(nq - a.left_size, ((bp_end + 1) - best_pos) - a.left_size)
+    if a.left_size + a.hom_size < nq:
+        a.right_size = nq - (a.left_size + a.hom_size)
+    else:
+        a.right_size = 0
+    a.align_ln_lhood = best
+    a.align_pos = best_pos
+
+    # calculateAlignScore
+    w = target[best_pos:best_pos + nq]
+    mism = (query != w) | (query == ord("N"))
+    left_end = a.left_size
+    hom_end = a.left_size + a.hom_size
+    pos_arr = np.arange(nq)
+    a.left_mismatches = int((mism & (pos_arr <= left_end)).sum())
+    a.hom_mismatches = int((mism & (pos_arr > left_end)
+                            & (pos_arr <= hom_end)).sum())
+    a.right_mismatches = int((mism & (pos_arr > hom_end)).sum())
+    a.align_score = nq - (a.left_mismatches + a.hom_mismatches
+                          + a.right_mismatches)
+    _set_evidence(a)
+    return a
+
+
+class SVAlignmentInfo:
+    """Contig/reference sequences + breakpoint offsets for split scoring
+    (reference: manta/SVScoreInfo.cpp SVAlignmentInfo)."""
+
+    def __init__(self, sv: SVCandidate, assembly_data):
+        self.is_spanning = assembly_data.is_spanning
+        self._bp1_rev = assembly_data.bporient.is_bp1_reversed
+        self._bp2_rev = assembly_data.bporient.is_bp2_reversed
+        self.contig_seq = ""
+        self.rev_contig_seq = ""
+        self.bp1_ref_seq = ""
+        self.bp2_ref_seq = ""
+        self.bp1_contig_offset = (0, 0)
+        self.bp2_contig_offset = (0, 0)
+        self.bp1_ref_offset = (0, 0)
+        self.bp2_ref_offset = (0, 0)
+        if sv.is_imprecise:
+            return
+        bp1_hom = sv.bp1.interval.size() - 1
+        bp2_hom = sv.bp2.interval.size() - 1
+        self.contig_seq = assembly_data.extended_contigs[sv.assembly_align_index]
+        if self.is_spanning:
+            res = assembly_data.spanning_alignments[sv.assembly_align_index]
+            align1_size = cg.read_length(res.align1.ops, res.align1.lens)
+            bp1_beg = res.align1.begin_pos - assembly_data.bp1ref_align_offset \
+                if False else res.align1.begin_pos
+            # NB begin_pos here is relative to the full (uncut) align1 ref
+            bp1_contig_beg = res.align1.begin_pos + align1_size - 1
+            bp2_contig_beg = bp1_contig_beg + res.jump_insert_size
+            o1, o2 = bp1_contig_beg, bp2_contig_beg
+            if assembly_data.bporient.is_bp2_aligned_first:
+                o1, o2 = o2, o1
+            self.bp1_contig_offset = (o1, o1 + bp1_hom)
+            self.bp2_contig_offset = (o2, o2 + bp2_hom)
+            if self._bp1_rev or self._bp2_rev:
+                assert not (self._bp1_rev and self._bp2_rev)
+                self.rev_contig_seq = revcomp(self.contig_seq)
+                rev_size = len(self.contig_seq) - 2
+                if self._bp1_rev:
+                    b, e = self.bp1_contig_offset
+                    self.bp1_contig_offset = (rev_size - e, rev_size - b)
+                else:
+                    b, e = self.bp2_contig_offset
+                    self.bp2_contig_offset = (rev_size - e, rev_size - b)
+            self.bp1_ref_seq = assembly_data.bp1ref[0]
+            self.bp2_ref_seq = assembly_data.bp2ref[0]
+            b1 = sv.bp1.interval.beg - assembly_data.bp1ref[1]
+            self.bp1_ref_offset = (b1, b1 + bp1_hom)
+            b2 = sv.bp2.interval.beg - assembly_data.bp2ref[1]
+            self.bp2_ref_offset = (b2, b2 + bp2_hom)
+        else:
+            res = assembly_data.small_sv_alignments[sv.assembly_align_index]
+            seg = assembly_data.small_sv_segments[
+                sv.assembly_align_index][sv.assembly_segment_index]
+            rl_start = cg.read_length(res.align.ops[:seg[0]],
+                                      res.align.lens[:seg[0]])
+            rl_end = cg.read_length(res.align.ops[:seg[1] + 1],
+                                    res.align.lens[:seg[1] + 1])
+            o1 = res.align.begin_pos + rl_start - 1
+            o2 = res.align.begin_pos + rl_end - 1
+            self.bp1_contig_offset = (o1, o1 + bp1_hom)
+            self.bp2_contig_offset = (o2, o2 + bp2_hom)
+            self.bp1_ref_seq = assembly_data.bp1ref[0]
+            off = assembly_data.bp1ref[1]
+            self.bp1_ref_offset = (sv.bp1.interval.beg - off,
+                                   sv.bp1.interval.end - off)
+            self.bp2_ref_offset = (sv.bp2.interval.beg - off,
+                                   sv.bp2.interval.end - off)
+
+    def bp1_contig(self) -> str:
+        return self.rev_contig_seq if self._bp1_rev else self.contig_seq
+
+    def bp2_contig(self) -> str:
+        return self.rev_contig_seq if self._bp2_rev else self.contig_seq
+
+    def bp1_reference(self) -> str:
+        return self.bp1_ref_seq
+
+    def bp2_reference(self) -> str:
+        return self.bp2_ref_seq if self.is_spanning else self.bp1_ref_seq
+
+    def is_min_bp_edge(self, min_edge: int) -> bool:
+        """(reference: SVScoreInfo.cpp isMinBpEdge)."""
+        m = min_edge
+        if self.bp1_contig_offset[0] + 1 < m:
+            return False
+        if self.bp2_contig_offset[0] + 1 < m:
+            return False
+        if self.bp1_ref_offset[0] + 1 < m:
+            return False
+        if self.bp2_ref_offset[0] + 1 < m:
+            return False
+        contig_bp_size = len(self.contig_seq) - 1
+        if contig_bp_size - self.bp1_contig_offset[1] < m:
+            return False
+        if contig_bp_size - self.bp2_contig_offset[1] < m:
+            return False
+        if len(self.bp1_reference()) - 1 - self.bp1_ref_offset[1] < m:
+            return False
+        if len(self.bp2_reference()) - 1 - self.bp2_ref_offset[1] < m:
+            return False
+        return True

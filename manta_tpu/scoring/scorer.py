@@ -1,0 +1,1083 @@
+"""SV scoring: evidence orchestration + diploid/somatic/tumor models.
+
+Behavioral parity with the reference SVScorer
+(reference: GenerateSVCandidates/SVScorer.cpp, SVScorerSplit.cpp):
+breakend depth/MQ0 checks, pair+split evidence gathering, pair/split
+conflict resolution, fragment likelihoods with chimera/mapping-error
+mixing, diploid genotyping (theta=1e-5 prior, GQ/PL, filters), somatic
+two-tier scoring with mutation/noise frequency estimation, and
+tumor-only filters.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import cigar as cg
+from ..core.readfilter import has_sa_tag, is_read_unmapped_or_filtered_core
+from ..core.svmodel import (
+    EXT_DELETE, EXT_INSERT, SVCandidate, get_extended_sv_type,
+    get_delete_size, is_sv_below_min_size,
+)
+from ..io.bam import FLAG_READ1
+from ..scan.scanner import get_alignment
+from .evidence import (
+    FragmentEvidence, QscoreSnp, SRAlignmentInfo, SVAlignmentInfo, SampleInfo,
+    ScoreInfo, set_read_evidence, split_read_aligner,
+)
+from .pairscore import (
+    AltPairProcessor, PairOptions, RefPairProcessor, get_frag_prob,
+    is_large_insert_sv,
+)
+
+# DIPLOID_GT: REF, HET, HOM
+DGT_REF, DGT_HET, DGT_HOM, DGT_SIZE = 0, 1, 2, 3
+DGT_LABELS = ["ref", "het", "hom"]
+_DGT_ALT_FRACTION = np.array([0.0, 0.5, 0.99])
+# SOMATIC_GT: REF, HET, HOM, SOM, NOISE
+SGT_REF, SGT_HET, SGT_HOM, SGT_SOM, SGT_NOISE, SGT_SIZE = 0, 1, 2, 3, 4, 5
+
+
+def log_sum(a: float, b: float) -> float:
+    if a < b:
+        a, b = b, a
+    return a + math.log1p(math.exp(b - a))
+
+
+def error_prob_to_qphred(p: float) -> int:
+    if p <= 0:
+        return 999
+    return int(math.floor(-10.0 * math.log10(p) + 0.5))
+
+
+def ln_error_prob_to_qphred(lnp: float) -> int:
+    return int(math.floor(-10.0 * lnp / math.log(10.0) + 0.5))
+
+
+def normalize_log_distro(vals: list[float]):
+    """(reference: prob_util.hpp normalizeLogDistro): in-place
+    ln->normalized-prob; returns argmax."""
+    max_i = 0
+    for i in range(1, len(vals)):
+        if vals[i] > vals[max_i]:
+            max_i = i
+    m = vals[max_i]
+    total = 0.0
+    for i in range(len(vals)):
+        vals[i] = math.exp(vals[i] - m)
+        total += vals[i]
+    for i in range(len(vals)):
+        vals[i] /= total
+    return max_i
+
+
+def prob_comp(vals, skip_index: int) -> float:
+    return sum(v for i, v in enumerate(vals) if i != skip_index)
+
+
+@dataclass
+class CallOptionsDiploid:
+    indel_prior: float = 1e-5
+    max_depth_factor: float = 3.0
+    min_output_alt_score: int = 10
+    min_pass_alt_score: int = 20
+    max_mq0_frac: float = 0.4
+    min_pass_gt_score: int = 15
+
+
+@dataclass
+class CallOptionsSomatic:
+    germline_sv_prior: float = 1e-5
+    somatic_sv_prior: float = 1e-7
+    small_noise_sv_prior: float = 1e-9
+    large_noise_sv_prior: float = 1e-10
+    max_depth_factor: float = 3.0
+    min_output_somatic_score: int = 10
+    min_pass_somatic_score: int = 30
+    max_mq0_frac: float = 0.4
+
+
+@dataclass
+class CallOptionsTumor:
+    max_depth_factor: float = 3.0
+    max_mq0_frac: float = 0.4
+
+
+@dataclass
+class ProbSet:
+    prob: float
+
+    def __post_init__(self):
+        self.comp = 1 - self.prob
+        self.ln_prob = math.log(self.prob)
+        self.ln_comp = math.log(self.comp)
+
+
+@dataclass
+class DiploidSampleResult:
+    gt: int = DGT_REF
+    gt_score: int = 0
+    phred_loghood: list = field(default_factory=lambda: [0] * DGT_SIZE)
+    pprob: list = field(default_factory=lambda: [0.0] * DGT_SIZE)
+    filters: set = field(default_factory=set)
+
+
+@dataclass
+class DiploidResult:
+    alt_score: int = 0
+    filters: set = field(default_factory=set)
+    samples: list = field(default_factory=list)
+
+
+@dataclass
+class SomaticResult:
+    somatic_score: int = 0
+    somatic_score_tier: int = 0
+    filters: set = field(default_factory=set)
+
+
+@dataclass
+class TumorResult:
+    filters: set = field(default_factory=set)
+
+
+@dataclass
+class ModelScoreInfo:
+    base: ScoreInfo = field(default_factory=ScoreInfo)
+    diploid: DiploidResult = field(default_factory=DiploidResult)
+    somatic: SomaticResult = field(default_factory=SomaticResult)
+    tumor: TumorResult = field(default_factory=TumorResult)
+
+
+def _linear_scale(val, lo, hi):
+    return min(1.0, max(0.0, (val - lo) / float(hi - lo)))
+
+
+def get_spanning_pair_weight(sv: SVCandidate) -> float:
+    """Small-deletion pair-evidence down-weighting ramp
+    (reference: SVScorer.cpp getSpanningPairWeight:712)."""
+    t = get_extended_sv_type(sv)
+    if t not in (EXT_INSERT, EXT_DELETE):
+        return 1.0
+    if t == EXT_INSERT and is_large_insert_sv(sv):
+        return _linear_scale(len(sv.insert_seq), 100, 150)
+    center_size = abs(sv.bp2.interval.center_pos()
+                      - sv.bp1.interval.center_pos())
+    return _linear_scale(center_size, 300, 500)
+
+
+def large_noise_sv_prior_weight(sv: SVCandidate) -> float:
+    if sv.bp1.interval.tid != sv.bp2.interval.tid:
+        return 1.0
+    center_size = abs(sv.bp2.interval.center_pos()
+                      - sv.bp1.interval.center_pos())
+    return _linear_scale(center_size, 5000, 10000)
+
+
+# ---------------------------------------------------------------------------
+# fragment-level likelihoods
+
+def _get_spanning_pair_allele_lhood(allele) -> float:
+    frag_prob = 0.0
+    if allele.bp1.is_fragment_support:
+        frag_prob = allele.bp1.frag_length_prob
+    if allele.bp2.is_fragment_support:
+        frag_prob = max(frag_prob, allele.bp2.frag_length_prob)
+    return frag_prob
+
+
+def _increment_allele_split_lhood(self_map: ProbSet, other_map: ProbSet,
+                                  allele, is_supported, is_read1,
+                                  eval_flag: list) -> float:
+    if not (allele.bp1.get_read(is_read1).is_split_evaluated
+            and allele.bp2.get_read(is_read1).is_split_evaluated):
+        eval_flag[0] = False
+    l1 = allele.bp1.get_read(is_read1).split_ln_lhood
+    l2 = allele.bp2.get_read(is_read1).split_ln_lhood
+    use_bp1 = is_supported[0]
+    if is_supported[0] and is_supported[1]:
+        use_bp1 = l1 >= l2
+    align_lnl = l1 if use_bp1 else l2
+    return log_sum(self_map.ln_comp + align_lnl, other_map.ln_prob)
+
+
+def _increment_split_read_lhood(fragev: FragmentEvidence, ref_map: ProbSet,
+                                alt_map: ProbSet, is_permissive: bool,
+                                is_read1: bool, lhood_ref: list,
+                                lhood_alt: list, eval_flag: list):
+    if is_permissive:
+        supported = fragev.any_tier2_split_read_support(is_read1)
+    else:
+        supported = fragev.any_split_read_support(is_read1)
+    if not (supported[0] or supported[1]):
+        eval_flag[0] = False
+        return
+    ref_split = _increment_allele_split_lhood(
+        ref_map, alt_map, fragev.ref, supported, is_read1, eval_flag)
+    alt_split = _increment_allele_split_lhood(
+        alt_map, ref_map, fragev.alt, supported, is_read1, eval_flag)
+    pseudo = 0.5
+    if ref_split < (alt_map.ln_prob + pseudo) and \
+            alt_split < (ref_map.ln_prob + pseudo):
+        return
+    lhood_ref[0] += ref_split
+    lhood_alt[0] += alt_split
+
+
+@dataclass
+class AlleleLnLhood:
+    frag_pair: float = 0.0
+    read1_split: float = 0.0
+    read2_split: float = 0.0
+
+
+def _get_frag_ln_lhood(al: AlleleLnLhood, r1_eval: bool, r2_eval: bool) -> float:
+    ret = al.frag_pair
+    if r1_eval:
+        if r2_eval:
+            ret += max(al.read1_split, al.read2_split)
+        else:
+            ret += al.read1_split
+    elif r2_eval:
+        ret += al.read2_split
+    return ret
+
+
+def _get_ref_alt_from_frag(spanning_pair_weight: float, semi_mapped_power: float,
+                           ref_chimera: ProbSet, alt_chimera: ProbSet,
+                           ref_split_map: ProbSet, alt_split_map: ProbSet,
+                           is_permissive: bool, fragev: FragmentEvidence,
+                           ref_set: AlleleLnLhood, alt_set: AlleleLnLhood):
+    """(reference: getRefAltFromFrag:679+). Returns
+    (any_evaluated, r1_eval, r2_eval)."""
+    frag_evaluated = False
+    if is_permissive:
+        pair_usable = fragev.read1.is_observed_anchor(True) or \
+            fragev.read2.is_observed_anchor(True)
+    else:
+        pair_usable = (fragev.read1.is_scanned and fragev.read2.is_scanned) \
+            and (fragev.read1.is_anchored(False)
+                 or fragev.read2.is_anchored(False))
+    if pair_usable and fragev.is_any_spanning_pair_support():
+        semi_mapped = not (fragev.read1.is_anchored(is_permissive)
+                           and fragev.read2.is_anchored(is_permissive))
+        span_power = spanning_pair_weight
+        if semi_mapped:
+            if _get_spanning_pair_allele_lhood(fragev.alt) > \
+                    _get_spanning_pair_allele_lhood(fragev.ref):
+                span_power *= semi_mapped_power
+            else:
+                span_power = 0.0
+        ref_frag = _get_spanning_pair_allele_lhood(fragev.ref)
+        alt_frag = _get_spanning_pair_allele_lhood(fragev.alt)
+        ref_set.frag_pair += math.log(
+            ref_chimera.comp * ref_frag + alt_chimera.prob) * span_power
+        alt_set.frag_pair += math.log(
+            alt_chimera.comp * alt_frag + ref_chimera.prob) * span_power
+        frag_evaluated = True
+
+    r1_eval = [True]
+    r2_eval = [True]
+    lr1, la1 = [ref_set.read1_split], [alt_set.read1_split]
+    _increment_split_read_lhood(fragev, ref_split_map, alt_split_map,
+                                is_permissive, True, lr1, la1, r1_eval)
+    ref_set.read1_split, alt_set.read1_split = lr1[0], la1[0]
+    lr2, la2 = [ref_set.read2_split], [alt_set.read2_split]
+    _increment_split_read_lhood(fragev, ref_split_map, alt_split_map,
+                                is_permissive, False, lr2, la2, r2_eval)
+    ref_set.read2_split, alt_set.read2_split = lr2[0], la2[0]
+    return (frag_evaluated or r1_eval[0] or r2_eval[0],
+            r1_eval[0], r2_eval[0])
+
+
+def add_diploid_loglhood(spanning_pair_weight: float, track: dict,
+                         loglhood: list):
+    """(reference: addDiploidLoglhood:767-801)."""
+    chimera = ProbSet(1e-3)
+    ref_split_map = ProbSet(1e-6)
+    alt_split_map = ProbSet(1e-5)
+    for qname in track:
+        fragev = track[qname]
+        ref_set = AlleleLnLhood()
+        alt_set = AlleleLnLhood()
+        ok, r1_eval, r2_eval = _get_ref_alt_from_frag(
+            spanning_pair_weight, 0.0, chimera, chimera, ref_split_map,
+            alt_split_map, False, fragev, ref_set, alt_set)
+        if not ok:
+            continue
+        ref_lnl = _get_frag_ln_lhood(ref_set, r1_eval, r2_eval)
+        alt_lnl = _get_frag_ln_lhood(alt_set, r1_eval, r2_eval)
+        for gt in range(DGT_SIZE):
+            f = _DGT_ALT_FRACTION[gt]
+            ref_gt = ref_lnl + (math.log(1 - f) if f < 1 else -math.inf)
+            alt_gt = alt_lnl + (math.log(f) if f > 0 else -math.inf)
+            loglhood[gt] += log_sum(ref_gt, alt_gt)
+
+
+def _compute_somatic_sample_loghood(spanning_pair_weight, track,
+                                    somatic_freq, noise_freq, is_permissive,
+                                    is_tumor, ref_chimera, alt_chimera,
+                                    ref_split_map, alt_split_map, loglhood):
+    """(reference: computeSomaticSampleLoghood:1143-1200)."""
+    semi_mapped_power = 1.0 if (is_permissive and not is_tumor) else 0.0
+
+    def alt_fraction(gt):
+        return [0.0, 0.5, 1.0, somatic_freq, noise_freq][gt]
+
+    for qname in track:
+        fragev = track[qname]
+        ref_set = AlleleLnLhood()
+        alt_set = AlleleLnLhood()
+        ok, r1_eval, r2_eval = _get_ref_alt_from_frag(
+            spanning_pair_weight, semi_mapped_power, ref_chimera, alt_chimera,
+            ref_split_map, alt_split_map, is_permissive, fragev, ref_set,
+            alt_set)
+        if not ok:
+            continue
+        ref_lnl = _get_frag_ln_lhood(ref_set, r1_eval, r2_eval)
+        alt_lnl = _get_frag_ln_lhood(alt_set, r1_eval, r2_eval)
+        for gt in range(SGT_SIZE):
+            f = alt_fraction(gt)
+            ref_gt = ref_lnl + (math.log(1 - f) if f < 1 else -math.inf)
+            alt_gt = alt_lnl + (math.log(f) if f > 0 else -math.inf)
+            loglhood[gt] += log_sum(ref_gt, alt_gt)
+
+
+# ---------------------------------------------------------------------------
+# support summary counts
+
+def _ln_to_prob(lower: float, higher: float):
+    lower = math.exp(lower - higher)
+    higher = 1 / (lower + 1)
+    lower = lower / (lower + 1)
+    return lower, higher
+
+
+def _get_sample_split_read_lnlhood(fragev, is_read1, is_forced=False):
+    supported = fragev.any_split_read_support(is_read1)
+    if not is_forced and not (supported[0] or supported[1]):
+        return None
+    use_bp1 = supported[0]
+    if is_forced or (supported[0] == supported[1]):
+        use_bp1 = fragev.alt.bp1.get_read(is_read1).split_ln_lhood >= \
+            fragev.alt.bp2.get_read(is_read1).split_ln_lhood
+    alt = fragev.alt.bp1.get_read(is_read1).split_ln_lhood if use_bp1 \
+        else fragev.alt.bp2.get_read(is_read1).split_ln_lhood
+    if supported[0] and supported[1]:
+        use_bp1 = fragev.ref.bp1.get_read(is_read1).split_ln_lhood >= \
+            fragev.ref.bp2.get_read(is_read1).split_ln_lhood
+    ref = fragev.ref.bp1.get_read(is_read1).split_ln_lhood if use_bp1 \
+        else fragev.ref.bp2.get_read(is_read1).split_ln_lhood
+    return ref, alt
+
+
+def _add_conservative_split_read_support(fragev, is_read1, sample: SampleInfo):
+    out = _get_sample_split_read_lnlhood(fragev, is_read1)
+    if out is None:
+        return
+    ref_lnl, alt_lnl = out
+    if alt_lnl > ref_lnl:
+        _, p = _ln_to_prob(ref_lnl, alt_lnl)
+        if p > 0.999:
+            sample.alt.confident_split_read_count += 1
+    else:
+        _, p = _ln_to_prob(alt_lnl, ref_lnl)
+        if p > 0.999:
+            sample.ref.confident_split_read_count += 1
+            if fragev.ref.bp1.get_read(is_read1).is_split_support:
+                sample.ref.confident_split_read_and_pair_count_ref_bp1 += 1
+            if fragev.ref.bp2.get_read(is_read1).is_split_support:
+                sample.ref.confident_split_read_and_pair_count_ref_bp2 += 1
+
+
+def _add_spanning_pair_support(fragev, sample: SampleInfo):
+    if fragev.alt.bp1.is_fragment_support or fragev.alt.bp2.is_fragment_support:
+        sample.alt.spanning_pair_count += 1
+    if fragev.ref.bp1.is_fragment_support or fragev.ref.bp2.is_fragment_support:
+        sample.ref.spanning_pair_count += 1
+
+
+def _add_conservative_spanning_pair_support(fragev, sample: SampleInfo):
+    if not fragev.is_any_spanning_pair_support():
+        return
+    alt = _get_spanning_pair_allele_lhood(fragev.alt)
+    ref = _get_spanning_pair_allele_lhood(fragev.ref)
+    assert alt >= 0 and ref >= 0
+    if alt <= 0 and ref <= 0:
+        raise RuntimeError("Spanning likelihood is zero for all alleles")
+    fully_mapped = fragev.read1.is_observed_anchor(False) and \
+        fragev.read2.is_observed_anchor(False)
+    total = alt + ref
+    if alt > ref:
+        if alt / total > 0.9:
+            sample.alt.confident_semi_mapped_spanning_pair_count += 1
+            if fully_mapped:
+                sample.alt.confident_spanning_pair_count += 1
+    else:
+        if ref / total > 0.9:
+            sample.ref.confident_semi_mapped_spanning_pair_count += 1
+            if fully_mapped:
+                sample.ref.confident_spanning_pair_count += 1
+                if fragev.ref.bp1.is_fragment_support:
+                    sample.ref.confident_split_read_and_pair_count_ref_bp1 += 1
+                if fragev.ref.bp2.is_fragment_support:
+                    sample.ref.confident_split_read_and_pair_count_ref_bp2 += 1
+
+
+def _resolve_pair_split_conflicts(sv: SVCandidate, evidence_tracks: list):
+    """(reference: resolvePairSplitConflicts:476+)."""
+    if sv.is_imprecise:
+        return
+    center_size = abs(sv.bp2.interval.center_pos()
+                      - sv.bp1.interval.center_pos())
+    find_alt_pair_conflict = center_size <= 1000
+    for track in evidence_tracks:
+        for qname in track:
+            fragev = track[qname]
+            if not fragev.is_any_spanning_pair_support():
+                continue
+            ref_pair = _get_spanning_pair_allele_lhood(fragev.ref)
+            alt_pair = _get_spanning_pair_allele_lhood(fragev.alt)
+            out1 = _get_sample_split_read_lnlhood(fragev, True, True)
+            out2 = _get_sample_split_read_lnlhood(fragev, False, True)
+            is_ref_pair = ref_pair > alt_pair
+            is_alt_pair = alt_pair > ref_pair
+            if is_alt_pair and not find_alt_pair_conflict:
+                continue
+            for out in (out1, out2):
+                if out is None:
+                    continue
+                ref_lnl, alt_lnl = out
+                if alt_lnl > ref_lnl and is_ref_pair:
+                    fragev.clear_pair_support()
+                if ref_lnl > alt_lnl and is_alt_pair:
+                    fragev.clear_pair_support()
+
+
+# ---------------------------------------------------------------------------
+
+class SVScorer:
+    def __init__(self, scanner, readers, is_tumor: list[bool], fasta,
+                 diploid_opt: CallOptionsDiploid | None = None,
+                 somatic_opt: CallOptionsSomatic | None = None,
+                 tumor_opt: CallOptionsTumor | None = None,
+                 chrom_depths: dict | None = None,
+                 is_rna: bool = False):
+        self.scanner = scanner
+        self.readers = readers
+        self.is_tumor = list(is_tumor)
+        self.fasta = fasta
+        self.diploid_opt = diploid_opt or CallOptionsDiploid()
+        self.somatic_opt = somatic_opt or CallOptionsSomatic()
+        self.tumor_opt = tumor_opt or CallOptionsTumor()
+        self.chrom_depths = chrom_depths
+        self.is_rna = is_rna
+        self.sample_count = len(readers)
+        self.diploid_sample_count = sum(1 for t in is_tumor if not t)
+        self.ref_q = QscoreSnp(1e-3)
+        self.alt_q = QscoreSnp(0.0)
+        # diploid priors
+        d = self.diploid_opt
+        self.diploid_prior = [1 - d.indel_prior - d.indel_prior / 2,
+                              d.indel_prior, d.indel_prior / 2]
+        self.diploid_log_prior = [
+            math.log(np.float32(p)) for p in
+            [np.float32(self.diploid_prior[0]), np.float32(self.diploid_prior[1]),
+             np.float32(self.diploid_prior[2])]]
+        s = self.somatic_opt
+        som_prior = [0.0] * SGT_SIZE
+        som_prior[SGT_SOM] = s.somatic_sv_prior
+        som_prior[SGT_NOISE] = s.large_noise_sv_prior
+        som_prior[SGT_HET] = s.germline_sv_prior
+        som_prior[SGT_HOM] = s.germline_sv_prior / 2
+        som_prior[SGT_REF] = 1 - sum(som_prior[1:] + [som_prior[SGT_SOM]]) \
+            if False else 1 - (som_prior[SGT_SOM] + som_prior[SGT_NOISE]
+                               + som_prior[SGT_HET] + som_prior[SGT_HOM])
+        self.somatic_prior = som_prior
+        self.somatic_log_prior = [math.log(p) for p in som_prior]
+
+    def somatic_log_prior_gt(self, gt: int, large_noise_weight: float) -> float:
+        if gt != SGT_NOISE:
+            return self.somatic_log_prior[gt]
+        s = self.somatic_opt
+        if large_noise_weight <= 0:
+            return math.log(s.small_noise_sv_prior)
+        if large_noise_weight >= 1:
+            return math.log(s.large_noise_sv_prior)
+        return math.log((1 - large_noise_weight) * s.small_noise_sv_prior
+                        + large_noise_weight * s.large_noise_sv_prior)
+
+    # ------------------------------------------------------------------
+    # depth and MQ0
+
+    def _get_breakend_depth_mq0(self, is_tumor_only: bool, bp):
+        """(reference: getBreakendMaxMappedDepthAndMQ0:76-143)."""
+        region_size = 50
+        center = bp.interval.center_pos()
+        beg = max(center - region_size, 0)
+        end = center + region_size
+        if end <= beg:
+            return 0, 0.0
+        depth = np.zeros(end - beg, np.int64)
+        total_reads = 0
+        total_mq0 = 0
+        for bam_index, reader in enumerate(self.readers):
+            if (not is_tumor_only) and self.is_tumor[bam_index]:
+                continue
+            batch = reader.fetch(bp.interval.tid, beg, end)
+            if batch.n == 0:
+                continue
+            sa = has_sa_tag(batch)
+            bad = is_read_unmapped_or_filtered_core(batch, sa)
+            order = np.argsort(batch.pos, kind="stable")
+            for oi in order:
+                i = int(oi)
+                pos = int(batch.pos[i])
+                if pos >= end:
+                    break
+                if bad[i]:
+                    continue
+                # add align-match segments to depth
+                al = get_alignment(batch, i)
+                ref_pos = pos
+                for o, l in zip(al.ops.tolist(), al.lens.tolist()):
+                    if ref_pos >= end:
+                        break
+                    if o in cg.MATCH_OPS:
+                        s = max(ref_pos, beg) - beg
+                        e = min(ref_pos + l, end) - beg
+                        if e > s:
+                            depth[s:e] += 1
+                    if o in cg.REF_LEN_OPS:
+                        ref_pos += l
+                total_reads += 1
+                if batch.mapq[i] == 0:
+                    total_mq0 += 1
+        max_depth = int(depth.max()) if len(depth) else 0
+        mq0_frac = 0.0
+        if total_reads >= 10:
+            mq0_frac = total_mq0 / total_reads
+        return max_depth, mq0_frac
+
+    # ------------------------------------------------------------------
+    # evidence orchestration
+
+    def get_sv_supporting_evidence(self, svfinder_groups, assembly_data,
+                                   is_tumor_only: bool, sv: SVCandidate):
+        """(reference: getSVSupportingEvidence:491+).
+        Returns (ScoreInfo, evidence_tracks)."""
+        base_info = ScoreInfo(samples=[SampleInfo()
+                                       for _ in range(self.sample_count)])
+        evidence_tracks = [dict() for _ in range(self.sample_count)]
+
+        base_info.bp1_max_depth, base_info.bp1_mq0_frac = \
+            self._get_breakend_depth_mq0(is_tumor_only, sv.bp1)
+        base_info.bp2_max_depth, base_info.bp2_mq0_frac = \
+            self._get_breakend_depth_mq0(is_tumor_only, sv.bp2)
+
+        self._get_pair_support(svfinder_groups, assembly_data, sv,
+                               evidence_tracks)
+        self._get_split_support(assembly_data, sv, base_info, evidence_tracks)
+        _resolve_pair_split_conflicts(sv, evidence_tracks)
+
+        for si in range(self.sample_count):
+            for qname in evidence_tracks[si]:
+                fragev = evidence_tracks[si][qname]
+                _add_conservative_split_read_support(
+                    fragev, True, base_info.samples[si])
+                _add_conservative_split_read_support(
+                    fragev, False, base_info.samples[si])
+                _add_spanning_pair_support(fragev, base_info.samples[si])
+                _add_conservative_spanning_pair_support(
+                    fragev, base_info.samples[si])
+        return base_info, evidence_tracks
+
+    def _get_pair_support(self, groups, assembly_data, sv, evidence_tracks):
+        """(reference: getSVPairSupport SVScorerPair.cpp:400-493)."""
+        pair_opt = PairOptions(rna=self.is_rna,
+                               use_proper_pair_flag=self.is_rna)
+        processors = []
+        alt_pair_found = False
+        if assembly_data.is_candidate_spanning and \
+                (sv.is_imprecise or assembly_data.is_spanning):
+            incomplete_alt = False
+            if not sv.is_imprecise:
+                delete_size = get_delete_size(sv)
+                max_close = int(self.scanner.extreme_fifth[1] * 2)
+                incomplete_alt = 0 < delete_size <= max_close
+            if not incomplete_alt:
+                self._process_existing_alt_pairs(pair_opt, groups, sv,
+                                                 evidence_tracks)
+                alt_pair_found = True
+        if not alt_pair_found:
+            processors.append(AltPairProcessor(
+                self.scanner, sv, True, pair_opt, evidence_tracks,
+                assembly_data))
+            processors.append(AltPairProcessor(
+                self.scanner, sv, False, pair_opt, evidence_tracks,
+                assembly_data))
+        processors.append(RefPairProcessor(
+            self.scanner, sv, True, pair_opt, evidence_tracks))
+        processors.append(RefPairProcessor(
+            self.scanner, sv, False, pair_opt, evidence_tracks))
+
+        # stream each bam region once per processor interval
+        for bam_index, reader in enumerate(self.readers):
+            for proc in processors:
+                tid, beg, end = proc.interval_for_bam(bam_index)
+                if end - beg < 1:
+                    continue
+                batch = reader.fetch(tid, max(0, beg), end)
+                if batch.n == 0:
+                    continue
+                sa = has_sa_tag(batch)
+                from ..core.readfilter import is_read_filtered_core
+                core_bad = is_read_filtered_core(batch, sa)
+                nss = ((batch.flag & 0x800) != 0) | \
+                    (((batch.flag & 0x100) != 0) & sa)
+                order = np.argsort(batch.pos, kind="stable")
+                for oi in order:
+                    i = int(oi)
+                    if core_bad[i] or nss[i]:
+                        continue
+                    if proc.is_skip_record(batch, i):
+                        continue
+                    proc.process(batch, i, bam_index)
+
+    def _process_existing_alt_pairs(self, pair_opt, groups, sv,
+                                    evidence_tracks):
+        """(reference: processExistingAltPairInfo:352-447)."""
+        from ..core.svmodel import EV_PAIR, EV_LOCAL_PAIR
+        min_mapq = self.scanner.opt.min_mapq
+        min_tier2 = self.scanner.opt.min_tier2_mapq
+        for bam_index, group in enumerate(groups):
+            frag_distro = self.scanner.frag_dists[bam_index]
+            for fragment in group.fragments:
+                if fragment.read1 is None and fragment.read2 is None:
+                    continue
+                if not fragment.check_read_pair():
+                    continue
+                link = None
+                for (idx, evtype) in fragment.sv_link:
+                    if idx == sv.candidate_index:
+                        link = evtype
+                        break
+                if link is None:
+                    continue
+                is_pair_type = link in (EV_PAIR, EV_LOCAL_PAIR)
+                qname = None
+                for r in (fragment.read1, fragment.read2):
+                    if r is not None:
+                        qname = r.batch.name_str(r.index)
+                        break
+                track = evidence_tracks[bam_index]
+                fragev = track.setdefault(qname, FragmentEvidence())
+                for (r, is_read1) in ((fragment.read1, True),
+                                      (fragment.read2, False)):
+                    if r is not None:
+                        set_read_evidence(
+                            min_mapq, min_tier2,
+                            int(r.batch.mapq[r.index]),
+                            r.batch.read_len(r.index), False,
+                            fragev.get_read(is_read1))
+                is_support, frag_prob = get_frag_prob(
+                    pair_opt, sv, fragment, frag_distro, is_pair_type)
+                if not is_support or frag_prob <= 0:
+                    continue
+                fragev.alt.bp1.is_fragment_support = True
+                fragev.alt.bp1.frag_length_prob = frag_prob
+                fragev.alt.bp2.is_fragment_support = True
+                fragev.alt.bp2.frag_length_prob = frag_prob
+
+    def _get_split_support(self, assembly_data, sv, base_info,
+                           evidence_tracks):
+        """(reference: getSVSplitReadSupport SVScorerSplit.cpp:369-461)."""
+        if sv.is_imprecise:
+            return
+        align_info = SVAlignmentInfo(sv, assembly_data)
+        if not align_info.is_min_bp_edge(100):
+            return
+        flank_score_size = 50
+        min_mapq = self.scanner.opt.min_mapq
+        min_tier2 = self.scanner.opt.min_tier2_mapq
+        for bam_index, reader in enumerate(self.readers):
+            sample = base_info.samples[bam_index]
+            track = evidence_tracks[bam_index]
+            for (bp, is_bp1) in ((sv.bp1, True), (sv.bp2, False)):
+                self._score_split_reads(
+                    flank_score_size, bp, align_info, is_bp1, min_mapq,
+                    min_tier2, reader, track, sample)
+            # rms finish
+            for allele in (sample.alt, sample.ref):
+                if allele.split_read_count:
+                    allele.split_read_mapq = math.sqrt(
+                        allele.split_read_mapq / allele.split_read_count)
+                else:
+                    allele.split_read_mapq = 0.0
+
+    def _score_split_reads(self, flank_score_size, bp, align_info, is_bp1,
+                           min_mapq, min_tier2, reader, track, sample):
+        extended = 200
+        tid = bp.interval.tid
+        beg = max(0, bp.interval.beg - extended)
+        end = bp.interval.end + extended
+        batch = reader.fetch(tid, beg, end)
+        if batch.n == 0:
+            return
+        sa = has_sa_tag(batch)
+        bad = is_read_unmapped_or_filtered_core(batch, sa)
+        nss = ((batch.flag & 0x800) != 0) | (((batch.flag & 0x100) != 0) & sa)
+        order = np.argsort(batch.pos, kind="stable")
+        bp1_contig = np.frombuffer(align_info.bp1_contig().encode(), np.uint8)
+        bp2_contig = np.frombuffer(align_info.bp2_contig().encode(), np.uint8)
+        bp1_ref = np.frombuffer(align_info.bp1_reference().encode(), np.uint8)
+        bp2_ref = np.frombuffer(align_info.bp2_reference().encode(), np.uint8)
+        for oi in order:
+            i = int(oi)
+            if bad[i] or nss[i]:
+                continue
+            al = get_alignment(batch, i)
+            from ..candidates.assembler_reads import BreakendReadAssembler
+            rng = BreakendReadAssembler._matchify_ref_range(al)
+            if not (rng[1] > bp.interval.beg and rng[0] < bp.interval.end):
+                continue
+            self._get_read_split_score(
+                flank_score_size, batch, i, align_info, bp1_contig,
+                bp2_contig, bp1_ref, bp2_ref, min_mapq, min_tier2, track,
+                sample)
+
+    def _get_read_split_score(self, flank_score_size, batch, i, align_info,
+                              bp1_contig, bp2_contig, bp1_ref, bp2_ref,
+                              min_mapq, min_tier2, track, sample):
+        """(reference: getReadSplitScore:104-229)."""
+        qname = batch.name_str(i)
+        fragev = track.setdefault(qname, FragmentEvidence())
+        is_read1 = bool(batch.flag[i] & FLAG_READ1)
+        alt_bp1 = fragev.alt.bp1.get_read(is_read1)
+        if alt_bp1.is_split_evaluated:
+            return
+        ref_bp1 = fragev.ref.bp1.get_read(is_read1)
+        alt_bp2 = fragev.alt.bp2.get_read(is_read1)
+        ref_bp2 = fragev.ref.bp2.get_read(is_read1)
+        alt_bp1.is_split_evaluated = True
+        ref_bp1.is_split_evaluated = True
+        alt_bp2.is_split_evaluated = True
+        ref_bp2.is_split_evaluated = True
+
+        read = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]]
+        qual = batch.qual_arr(i)
+        set_read_evidence(min_mapq, min_tier2, int(batch.mapq[i]),
+                          batch.read_len(i), False,
+                          fragev.get_read(is_read1))
+
+        alt_bp1_sr = split_read_aligner(
+            flank_score_size, read, self.alt_q, qual, bp1_contig,
+            align_info.bp1_contig_offset[0], align_info.bp1_contig_offset[1])
+        alt_bp2_sr = split_read_aligner(
+            flank_score_size, read, self.alt_q, qual, bp2_contig,
+            align_info.bp2_contig_offset[0], align_info.bp2_contig_offset[1])
+        ref_bp1_sr = split_read_aligner(
+            flank_score_size, read, self.ref_q, qual, bp1_ref,
+            align_info.bp1_ref_offset[0], align_info.bp1_ref_offset[1])
+        ref_bp2_sr = split_read_aligner(
+            flank_score_size, read, self.ref_q, qual, bp2_ref,
+            align_info.bp2_ref_offset[0], align_info.bp2_ref_offset[1])
+
+        ref_bp1.split_ln_lhood = ref_bp1_sr.align_ln_lhood
+        ref_bp2.split_ln_lhood = ref_bp2_sr.align_ln_lhood
+        alt_bp1.split_ln_lhood = alt_bp1_sr.align_ln_lhood
+        alt_bp2.split_ln_lhood = alt_bp2_sr.align_ln_lhood
+
+        ref_llh = max(ref_bp1_sr.align_ln_lhood, ref_bp2_sr.align_ln_lhood)
+        alt_llh = max(alt_bp1_sr.align_ln_lhood, alt_bp2_sr.align_ln_lhood)
+        read_mapq = int(batch.mapq[i])
+
+        def increment(bp1_sr, bp2_sr, evidence, allele, bp1_support,
+                      bp2_support):
+            if bp1_sr.is_evidence:
+                bp1_support.is_split_support = True
+                bp1_support.split_evidence = bp1_sr.evidence
+            if bp1_sr.is_tier2_evidence:
+                bp1_support.is_tier2_split_support = True
+            if bp2_sr.is_evidence:
+                bp2_support.is_split_support = True
+                bp2_support.split_evidence = bp2_sr.evidence
+            if bp2_sr.is_tier2_evidence:
+                bp2_support.is_tier2_split_support = True
+            if bp1_sr.is_evidence or bp2_sr.is_evidence:
+                allele.split_read_count += 1
+                allele.split_read_evidence += evidence
+                allele.split_read_mapq += read_mapq * read_mapq
+
+        if self.is_rna or ref_llh > alt_llh:
+            ev = max(ref_bp1_sr.evidence if ref_bp1_sr.is_evidence else 0,
+                     ref_bp2_sr.evidence if ref_bp2_sr.is_evidence else 0)
+            increment(ref_bp1_sr, ref_bp2_sr, ev, sample.ref, ref_bp1,
+                      ref_bp2)
+        if self.is_rna or alt_llh > ref_llh:
+            ev = max(alt_bp1_sr.evidence if alt_bp1_sr.is_evidence else 0,
+                     alt_bp2_sr.evidence if alt_bp2_sr.is_evidence else 0)
+            increment(alt_bp1_sr, alt_bp2_sr, ev, sample.alt, alt_bp1,
+                      alt_bp2)
+
+    # ------------------------------------------------------------------
+    # models
+
+    def score_diploid(self, junction_data, result: DiploidResult):
+        """(reference: scoreDiploidSV:803-960)."""
+        max_q = 999
+        result.samples = [DiploidSampleResult()
+                          for _ in range(self.diploid_sample_count)]
+        joint_ref_prob = 1.0
+        for ds in range(self.diploid_sample_count):
+            sres = result.samples[ds]
+            loglhood = [0.0] * DGT_SIZE
+            for (sv, tracks, base, weight) in junction_data:
+                add_diploid_loglhood(weight, tracks[ds], loglhood)
+            pprob = [loglhood[gt] + self.diploid_log_prior[gt]
+                     for gt in range(DGT_SIZE)]
+            max_gt = normalize_log_distro(pprob)
+            sres.gt = max_gt
+            sres.gt_score = min(max_q, error_prob_to_qphred(
+                prob_comp(pprob, sres.gt)))
+            max_lhood_i = 0
+            for gt in range(1, DGT_SIZE):
+                if loglhood[gt] > loglhood[max_lhood_i]:
+                    max_lhood_i = gt
+            for gt in range(DGT_SIZE):
+                sres.pprob[gt] = pprob[gt]
+                sres.phred_loghood[gt] = min(max_q, ln_error_prob_to_qphred(
+                    loglhood[gt] - loglhood[max_lhood_i]))
+            joint_ref_prob *= pprob[DGT_REF]
+        result.alt_score = min(max_q, error_prob_to_qphred(joint_ref_prob))
+
+        d = self.diploid_opt
+        if result.alt_score < d.min_pass_alt_score:
+            result.filters.add("MinQUAL")
+        all_filtered = True
+        for sres in result.samples:
+            if sres.gt == DGT_REF:
+                sres.filters.add("HomRef")
+            if sres.gt_score < d.min_pass_gt_score:
+                sres.filters.add("MinGQ")
+            if not sres.filters:
+                all_filtered = False
+        if all_filtered:
+            result.filters.add("SampleFT")
+        junction_count = len(junction_data)
+        if self.chrom_depths is not None:
+            filtered = 0
+            for (sv, tracks, base, weight) in junction_data:
+                d1 = self.chrom_depths.get(
+                    self.scanner.chrom_names[sv.bp1.interval.tid], None)
+                d2 = self.chrom_depths.get(
+                    self.scanner.chrom_names[sv.bp2.interval.tid], None)
+                if d1 is not None and \
+                        base.bp1_max_depth > d1 * d.max_depth_factor:
+                    filtered += 1
+                elif d2 is not None and \
+                        base.bp2_max_depth > d2 * d.max_depth_factor:
+                    filtered += 1
+            if filtered * 2 > junction_count:
+                result.filters.add("MaxDepth")
+        filtered = 0
+        for (sv, tracks, base, weight) in junction_data:
+            if is_sv_below_min_size(sv, 1000):
+                if base.bp1_mq0_frac > d.max_mq0_frac or \
+                        base.bp2_mq0_frac > d.max_mq0_frac:
+                    filtered += 1
+        if filtered * 2 > junction_count:
+            result.filters.add("MaxMQ0Frac")
+        max_close = int(self.scanner.extreme_fifth[1])
+        filtered = 0
+        for (sv, tracks, base, weight) in junction_data:
+            t = get_extended_sv_type(sv)
+            if t != EXT_INSERT and not is_sv_below_min_size(sv, max_close):
+                total = sum(
+                    base.samples[ds].alt.confident_spanning_pair_count
+                    for ds in range(self.diploid_sample_count))
+                if total == 0:
+                    filtered += 1
+        if filtered * 2 > junction_count:
+            result.filters.add("NoPairSupport")
+
+    def score_somatic(self, junction_data, result: SomaticResult):
+        """(reference: scoreSomaticSV:1202-1406)."""
+        assert self.sample_count == 2 and self.diploid_sample_count == 1
+        normal_index, tumor_index = 0, 1
+        is_mj_event = len(junction_data) > 1
+        large_noise_weight = max(
+            large_noise_sv_prior_weight(sv)
+            for (sv, _, _, _) in junction_data)
+
+        def support_count(allele, weight):
+            return allele.confident_split_read_count + \
+                int(weight * allele.confident_spanning_pair_count)
+
+        tier_score = [0, 0]
+        for tier in range(2):
+            is_permissive = tier != 0
+            normal_lhood = [0.0] * SGT_SIZE
+            tumor_lhood = [0.0] * SGT_SIZE
+            alt_counts = ref_counts = 0
+            for (sv, tracks, base, weight) in junction_data:
+                alt_counts += support_count(base.samples[tumor_index].alt,
+                                            weight)
+                ref_counts += support_count(base.samples[tumor_index].ref,
+                                            weight)
+            somatic_freq = alt_counts / (alt_counts + ref_counts) \
+                if alt_counts + ref_counts else 0.0
+            alt_counts = ref_counts = 0
+            for (sv, tracks, base, weight) in junction_data:
+                for si in (normal_index, tumor_index):
+                    alt_counts += support_count(base.samples[si].alt, weight)
+                    ref_counts += support_count(base.samples[si].ref, weight)
+            noise_freq = alt_counts / (alt_counts + ref_counts) \
+                if alt_counts + ref_counts else 0.0
+
+            chimera_default = ProbSet(2e-5 if is_mj_event else 1e-4)
+            chimera_permissive = ProbSet(5e-6)
+            chimera = chimera_permissive if is_permissive else chimera_default
+            ref_split_map = ProbSet(1e-6)
+            alt_split_default = ProbSet(1e-4)
+            alt_split_permissive = ProbSet(1e-6)
+            alt_split = alt_split_permissive if is_permissive \
+                else alt_split_default
+
+            for (sv, tracks, base, weight) in junction_data:
+                _compute_somatic_sample_loghood(
+                    weight, tracks[tumor_index], somatic_freq, noise_freq,
+                    is_permissive, True, chimera_default, chimera_default,
+                    ref_split_map, alt_split_default, tumor_lhood)
+                _compute_somatic_sample_loghood(
+                    weight, tracks[normal_index], 0, noise_freq,
+                    is_permissive, False, chimera_default, chimera,
+                    ref_split_map, alt_split, normal_lhood)
+
+            somatic_pprob = [
+                tumor_lhood[gt] + normal_lhood[gt]
+                + self.somatic_log_prior_gt(gt, large_noise_weight)
+                for gt in range(SGT_SIZE)]
+            normalize_log_distro(somatic_pprob)
+
+            normal_diploid = [0.0] * DGT_SIZE
+            for (sv, tracks, base, weight) in junction_data:
+                add_diploid_loglhood(weight, tracks[normal_index],
+                                     normal_diploid)
+            normal_pprob = list(normal_diploid)
+            normalize_log_distro(normal_pprob)
+
+            nonsomatic = prob_comp(somatic_pprob, SGT_SOM)
+            nonref = prob_comp(normal_pprob, DGT_REF)
+            nonsomatic_ref = nonsomatic + nonref - nonsomatic * nonref
+            tier_score[tier] = error_prob_to_qphred(nonsomatic_ref)
+            if tier_score[tier] <= 0:
+                break
+
+        result.somatic_score = min(tier_score[0], tier_score[1])
+        result.somatic_score_tier = 1 if tier_score[1] > tier_score[0] else 0
+
+        s = self.somatic_opt
+        junction_count = len(junction_data)
+        if self.chrom_depths is not None:
+            filtered = 0
+            for (sv, tracks, base, weight) in junction_data:
+                d1 = self.chrom_depths.get(
+                    self.scanner.chrom_names[sv.bp1.interval.tid], None)
+                d2 = self.chrom_depths.get(
+                    self.scanner.chrom_names[sv.bp2.interval.tid], None)
+                if (d1 is not None
+                        and base.bp1_max_depth > d1 * s.max_depth_factor) or \
+                        (d2 is not None
+                         and base.bp2_max_depth > d2 * s.max_depth_factor):
+                    filtered += 1
+            if filtered * 2 > junction_count:
+                result.filters.add("MaxDepth")
+        if result.somatic_score < s.min_pass_somatic_score:
+            result.filters.add("MinSomaticScore")
+        filtered = 0
+        for (sv, tracks, base, weight) in junction_data:
+            if is_sv_below_min_size(sv, 1000):
+                if base.bp1_mq0_frac > s.max_mq0_frac or \
+                        base.bp2_mq0_frac > s.max_mq0_frac:
+                    filtered += 1
+        if filtered * 2 > junction_count:
+            result.filters.add("MaxMQ0Frac")
+
+    def score_tumor(self, junction_data, result: TumorResult):
+        """(reference: scoreTumorSV:958-1030)."""
+        t = self.tumor_opt
+        junction_count = len(junction_data)
+        if self.chrom_depths is not None:
+            filtered = 0
+            for (sv, tracks, base, weight) in junction_data:
+                d1 = self.chrom_depths.get(
+                    self.scanner.chrom_names[sv.bp1.interval.tid], None)
+                d2 = self.chrom_depths.get(
+                    self.scanner.chrom_names[sv.bp2.interval.tid], None)
+                if (d1 is not None
+                        and base.bp1_max_depth > d1 * t.max_depth_factor) or \
+                        (d2 is not None
+                         and base.bp2_max_depth > d2 * t.max_depth_factor):
+                    filtered += 1
+            if filtered * 2 > junction_count:
+                result.filters.add("MaxDepth")
+        filtered = 0
+        for (sv, tracks, base, weight) in junction_data:
+            if is_sv_below_min_size(sv, 1000):
+                if base.bp1_mq0_frac > t.max_mq0_frac or \
+                        base.bp2_mq0_frac > t.max_mq0_frac:
+                    filtered += 1
+        if filtered * 2 > junction_count:
+            result.filters.add("MaxMQ0Frac")
+
+    def compute_all_score_models(self, is_somatic, is_tumor_only,
+                                 junction_data, model_info: ModelScoreInfo):
+        if is_tumor_only:
+            self.score_tumor(junction_data, model_info.tumor)
+        else:
+            self.score_diploid(junction_data, model_info.diploid)
+            if is_somatic:
+                self.score_somatic(junction_data, model_info.somatic)
+
+    def score_sv(self, svfinder_groups, mj_assembly_data, mj_junctions,
+                 is_junction_filtered, is_somatic, is_tumor_only):
+        """(reference: scoreSV:1432-1530). Returns
+        (model_infos, joint_model_info, is_mj_event)."""
+        junction_count = len(mj_junctions)
+        model_infos = [ModelScoreInfo() for _ in range(junction_count)]
+        junction_evidence = [None] * junction_count
+        junction_weight = [0.0] * junction_count
+
+        unfiltered = 0
+        for ji in range(junction_count):
+            if is_junction_filtered[ji]:
+                continue
+            unfiltered += 1
+            sv = mj_junctions[ji]
+            base, tracks = self.get_sv_supporting_evidence(
+                svfinder_groups, mj_assembly_data[ji], is_tumor_only, sv)
+            model_infos[ji].base = base
+            junction_evidence[ji] = tracks
+            junction_weight[ji] = get_spanning_pair_weight(sv)
+            junction_data = [(sv, tracks, base, junction_weight[ji])]
+            self.compute_all_score_models(is_somatic, is_tumor_only,
+                                          junction_data, model_infos[ji])
+
+        joint_info = ModelScoreInfo()
+        is_mj_event = False
+        if unfiltered == 2:
+            is_mj_event = True
+            junction_data = []
+            for ji in range(junction_count):
+                if is_junction_filtered[ji]:
+                    continue
+                junction_data.append(
+                    (mj_junctions[ji], junction_evidence[ji],
+                     model_infos[ji].base, junction_weight[ji]))
+            self.compute_all_score_models(is_somatic, is_tumor_only,
+                                          junction_data, joint_info)
+        return model_infos, joint_info, is_mj_event

@@ -1,0 +1,251 @@
+"""End-to-end workflow driver: stats -> graph -> candidates -> VCFs.
+
+Single-process equivalent of the reference workflow
+(reference: src/python/lib/mantaWorkflow.py task DAG driving
+GetAlignmentStats -> EstimateSVLoci -> MergeSVLoci ->
+GenerateSVCandidates): runs all phases in order, writes the standard
+results tree (variants VCFs + stats).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats
+from ..graph.finder import estimate_sv_loci
+from ..graph.locusgraph import SVLocusSetOptions
+from ..io.bam import BamReader
+from ..io.fasta import FastaReader
+from ..scan.scanner import ScannerOptions, SVScanner
+from ..candidates.svfinder import SVFinder, iterate_edges
+from ..candidates.refiner import SVCandidateAssemblyRefiner
+from ..candidates.multijunction import find_multi_junction_candidates
+from ..candidates.processor import (
+    ProcessorOptions, SVCandidateProcessor, SVWriter,
+)
+from ..scoring.scorer import SVScorer
+from ..format.vcfwriter import (
+    VcfWriterCandidateSV, VcfWriterDiploidSV, VcfWriterSomaticSV,
+    VcfWriterTumorSV,
+)
+
+PROG_NAME = "GenerateSVCandidates"
+PROG_VERSION = "manta-tpu-0.1.0"
+
+
+def parse_region(r: str, name_to_tid):
+    chrom, _, span = r.partition(":")
+    tid = name_to_tid[chrom]
+    if span:
+        beg, _, end = span.partition("-")
+        return (tid, int(beg) - 1, int(end))
+    return (tid, 0, None)
+
+
+def get_sample_name(reader: BamReader, default: str) -> str:
+    names = reader.header.sample_names()
+    name = names[0] if names else default
+    return name.replace(" ", "_")
+
+
+def run_workflow(normal_bams: list[str], tumor_bams: list[str],
+                 reference: str, run_dir: str,
+                 regions: list[str] | None = None,
+                 is_exome: bool = False, is_rna: bool = False,
+                 min_candidate_variant_size: int = 8,
+                 min_edge_observations: int = 3,
+                 verbose: bool = True):
+    os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "workspace"), exist_ok=True)
+
+    bams = list(normal_bams) + list(tumor_bams)
+    is_tumor = [False] * len(normal_bams) + [True] * len(tumor_bams)
+    is_somatic = bool(tumor_bams) and bool(normal_bams)
+    is_tumor_only = bool(tumor_bams) and not normal_bams
+
+    fasta = FastaReader(reference)
+    readers = [BamReader(p) for p in bams]
+    header = readers[0].header
+
+    def log(msg):
+        if verbose:
+            print(f"[manta-tpu] {msg}", file=sys.stderr, flush=True)
+
+    # phase 0: alignment stats
+    log("estimating fragment-size statistics")
+    stats_set = ReadGroupStatsSet()
+    stats_list = []
+    for p in bams:
+        s = extract_read_group_stats(p)
+        stats_set.set_stats(p, s)
+        stats_list.append(s)
+    stats_set.save(os.path.join(run_dir, "workspace", "alignmentStats.json"))
+
+    scan_opt = ScannerOptions(
+        min_candidate_variant_size=min_candidate_variant_size,
+        is_ignore_anom_proper_pair=is_rna)
+    scanner = SVScanner(scan_opt, [s.frag_stats for s in stats_list],
+                        header.ref_lengths, header.ref_names, is_rna=is_rna)
+
+    # chrom depth (WGS only)
+    chrom_depths = None
+    if not (is_exome or is_rna):
+        # TODO: per-chromosome depth estimation for WGS-mode depth filters
+        chrom_depths = None
+
+    # regions
+    if regions:
+        region_list = [parse_region(r, header.name_to_tid) for r in regions]
+        region_list = [
+            (tid, beg, end if end is not None else header.ref_lengths[tid])
+            for (tid, beg, end) in region_list]
+    else:
+        region_list = [(tid, 0, length)
+                       for tid, length in enumerate(header.ref_lengths)]
+
+    # phase 1: locus graph
+    log("building breakend graph")
+    graph_opt = SVLocusSetOptions(
+        observation_weight=3,
+        min_merge_edge_observations=min_edge_observations)
+    locus_set = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
+                                 region_list, fasta,
+                                 chrom_depths=chrom_depths)
+    locus_set.finalize()
+    graph_path = os.path.join(run_dir, "workspace", "svLocusGraph.npz")
+    locus_set.save(graph_path)
+    # reload for phase 2: serialization round-trip compacts empty locus
+    # slots, matching the reference's save/load locus renumbering
+    from ..graph.locusgraph import SVLocusSet
+    locus_set = SVLocusSet.load(graph_path)
+    log(f"graph complete: {locus_set.non_empty_size()} loci, "
+        f"{locus_set.total_node_count()} nodes")
+
+    # phase 2: candidate generation and scoring
+    log("generating and scoring SV candidates")
+    finder = SVFinder(scanner, bams, is_tumor, locus_set.sample_counts, fasta,
+                      chrom_depths=chrom_depths, is_rna=is_rna)
+    refiner = SVCandidateAssemblyRefiner(
+        scanner, finder.readers, is_tumor, fasta, chrom_depths=chrom_depths,
+        min_candidate_variant_size=min_candidate_variant_size)
+    scorer = SVScorer(scanner, finder.readers, is_tumor, fasta,
+                      chrom_depths=chrom_depths, is_rna=is_rna)
+
+    variants_dir = os.path.join(run_dir, "results", "variants")
+    cand_writer = VcfWriterCandidateSV(
+        reference, header.ref_names, header.ref_lengths, fasta,
+        os.path.join(variants_dir, "candidateSV.vcf"))
+    cand_writer.write_header(PROG_NAME, PROG_VERSION, [])
+    sample_names = [get_sample_name(r, f"SAMPLE{i + 1}")
+                    for i, r in enumerate(readers)]
+    diploid_writer = somatic_writer = tumor_writer = None
+    if is_tumor_only:
+        tumor_writer = VcfWriterTumorSV(
+            scorer.tumor_opt, chrom_depths is not None,
+            reference, header.ref_names, header.ref_lengths, fasta,
+            os.path.join(variants_dir, "tumorSV.vcf"))
+        tumor_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
+    else:
+        diploid_sample_names = [n for n, t in zip(sample_names, is_tumor)
+                                if not t]
+        diploid_writer = VcfWriterDiploidSV(
+            scorer.diploid_opt, chrom_depths is not None,
+            reference, header.ref_names, header.ref_lengths, fasta,
+            os.path.join(variants_dir, "diploidSV.vcf"))
+        diploid_writer.write_header(PROG_NAME, PROG_VERSION,
+                                    diploid_sample_names)
+        if is_somatic:
+            somatic_writer = VcfWriterSomaticSV(
+                scorer.somatic_opt, chrom_depths is not None,
+                reference, header.ref_names, header.ref_lengths, fasta,
+                os.path.join(variants_dir, "somaticSV.vcf"))
+            somatic_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
+
+    writer = SVWriter(
+        cand_writer, diploid_writer, somatic_writer, tumor_writer,
+        diploid_sample_count=sum(1 for t in is_tumor if not t),
+        min_output_alt_score=scorer.diploid_opt.min_output_alt_score,
+        min_output_somatic_score=scorer.somatic_opt.min_output_somatic_score)
+
+    proc_opt = ProcessorOptions(
+        min_candidate_variant_size=min_candidate_variant_size, is_rna=is_rna)
+    processor = SVCandidateProcessor(proc_opt, refiner, scorer, writer,
+                                     locus_set, is_somatic, is_tumor_only)
+
+    edge_count = 0
+    for edge in iterate_edges(locus_set):
+        edge_count += 1
+        li, n1, n2 = edge
+        svs, groups = finder.find_candidate_sv(locus_set, li, n1, n2)
+        mj_groups = find_multi_junction_candidates(
+            svs, proc_opt.min_candidate_spanning_count, is_rna)
+        processor.evaluate_candidates(edge, mj_groups, groups)
+    log(f"processed {edge_count} graph edges")
+
+    cand_writer.stream.close()
+    for w in (diploid_writer, somatic_writer, tumor_writer):
+        if w is not None:
+            w.stream.close()
+
+    # sort output VCFs (reference: libexec/sortVcf.py key ordering)
+    chrom_order = {name: i for i, name in enumerate(header.ref_names)}
+    for fn in ("candidateSV.vcf", "diploidSV.vcf", "somaticSV.vcf",
+               "tumorSV.vcf"):
+        path = os.path.join(variants_dir, fn)
+        if os.path.exists(path):
+            sort_vcf(path, chrom_order)
+    return run_dir
+
+
+def sort_vcf(path: str, chrom_order: dict):
+    """Sort VCF records by (header chrom order, chrom, pos, end, ref,
+    alt, id) as in the reference's sortVcf.py."""
+    import re
+    with open(path) as f:
+        lines = f.readlines()
+    header = [l for l in lines if l.startswith("#")]
+    records = [l for l in lines if not l.startswith("#")]
+
+    def key(line):
+        w = line.rstrip("\n").split("\t")
+        chrom, pos, vid, ref, alt = w[0], int(w[1]), w[2], w[3], w[4]
+        end = pos + len(ref) - 1
+        m = re.search(r"END=([^;\t]*)", w[7])
+        if m:
+            end = int(m.group(1))
+        return (chrom_order.get(chrom, len(chrom_order)), chrom, pos, end,
+                ref, alt, vid)
+
+    records.sort(key=key)
+    with open(path, "w") as f:
+        f.writelines(header)
+        f.writelines(records)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="TPU-native structural variant caller")
+    ap.add_argument("--normal-bam", "--bam", dest="normal_bams",
+                    action="append", default=[])
+    ap.add_argument("--tumor-bam", dest="tumor_bams", action="append",
+                    default=[])
+    ap.add_argument("--reference", required=True)
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--region", dest="regions", action="append", default=[])
+    ap.add_argument("--exome", action="store_true")
+    ap.add_argument("--rna", action="store_true")
+    ap.add_argument("--min-candidate-sv-size", type=int, default=8)
+    ap.add_argument("--min-edge-observations", type=int, default=3)
+    args = ap.parse_args(argv)
+    run_workflow(args.normal_bams, args.tumor_bams, args.reference,
+                 args.run_dir, regions=args.regions or None,
+                 is_exome=args.exome, is_rna=args.rna,
+                 min_candidate_variant_size=args.min_candidate_sv_size,
+                 min_edge_observations=args.min_edge_observations)
+
+
+if __name__ == "__main__":
+    main()
