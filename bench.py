@@ -1,0 +1,74 @@
+"""Headline kernel benchmark: batched split-read scoring throughput.
+
+Measures the phase-2 scoring hot loop — the sliding basecall-likelihood
+scan of reads across breakpoint junctions (reference:
+GenerateSVCandidates/SplitReadAlignment.cpp) — as the jitted, batched
+device kernel manta_tpu/align/device_splitscore.batched_split_score.
+
+Baseline: the reference evaluates one (read, scan-position) base term
+per scalar loop iteration. BASELINE.md's headline config is 20 physical
+cores (dual Xeon E5-2680 v2); a generous estimate for the reference's
+C++ inner loop is ~1e9 base-terms/s/core => 2e10 base-terms/s for the
+full 20-core baseline machine. vs_baseline is device throughput over
+that whole-machine figure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TERMS_PER_S = 2.0e10  # 20 cores x ~1e9 scalar base-terms/s
+
+
+def main():
+    import jax
+
+    from manta_tpu.align.device_splitscore import (
+        batched_split_score, make_luts,
+    )
+
+    B, L, T = 512, 150, 500
+    n_scan = T
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    targets = bases[rng.integers(0, 4, (B, T))].copy()
+    reads = np.empty((B, L), np.uint8)
+    for b in range(B):
+        pos = rng.integers(0, T - L)
+        reads[b] = targets[b, pos:pos + L]
+    quals = rng.integers(10, 40, (B, L)).astype(np.uint8)
+    bp_beg = rng.integers(60, T - 60, B).astype(np.int32)
+    bp_end = (bp_beg + rng.integers(0, 5, B)).astype(np.int32)
+    read_len = np.full(B, L, np.int32)
+    target_len = np.full(B, T, np.int32)
+    lut_m, lut_x = make_luts(0.0)
+
+    def run():
+        best, best_pos = batched_split_score(
+            reads, quals, targets, bp_beg, bp_end, read_len, target_len,
+            50, lut_m, lut_x, n_scan=n_scan)
+        jax.block_until_ready(best)
+        return best, best_pos
+
+    run()  # warmup + compile
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+
+    terms = B * n_scan * L  # base-terms evaluated per launch
+    terms_per_s = terms / dt
+    print(json.dumps({
+        "metric": "splitread_score_throughput",
+        "value": round(terms_per_s / 1e9, 3),
+        "unit": "Gterms/s",
+        "vs_baseline": round(terms_per_s / BASELINE_TERMS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,10 +8,16 @@ extracted once into .testdata/.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
+# Force the CPU backend via jax.config (NOT env vars): the TPU tunnel
+# plugin registers at interpreter startup with priority 500 and ignores
+# JAX_PLATFORMS=cpu, and --xla_force_host_platform_device_count makes
+# its client init hang. The config route below reliably selects CPU
+# with 8 virtual devices before any backend is initialized.
+os.environ.pop("XLA_FLAGS", None)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 import tarfile
