@@ -1,0 +1,286 @@
+"""Per-chromosome median depth estimation (phase-0, WGS mode).
+
+Behavioral port of the reference GetChromDepth application
+(reference: applications/GetChromDepth/ReadChromDepthUtil.cpp): each
+chromosome is divided into <=20 segments; segments are scanned in
+round-robin cycles of ~40k reads each until the running median depth
+converges (<0.05 change per 1M-read checkpoint) or data runs out.
+Depth is tracked "as if reads align perfectly in place" through a
+16x-compressed block buffer (blt_util/depth_buffer.hpp:82-114), and
+the median excludes zero-depth positions
+(blt_util/MedianDepthTracker.hpp).
+
+The inner per-position flush loop is replaced by a vectorized
+block-deficit computation: for flushed position p in 16-base block b,
+the buffer value at flush time is
+  S_p = (total base overlap of block b from reads starting <= p)
+      = T_b - sum_{reads r in block b with start > p} overlap(r, b)
+and the recorded observation is (S_p + 8) // 16. This reproduces the
+reference's value-at-flush-time semantics exactly without a scalar
+scan.
+
+Per-BAM depths are summed across input BAMs
+(reference: libexec/mergeChromDepth.py) and written as
+"chrom<TAB>depth" lines consumed by the depth-filter logic
+(reference: manta/ChromDepthFilterUtil.cpp:29-61).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.bam import BamReader
+from ..core.readfilter import (
+    FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+    is_read_unmapped_or_filtered_core,
+)
+
+_STATS_CHECK_COUNT = 1_000_000
+_TARGET_SEGMENT_READS = 40_000
+_MIN_SPAN = 10_000
+_MAX_CYCLES = 10
+_DEPTH_PRECISION = 0.05
+_CSIZE = 16
+
+
+def _median(counter: dict, total: int) -> float:
+    """(reference: MedianDepthTracker::getMedian) — zero-depth excluded,
+    integer doubling arithmetic preserved."""
+    ztotal = total + 1 - counter.get(0, 0)
+    sum2 = 0
+    last_before = 0
+    first_after = 0
+    for val in sorted(counter):
+        if val == 0:
+            continue
+        sum2 += counter[val] * 2
+        if sum2 >= ztotal:
+            first_after = val
+            if (ztotal + counter[val] * 2) != (sum2 + 1):
+                last_before = first_after
+            break
+        last_before = val
+    if last_before == first_after:
+        return float(last_before)
+    return (last_before + first_after) / 2.0
+
+
+def _chrom_segments(chrom_size: int, segment_size: int) -> list[int]:
+    """(reference: getChromSegments:252-271)."""
+    n_seg = 1 + (chrom_size - 1) // segment_size
+    base = chrom_size // n_seg
+    n_plus_one = chrom_size % n_seg
+    out = []
+    start = 0
+    for i in range(n_seg):
+        out.append(start)
+        start = min(start + base + (1 if i < n_plus_one else 0), chrom_size)
+    return out
+
+
+def _visit_observations(starts: np.ndarray, lengths: np.ndarray):
+    """Per-position flushed depth values for one region visit.
+
+    Returns (positions base offset p0, values v[p] for p in
+    [p0, plast]) where plast = last read start."""
+    p0 = int(starts[0])
+    plast = int(starts[-1])
+    b0 = p0 // _CSIZE
+    b1 = plast // _CSIZE
+    nb = b1 - b0 + 1
+    span = nb * _CSIZE
+    base = b0 * _CSIZE
+
+    idx_s = starts - base
+    idx_e = np.minimum(starts + lengths, base + span) - base
+    cov = np.zeros(span + 1, np.int64)
+    np.add.at(cov, idx_s, 1)
+    np.add.at(cov, idx_e, -1)
+    cov = np.cumsum(cov[:-1])
+    T = cov.reshape(nb, _CSIZE).sum(axis=1)
+
+    # own-block overlap of each read, accumulated at its start position
+    block_end = (starts // _CSIZE + 1) * _CSIZE
+    c = np.minimum(lengths.astype(np.int64), block_end - starts)
+    G = np.zeros(span, np.int64)
+    np.add.at(G, idx_s, c)
+    cumG = G.reshape(nb, _CSIZE).cumsum(axis=1)
+    D = cumG[:, -1][:, None] - cumG
+    S = T[:, None] - D
+    v = (S + (_CSIZE // 2)) // _CSIZE
+    return p0, plast, v.reshape(-1)[p0 - base:plast - base + 1]
+
+
+class _MedianState:
+    def __init__(self):
+        self.counter: dict[int, int] = {}
+        self.total = 0
+        self.old_depth = -1.0
+        self.converged = False
+
+    def add(self, values: np.ndarray):
+        if len(values) == 0:
+            return
+        uniq, counts = np.unique(values, return_counts=True)
+        for u, ct in zip(uniq.tolist(), counts.tolist()):
+            self.counter[u] = self.counter.get(u, 0) + ct
+        self.total += len(values)
+
+    def convergence_check(self):
+        depth = _median(self.counter, self.total)
+        if self.old_depth >= 0:
+            self.converged = abs(self.old_depth - depth) < _DEPTH_PRECISION
+        self.old_depth = depth
+
+    def median(self) -> float:
+        return _median(self.counter, self.total)
+
+
+def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
+    """(reference: readChromDepthFromAlignment:273-410)."""
+    segment_size = 2_000_000
+    while True:
+        seg_starts = _chrom_segments(chrom_size, segment_size)
+        if len(seg_starts) <= 20:
+            break
+        segment_size *= 2
+    n_seg = len(seg_starts)
+    head = list(seg_starts)
+    empty = [False] * n_seg
+
+    state = _MedianState()
+    added_count = 0
+    pending_flush: np.ndarray | None = None  # plast observation
+
+    finished = False
+    for cycle in range(_MAX_CYCLES):
+        if cycle > 0 and state.converged and not finished:
+            # reference: the convergence break fires per read inside the
+            # next segment scan, after that scan's setNewRegion flushed
+            # the pending observation
+            if pending_flush is not None:
+                state.add(pending_flush)
+                pending_flush = None
+            break
+        if finished:
+            break
+        any_data = False
+        for si in range(n_seg):
+            if empty[si]:
+                continue
+            if finished:
+                # converged mid-cycle: remaining segment scans only
+                # trigger setNewRegion (flushing any pending obs) before
+                # their first-read convergence break
+                if pending_flush is not None:
+                    state.add(pending_flush)
+                    pending_flush = None
+                break
+            start = head[si]
+            end = seg_starts[si + 1] if si + 1 < n_seg else chrom_size
+            batch = reader.fetch(tid, start, end)
+            keep = batch.pos >= start
+            batch = batch.subset(keep)
+            n = batch.n
+
+            # region visit boundary: flush previous visit's pending obs
+            if pending_flush is not None:
+                state.add(pending_flush)
+                pending_flush = None
+
+            if n == 0:
+                empty[si] = True
+                continue
+            any_data = True
+
+            # cycling cut: first read at a fresh position past both the
+            # count and span thresholds stops this visit
+            pos = batch.pos.astype(np.int64)
+            fresh = np.empty(n, bool)
+            fresh[0] = True
+            fresh[1:] = pos[1:] > pos[:-1]
+            cut_mask = fresh & (np.arange(1, n + 1) > _TARGET_SEGMENT_READS) \
+                & (pos - start >= _MIN_SPAN)
+            if cut_mask.any():
+                cut = int(np.argmax(cut_mask))
+                head[si] = int(pos[cut])
+                batch = batch.subset(np.arange(n) < cut)
+                pos = pos[:cut]
+            else:
+                head[si] = int(pos[-1]) + 1
+
+            # core read filters (reference: depth loop filters split/
+            # secondary reads entirely to avoid double counting)
+            bad = is_read_unmapped_or_filtered_core(batch)
+            bad |= (batch.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) != 0
+            lengths = (batch.seq_off[1:] - batch.seq_off[:-1]).astype(np.int64)
+            ok = ~bad & (lengths > 0)
+            starts = pos[ok]
+            lengths = lengths[ok]
+            m = len(starts)
+            if m == 0:
+                continue
+
+            p0, plast, values = _visit_observations(starts, lengths)
+            obs = values[:-1]  # [p0, plast); plast flushes at next visit
+            pending_flush = values[-1:]
+
+            # 1M-added-read convergence checkpoints within this visit
+            next_check = ((added_count // _STATS_CHECK_COUNT) + 1) * \
+                _STATS_CHECK_COUNT
+            consumed = 0
+            while added_count + m >= next_check:
+                k = next_check - added_count - 1  # index of boundary read
+                sk = int(starts[k])
+                upto = min(max(sk - p0, 0), len(obs))
+                state.add(obs[consumed:upto])
+                consumed = upto
+                state.convergence_check()
+                if cycle > 0 and state.converged:
+                    # stop at the next read; the s_k position flushes at
+                    # the next setNewRegion, valued over reads [0, k]
+                    added_count = next_check
+                    finished = True
+                    _, _, vals_k = _visit_observations(
+                        starts[:k + 1], lengths[:k + 1])
+                    pending_flush = vals_k[-1:]
+                    break
+                next_check += _STATS_CHECK_COUNT
+            if finished:
+                continue
+            state.add(obs[consumed:])
+            added_count += m
+        if not any_data and not finished:
+            break
+
+    return state.median()
+
+
+def estimate_chrom_depths(bam_paths: list[str]) -> dict[str, float]:
+    """Sum per-chromosome depths across BAMs
+    (reference: libexec/mergeChromDepth.py)."""
+    totals: dict[str, float] = {}
+    for path in bam_paths:
+        reader = BamReader(path)
+        for tid, (name, size) in enumerate(zip(reader.header.ref_names,
+                                               reader.header.ref_lengths)):
+            d = read_chrom_depth(reader, tid, size)
+            totals[name] = totals.get(name, 0.0) + d
+    return totals
+
+
+def write_chrom_depth(path: str, depths: dict[str, float]):
+    with open(path, "w") as f:
+        for name, d in depths.items():
+            f.write(f"{name}\t{d:.3f}\n")
+
+
+def parse_chrom_depth(path: str) -> dict[str, float]:
+    """(reference: htsapi/parse_chrom_depth)."""
+    out: dict[str, float] = {}
+    with open(path) as f:
+        for line in f:
+            w = line.rstrip("\n").split("\t")
+            if len(w) >= 2:
+                out[w[0]] = float(w[1])
+    return out

@@ -38,8 +38,10 @@ class QscoreSnp:
         q = np.arange(MAX_QSCORE + 1, dtype=np.float64)
         qerr = np.power(10.0, -q / 10.0)
         self.p = qerr * comp_snp3 + (1.0 - qerr) * snp_prob
-        self.ln_comp_e = np.log1p(-self.p)
-        self.ln_e = np.log(self.p)
+        with np.errstate(divide="ignore"):
+            # q=0/1 entries are -inf but unused (quals clamped >= 2)
+            self.ln_comp_e = np.log1p(-self.p)
+            self.ln_e = np.log(self.p)
 
 
 @dataclass

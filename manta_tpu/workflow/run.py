@@ -90,11 +90,18 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     scanner = SVScanner(scan_opt, [s.frag_stats for s in stats_list],
                         header.ref_lengths, header.ref_names, is_rna=is_rna)
 
-    # chrom depth (WGS only)
+    # chrom depth (WGS only; reference: mantaGetDepthFromAlignments uses
+    # normal BAMs when present, else tumor BAMs)
     chrom_depths = None
     if not (is_exome or is_rna):
-        # TODO: per-chromosome depth estimation for WGS-mode depth filters
-        chrom_depths = None
+        from ..core.chromdepth import estimate_chrom_depths, \
+            write_chrom_depth
+        log("estimating chromosome depth")
+        depth_bams = normal_bams if normal_bams else tumor_bams
+        chrom_depths = estimate_chrom_depths(depth_bams)
+        write_chrom_depth(
+            os.path.join(run_dir, "workspace", "chromDepth.txt"),
+            chrom_depths)
 
     # regions
     if regions:
