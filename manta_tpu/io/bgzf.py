@@ -78,16 +78,26 @@ class BgzfWriter:
         self._f = fileobj
         self._level = level
         self._buf = bytearray()
+        self._coffset = 0  # compressed bytes emitted so far
 
     def write(self, data: bytes) -> None:
         self._buf += data
         while len(self._buf) >= 0xFF00:
-            self._f.write(bgzf_compress_block(bytes(self._buf[:0xFF00]), self._level))
+            blk = bgzf_compress_block(bytes(self._buf[:0xFF00]), self._level)
+            self._f.write(blk)
+            self._coffset += len(blk)
             del self._buf[:0xFF00]
+
+    def tell_virtual(self) -> int:
+        """BGZF virtual offset of the next byte to be written
+        (compressed block offset << 16 | within-block offset)."""
+        return (self._coffset << 16) | len(self._buf)
 
     def close(self) -> None:
         if self._buf:
-            self._f.write(bgzf_compress_block(bytes(self._buf), self._level))
+            blk = bgzf_compress_block(bytes(self._buf), self._level)
+            self._f.write(blk)
+            self._coffset += len(blk)
             self._buf.clear()
         self._f.write(BGZF_EOF)
         self._f.flush()

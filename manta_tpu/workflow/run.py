@@ -142,9 +142,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                       chrom_depths=chrom_depths, is_rna=is_rna)
 
     variants_dir = os.path.join(run_dir, "results", "variants")
+    unsorted_dir = os.path.join(run_dir, "workspace")
     cand_writer = VcfWriterCandidateSV(
         reference, header.ref_names, header.ref_lengths, fasta,
-        os.path.join(variants_dir, "candidateSV.vcf"))
+        os.path.join(unsorted_dir, "candidateSV.vcf"))
     cand_writer.write_header(PROG_NAME, PROG_VERSION, [])
     sample_names = [get_sample_name(r, f"SAMPLE{i + 1}")
                     for i, r in enumerate(readers)]
@@ -153,7 +154,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         tumor_writer = VcfWriterTumorSV(
             scorer.tumor_opt, chrom_depths is not None,
             reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(variants_dir, "tumorSV.vcf"))
+            os.path.join(unsorted_dir, "tumorSV.vcf"))
         tumor_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
     else:
         diploid_sample_names = [n for n, t in zip(sample_names, is_tumor)
@@ -161,14 +162,14 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         diploid_writer = VcfWriterDiploidSV(
             scorer.diploid_opt, chrom_depths is not None,
             reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(variants_dir, "diploidSV.vcf"))
+            os.path.join(unsorted_dir, "diploidSV.vcf"))
         diploid_writer.write_header(PROG_NAME, PROG_VERSION,
                                     diploid_sample_names)
         if is_somatic:
             somatic_writer = VcfWriterSomaticSV(
                 scorer.somatic_opt, chrom_depths is not None,
                 reference, header.ref_names, header.ref_lengths, fasta,
-                os.path.join(variants_dir, "somaticSV.vcf"))
+                os.path.join(unsorted_dir, "somaticSV.vcf"))
             somatic_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
 
     writer = SVWriter(
@@ -197,39 +198,43 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         if w is not None:
             w.stream.close()
 
-    # sort output VCFs (reference: libexec/sortVcf.py key ordering)
-    chrom_order = {name: i for i, name in enumerate(header.ref_names)}
-    for fn in ("candidateSV.vcf", "diploidSV.vcf", "somaticSV.vcf",
-               "tumorSV.vcf"):
-        path = os.path.join(variants_dir, fn)
-        if os.path.exists(path):
-            sort_vcf(path, chrom_order)
+    # final output stage (reference: mantaWorkflow.py sortAllVcfs):
+    # sort + dedup, ploidy-filter diploid, extract small indels, then
+    # bgzip + tabix into results/variants
+    from .postprocess import (
+        extract_small_indel_lines, ploidy_filter_lines, sort_vcf_lines,
+    )
+    from ..format.tabix import write_vcf_gz
+
+    def read_lines(name):
+        path = os.path.join(unsorted_dir, name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.readlines()
+
+    cand_lines = read_lines("candidateSV.vcf")
+    if cand_lines is not None:
+        sorted_cand = sort_vcf_lines(cand_lines, print_all=True)
+        write_vcf_gz(sorted_cand,
+                     os.path.join(variants_dir, "candidateSV.vcf.gz"))
+        max_small = proc_opt.min_scored_variant_size - 1
+        if max_small >= 1:
+            write_vcf_gz(
+                extract_small_indel_lines(sorted_cand, max_small),
+                os.path.join(variants_dir, "candidateSmallIndels.vcf.gz"))
+    for name, out_name, is_diploid in (
+            ("diploidSV.vcf", "diploidSV.vcf.gz", True),
+            ("somaticSV.vcf", "somaticSV.vcf.gz", False),
+            ("tumorSV.vcf", "tumorSV.vcf.gz", False)):
+        lines = read_lines(name)
+        if lines is None:
+            continue
+        lines = sort_vcf_lines(lines)
+        if is_diploid:
+            lines = ploidy_filter_lines(lines)
+        write_vcf_gz(lines, os.path.join(variants_dir, out_name))
     return run_dir
-
-
-def sort_vcf(path: str, chrom_order: dict):
-    """Sort VCF records by (header chrom order, chrom, pos, end, ref,
-    alt, id) as in the reference's sortVcf.py."""
-    import re
-    with open(path) as f:
-        lines = f.readlines()
-    header = [l for l in lines if l.startswith("#")]
-    records = [l for l in lines if not l.startswith("#")]
-
-    def key(line):
-        w = line.rstrip("\n").split("\t")
-        chrom, pos, vid, ref, alt = w[0], int(w[1]), w[2], w[3], w[4]
-        end = pos + len(ref) - 1
-        m = re.search(r"END=([^;\t]*)", w[7])
-        if m:
-            end = int(m.group(1))
-        return (chrom_order.get(chrom, len(chrom_order)), chrom, pos, end,
-                ref, alt, vid)
-
-    records.sort(key=key)
-    with open(path, "w") as f:
-        f.writelines(header)
-        f.writelines(records)
 
 
 def main(argv=None):
