@@ -52,7 +52,8 @@ class ProcessorOptions:
 
 class SVCandidateProcessor:
     def __init__(self, opt: ProcessorOptions, refiner, scorer, writer,
-                 locus_set, is_somatic: bool, is_tumor_only: bool):
+                 locus_set, is_somatic: bool, is_tumor_only: bool,
+                 edge_tracker=None):
         self.opt = opt
         self.refiner = refiner
         self.scorer = scorer
@@ -60,10 +61,21 @@ class SVCandidateProcessor:
         self.locus_set = locus_set
         self.is_somatic = is_somatic
         self.is_tumor_only = is_tumor_only
+        self.edge_tracker = edge_tracker
+        self._reset_edge_state(False)
+
+    def _reset_edge_state(self, is_self_edge):
+        from ..workflow.stats import CpuTimes
+        self._is_self_edge = is_self_edge
+        self.assembly_time = CpuTimes()
+        self.scoring_time = CpuTimes()
+        self.assembled_count = 0
+        self.assembled_complex_count = 0
 
     def evaluate_candidates(self, edge, mj_groups, svfinder_groups):
         """(reference: evaluateCandidates:54-96)."""
         li, n1, n2 = edge
+        self._reset_edge_state(n1 == n2)
         is_isolated = test_isolated_edge(self.locus_set, li, n1, n2)
         find_large_insertions = is_isolated
         if find_large_insertions:
@@ -83,12 +95,23 @@ class SVCandidateProcessor:
         mj_assembly_data = []
         any_small_assembler = False
         if not self.opt.is_skip_assembly:
+            from ..workflow.stats import TimeBlock
             for sv in junctions:
-                data = self.refiner.get_candidate_assembly_data(
-                    sv, find_large_insertions)
+                tb = TimeBlock()
+                with tb:
+                    data = self.refiner.get_candidate_assembly_data(
+                        sv, find_large_insertions)
+                self.assembly_time.merge(tb.times)
                 mj_assembly_data.append(data)
                 if data.svs and not data.is_spanning:
                     any_small_assembler = True
+                self.assembled_count += len(data.svs)
+                if data.svs and not data.is_spanning:
+                    self.assembled_complex_count += len(data.svs)
+                if self.edge_tracker is not None:
+                    self.edge_tracker.update_assembly_count(
+                        self._is_self_edge, len(data.svs),
+                        data.is_spanning)
         else:
             from .refiner import AssemblyData
             mj_assembly_data = [AssemblyData() for _ in junctions]
@@ -190,9 +213,20 @@ class SVCandidateProcessor:
                                         self.opt.min_scored_variant_size):
                     scored_filtered[ji] = True
             if not all(scored_filtered):
-                model_infos, joint_info, is_mj_event = self.scorer.score_sv(
-                    svfinder_groups, mj_assembly_data, mj_junctions,
-                    scored_filtered, self.is_somatic, self.is_tumor_only)
+                from ..workflow.stats import TimeBlock
+                if self.edge_tracker is not None:
+                    unfiltered = sum(1 for f in scored_filtered if not f)
+                    self.edge_tracker.update_junction_counts(
+                        self._is_self_edge, unfiltered,
+                        is_complex_sv(mj_junctions[0]))
+                tb = TimeBlock()
+                with tb:
+                    model_infos, joint_info, is_mj_event = \
+                        self.scorer.score_sv(
+                            svfinder_groups, mj_assembly_data, mj_junctions,
+                            scored_filtered, self.is_somatic,
+                            self.is_tumor_only)
+                self.scoring_time.merge(tb.times)
         self.writer.write_sv(
             mj_assembly_data, mj_junctions, candidate_filtered,
             scored_filtered, sv_ids, model_infos, joint_info, is_mj_event)

@@ -62,6 +62,29 @@ def is_read_unmapped_or_filtered_core(batch: ReadBatch, sa: np.ndarray | None = 
     return is_read_filtered_core(batch, sa) | ((batch.flag & FLAG_UNMAPPED) != 0)
 
 
+def is_mate_insertion_evidence_candidate(batch: ReadBatch, i: int,
+                                         min_mapq: int) -> bool:
+    """Anomalous pair whose mate could support insertion assembly
+    (reference: manta/RemoteMateReadUtil.cpp:29-45)."""
+    flag = int(batch.flag[i])
+    if not (flag & FLAG_PAIRED):
+        return False
+    if flag & FLAG_SUPPLEMENTARY:
+        return False
+    if (flag & FLAG_SECONDARY) and \
+            batch.get_tag(i, b"SA") is not None:
+        return False
+    if flag & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED):
+        return False
+    if batch.mapq[i] < min_mapq:
+        return False
+    if batch.refid[i] < 0 or batch.next_refid[i] < 0:
+        return False
+    if batch.refid[i] != batch.next_refid[i]:
+        return True
+    return abs(int(batch.pos[i]) - int(batch.next_pos[i])) >= 10000
+
+
 def is_mapped_pair(batch: ReadBatch) -> np.ndarray:
     f = batch.flag
     return (

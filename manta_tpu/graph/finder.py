@@ -15,9 +15,15 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.readfilter import has_sa_tag, is_read_unmapped_or_filtered_core
+from ..core.readfilter import (
+    has_sa_tag, is_mate_insertion_evidence_candidate,
+    is_read_unmapped_or_filtered_core,
+)
+from ..core.svmodel import EV_SIZE
 from ..io.bam import BamReader, ReadBatch
-from ..scan.scanner import ScannerOptions, SVScanner
+from ..scan.scanner import (
+    WEIGHT_CLOSE_READ_PAIR, ScannerOptions, SVScanner,
+)
 from .locusgraph import SVLocus, SVLocusSet, SVLocusSetOptions
 
 DENOISE_BORDER = 5000
@@ -66,9 +72,16 @@ class SampleCounts:
     indel: int = 0
     assm: int = 0
     ignored: int = 0
+    remote_recovery_candidates: int = 0
+    split_supplementary_segment: int = 0
+    close_count: int = 0
+    e_type: list = field(default_factory=lambda: [0] * EV_SIZE)
+    source: str = ""
 
     def to_dict(self):
-        return self.__dict__.copy()
+        d = self.__dict__.copy()
+        d["e_type"] = list(d["e_type"])
+        return d
 
     @classmethod
     def from_dict(cls, d):
@@ -199,7 +212,14 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
         for si, c in enumerate(finder.counts):
             merged = locus_set.sample_counts[si]
             for k, v in c.to_dict().items():
-                merged[k] = merged.get(k, 0) + v
+                if isinstance(v, list):
+                    prev = merged.get(k, [0] * len(v))
+                    merged[k] = [a + b2 for a, b2 in zip(prev, v)]
+                elif isinstance(v, str):
+                    merged[k] = v or merged.get(k, "")
+                else:
+                    merged[k] = merged.get(k, 0) + v
+            merged["source"] = bam_paths[si]
     return locus_set
 
 
@@ -252,11 +272,16 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
         # evidence-count statistics (SVLocusScanner.cpp:1457-1479):
         # supplemental split segments are excluded from "normal" counts
         tm = type_masks[si]
-        if not supplementary[si][i]:
+        if supplementary[si][i]:
+            counts.split_supplementary_segment += 1
+        else:
             counts.total += 1
             if tm is not None:
                 if tm["anom"][i]:
                     counts.anom += 1
+                    if is_mate_insertion_evidence_candidate(
+                            b, i, min_mapq):
+                        counts.remote_recovery_candidates += 1
                 if tm["split"][i]:
                     counts.split += 1
                 if tm["anom"][i] and tm["split"][i]:
@@ -275,6 +300,13 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
         loci_data = finder.scanner.get_read_loci_data(
             b, i, si, finder.refseq, finder.ref_offset)
         for (bp1, bp2, w1, w2, ev_range, is_complex) in loci_data:
+            # evidence-type stats (SVLocusScanner.cpp:1208-1231)
+            for j in range(EV_SIZE):
+                counts.e_type[j] += int(bp1.evidence[j])
+            if w1 == WEIGHT_CLOSE_READ_PAIR and \
+                    bp1.get_any_non_pair_count() == 0 and \
+                    bp1.get_local_pair_count() != 0:
+                counts.close_count += 1
             locus = SVLocus()
             n1 = locus.add_node(bp1.interval.tid, bp1.interval.beg,
                                 bp1.interval.end)

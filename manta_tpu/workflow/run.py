@@ -83,6 +83,13 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         stats_set.set_stats(p, s)
         stats_list.append(s)
     stats_set.save(os.path.join(run_dir, "workspace", "alignmentStats.json"))
+    from .stats import (
+        CpuTimes, EdgeStatsTracker, TimeBlock,
+        write_alignment_stats_summary, write_graph_stats,
+    )
+    stats_dir = os.path.join(run_dir, "results", "stats")
+    write_alignment_stats_summary(
+        stats_set, os.path.join(stats_dir, "alignmentStatsSummary.txt"))
 
     scan_opt = ScannerOptions(
         min_candidate_variant_size=min_candidate_variant_size,
@@ -118,10 +125,17 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     graph_opt = SVLocusSetOptions(
         observation_weight=3,
         min_merge_edge_observations=min_edge_observations)
-    locus_set = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
-                                 region_list, fasta,
-                                 chrom_depths=chrom_depths)
-    locus_set.finalize()
+    build_tb = TimeBlock()
+    with build_tb:
+        locus_set = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
+                                     region_list, fasta,
+                                     chrom_depths=chrom_depths)
+    merge_tb = TimeBlock()
+    with merge_tb:
+        locus_set.finalize()
+    write_graph_stats(locus_set,
+                      os.path.join(stats_dir, "svLocusGraphStats.tsv"),
+                      build_time=build_tb.times, merge_time=merge_tb.times)
     graph_path = os.path.join(run_dir, "workspace", "svLocusGraph.npz")
     locus_set.save(graph_path)
     # reload for phase 2: serialization round-trip compacts empty locus
@@ -180,18 +194,59 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
 
     proc_opt = ProcessorOptions(
         min_candidate_variant_size=min_candidate_variant_size, is_rna=is_rna)
+    tracker = EdgeStatsTracker()
     processor = SVCandidateProcessor(proc_opt, refiner, scorer, writer,
-                                     locus_set, is_somatic, is_tumor_only)
+                                     locus_set, is_somatic, is_tumor_only,
+                                     edge_tracker=tracker)
 
+    from ..core.svmodel import is_complex_sv
+    from copy import copy as _copy
+    edge_runtime_log = []
     edge_count = 0
     for edge in iterate_edges(locus_set):
         edge_count += 1
         li, n1, n2 = edge
-        svs, groups = finder.find_candidate_sv(locus_set, li, n1, n2)
-        mj_groups = find_multi_junction_candidates(
-            svs, proc_opt.min_candidate_spanning_count, is_rna)
-        processor.evaluate_candidates(edge, mj_groups, groups)
+        is_self = (n1 == n2)
+        finder_before = _copy(finder.stats)
+        total_tb = TimeBlock()
+        cand_tb = TimeBlock()
+        with total_tb:
+            with cand_tb:
+                svs, groups = finder.find_candidate_sv(locus_set, li, n1, n2)
+            delta = _copy(finder.stats)
+            for k in vars(delta):
+                setattr(delta, k,
+                        getattr(delta, k) - getattr(finder_before, k))
+            tracker.update_edge_candidates(is_self, len(svs), delta)
+            mj_groups = find_multi_junction_candidates(
+                svs, proc_opt.min_candidate_spanning_count, is_rna)
+            mj_total = sum(len(g) for g in mj_groups)
+            tracker.update_mj_filter(
+                is_self, sum(1 for sv in svs if is_complex_sv(sv)),
+                max(0, len(svs) - mj_total))
+            processor.evaluate_candidates(edge, mj_groups, groups)
+        tracker.add_times(is_self, total_tb.times, cand_tb.times,
+                          processor.assembly_time, processor.scoring_time)
+        if total_tb.times.wall >= 0.5:
+            # (reference: EdgeRuntimeTracker.cpp stop(), minLogTime=0.5)
+            edge_runtime_log.append(
+                f"{li}\t{n1}\t{n2}\t{total_tb.times.wall:.4g}"
+                f"\t{len(svs)}"
+                f"\t{sum(1 for sv in svs if is_complex_sv(sv))}"
+                f"\t{processor.assembled_count}"
+                f"\t{processor.assembled_complex_count}"
+                f"\t{cand_tb.times.wall:.4g}"
+                f"\t{processor.assembly_time.wall:.4g}"
+                f"\t0\t{processor.scoring_time.wall:.4g}\n")
     log(f"processed {edge_count} graph edges")
+    with open(os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
+              "w") as f:
+        f.writelines(edge_runtime_log)
+    with open(os.path.join(stats_dir, "svCandidateGenerationStats.tsv"),
+              "w") as f:
+        f.writelines(tracker.report())
+    tracker.save_xml(
+        os.path.join(stats_dir, "svCandidateGenerationStats.xml"))
 
     cand_writer.stream.close()
     for w in (diploid_writer, somatic_writer, tumor_writer):
