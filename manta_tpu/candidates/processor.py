@@ -53,7 +53,7 @@ class ProcessorOptions:
 class SVCandidateProcessor:
     def __init__(self, opt: ProcessorOptions, refiner, scorer, writer,
                  locus_set, is_somatic: bool, is_tumor_only: bool,
-                 edge_tracker=None):
+                 edge_tracker=None, evidence_enabled: bool = False):
         self.opt = opt
         self.refiner = refiner
         self.scorer = scorer
@@ -62,6 +62,8 @@ class SVCandidateProcessor:
         self.is_somatic = is_somatic
         self.is_tumor_only = is_tumor_only
         self.edge_tracker = edge_tracker
+        self.evidence_enabled = evidence_enabled
+        self.edge_support = None
         self._reset_edge_state(False)
 
     def _reset_edge_state(self, is_self_edge):
@@ -71,6 +73,9 @@ class SVCandidateProcessor:
         self.scoring_time = CpuTimes()
         self.assembled_count = 0
         self.assembled_complex_count = 0
+        if self.evidence_enabled:
+            from ..scoring.evidence_bam import SupportSamples
+            self.edge_support = SupportSamples(self.scorer.sample_count)
 
     def evaluate_candidates(self, edge, mj_groups, svfinder_groups):
         """(reference: evaluateCandidates:54-96)."""
@@ -225,7 +230,8 @@ class SVCandidateProcessor:
                         self.scorer.score_sv(
                             svfinder_groups, mj_assembly_data, mj_junctions,
                             scored_filtered, self.is_somatic,
-                            self.is_tumor_only)
+                            self.is_tumor_only, sv_ids=sv_ids,
+                            support=self.edge_support)
                 self.scoring_time.merge(tb.times)
         self.writer.write_sv(
             mj_assembly_data, mj_junctions, candidate_filtered,

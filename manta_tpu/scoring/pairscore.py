@@ -157,8 +157,10 @@ class AltPairProcessor(PairProcessorParams):
     SHADOW_SCORES = AlignmentScores(2, -8, -12, -1, -1)
 
     def __init__(self, scanner, sv, is_bp1, pair_opt, evidence_tracks,
-                 assembly_data):
+                 assembly_data, sv_id=None, support=None):
         super().__init__(scanner, sv, is_bp1, pair_opt)
+        self.sv_id = sv_id
+        self.support = support
         assert sv.bp1.interval.tid == sv.bp2.interval.tid
         assert get_sv_type(sv) == SV_INDEL
         assert not sv.is_imprecise
@@ -404,6 +406,10 @@ class AltPairProcessor(PairProcessorParams):
         _set_allele_frag(self.frag_distro, alt_template_size,
                          fragment.alt.get_bp(self.is_bp1),
                          self.pair_opt.rna, self.pair_opt.min_frag_prob)
+        if self.support is not None and self.sv_id is not None:
+            # (reference: SVScorePairAltProcessor.cpp:542-544)
+            sfrag = self.support.get_fragment(bam_index, batch, i)
+            sfrag.add_spanning_support(self.sv_id)
         if not is_realigned:
             _set_allele_frag(self.frag_distro, template_size,
                              fragment.ref.get_bp(self.is_bp1),

@@ -566,7 +566,8 @@ class SVScorer:
     # evidence orchestration
 
     def get_sv_supporting_evidence(self, svfinder_groups, assembly_data,
-                                   is_tumor_only: bool, sv: SVCandidate):
+                                   is_tumor_only: bool, sv: SVCandidate,
+                                   sv_id=None, support=None):
         """(reference: getSVSupportingEvidence:491+).
         Returns (ScoreInfo, evidence_tracks)."""
         base_info = ScoreInfo(samples=[SampleInfo()
@@ -579,8 +580,9 @@ class SVScorer:
             self._get_breakend_depth_mq0(is_tumor_only, sv.bp2)
 
         self._get_pair_support(svfinder_groups, assembly_data, sv,
-                               evidence_tracks)
-        self._get_split_support(assembly_data, sv, base_info, evidence_tracks)
+                               evidence_tracks, sv_id, support)
+        self._get_split_support(assembly_data, sv, base_info,
+                                evidence_tracks, sv_id, support)
         _resolve_pair_split_conflicts(sv, evidence_tracks)
 
         for si in range(self.sample_count):
@@ -595,7 +597,8 @@ class SVScorer:
                     fragev, base_info.samples[si])
         return base_info, evidence_tracks
 
-    def _get_pair_support(self, groups, assembly_data, sv, evidence_tracks):
+    def _get_pair_support(self, groups, assembly_data, sv, evidence_tracks,
+                          sv_id=None, support=None):
         """(reference: getSVPairSupport SVScorerPair.cpp:400-493)."""
         pair_opt = PairOptions(rna=self.is_rna,
                                use_proper_pair_flag=self.is_rna)
@@ -610,15 +613,16 @@ class SVScorer:
                 incomplete_alt = 0 < delete_size <= max_close
             if not incomplete_alt:
                 self._process_existing_alt_pairs(pair_opt, groups, sv,
-                                                 evidence_tracks)
+                                                 evidence_tracks, sv_id,
+                                                 support)
                 alt_pair_found = True
         if not alt_pair_found:
             processors.append(AltPairProcessor(
                 self.scanner, sv, True, pair_opt, evidence_tracks,
-                assembly_data))
+                assembly_data, sv_id=sv_id, support=support))
             processors.append(AltPairProcessor(
                 self.scanner, sv, False, pair_opt, evidence_tracks,
-                assembly_data))
+                assembly_data, sv_id=sv_id, support=support))
         processors.append(RefPairProcessor(
             self.scanner, sv, True, pair_opt, evidence_tracks))
         processors.append(RefPairProcessor(
@@ -648,7 +652,8 @@ class SVScorer:
                     proc.process(batch, i, bam_index)
 
     def _process_existing_alt_pairs(self, pair_opt, groups, sv,
-                                    evidence_tracks):
+                                    evidence_tracks, sv_id=None,
+                                    support=None):
         """(reference: processExistingAltPairInfo:352-447)."""
         from ..core.svmodel import EV_PAIR, EV_LOCAL_PAIR
         min_mapq = self.scanner.opt.min_mapq
@@ -691,9 +696,13 @@ class SVScorer:
                 fragev.alt.bp1.frag_length_prob = frag_prob
                 fragev.alt.bp2.is_fragment_support = True
                 fragev.alt.bp2.frag_length_prob = frag_prob
+                if support is not None and sv_id is not None:
+                    sfrag = support.get_fragment_from_pair(bam_index,
+                                                           fragment)
+                    sfrag.add_spanning_support(sv_id)
 
     def _get_split_support(self, assembly_data, sv, base_info,
-                           evidence_tracks):
+                           evidence_tracks, sv_id=None, support=None):
         """(reference: getSVSplitReadSupport SVScorerSplit.cpp:369-461)."""
         if sv.is_imprecise:
             return
@@ -709,7 +718,8 @@ class SVScorer:
             for (bp, is_bp1) in ((sv.bp1, True), (sv.bp2, False)):
                 self._score_split_reads(
                     flank_score_size, bp, align_info, is_bp1, min_mapq,
-                    min_tier2, reader, track, sample)
+                    min_tier2, reader, track, sample,
+                    bam_index=bam_index, sv_id=sv_id, support=support)
             # rms finish
             for allele in (sample.alt, sample.ref):
                 if allele.split_read_count:
@@ -719,7 +729,8 @@ class SVScorer:
                     allele.split_read_mapq = 0.0
 
     def _score_split_reads(self, flank_score_size, bp, align_info, is_bp1,
-                           min_mapq, min_tier2, reader, track, sample):
+                           min_mapq, min_tier2, reader, track, sample,
+                           bam_index=0, sv_id=None, support=None):
         extended = 200
         tid = bp.interval.tid
         beg = max(0, bp.interval.beg - extended)
@@ -747,11 +758,12 @@ class SVScorer:
             self._get_read_split_score(
                 flank_score_size, batch, i, align_info, bp1_contig,
                 bp2_contig, bp1_ref, bp2_ref, min_mapq, min_tier2, track,
-                sample)
+                sample, bam_index=bam_index, sv_id=sv_id, support=support)
 
     def _get_read_split_score(self, flank_score_size, batch, i, align_info,
                               bp1_contig, bp2_contig, bp1_ref, bp2_ref,
-                              min_mapq, min_tier2, track, sample):
+                              min_mapq, min_tier2, track, sample,
+                              bam_index=0, sv_id=None, support=None):
         """(reference: getReadSplitScore:104-229)."""
         qname = batch.name_str(i)
         fragev = track.setdefault(qname, FragmentEvidence())
@@ -822,6 +834,11 @@ class SVScorer:
                      alt_bp2_sr.evidence if alt_bp2_sr.is_evidence else 0)
             increment(alt_bp1_sr, alt_bp2_sr, ev, sample.alt, alt_bp1,
                       alt_bp2)
+        if support is not None and sv_id is not None and \
+                (alt_bp1.is_split_support or alt_bp2.is_split_support):
+            # (reference: SVScorerSplit.cpp:254-256)
+            sfrag = support.get_fragment(bam_index, batch, i)
+            sfrag.add_split_support(is_read1, sv_id)
 
     # ------------------------------------------------------------------
     # models
@@ -1044,7 +1061,8 @@ class SVScorer:
                 self.score_somatic(junction_data, model_info.somatic)
 
     def score_sv(self, svfinder_groups, mj_assembly_data, mj_junctions,
-                 is_junction_filtered, is_somatic, is_tumor_only):
+                 is_junction_filtered, is_somatic, is_tumor_only,
+                 sv_ids=None, support=None):
         """(reference: scoreSV:1432-1530). Returns
         (model_infos, joint_model_info, is_mj_event)."""
         junction_count = len(mj_junctions)
@@ -1058,8 +1076,10 @@ class SVScorer:
                 continue
             unfiltered += 1
             sv = mj_junctions[ji]
+            sv_id = sv_ids[ji].local_id if sv_ids is not None else None
             base, tracks = self.get_sv_supporting_evidence(
-                svfinder_groups, mj_assembly_data[ji], is_tumor_only, sv)
+                svfinder_groups, mj_assembly_data[ji], is_tumor_only, sv,
+                sv_id=sv_id, support=support)
             model_infos[ji].base = base
             junction_evidence[ji] = tracks
             junction_weight[ji] = get_spanning_pair_weight(sv)

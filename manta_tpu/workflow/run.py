@@ -56,6 +56,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  is_exome: bool = False, is_rna: bool = False,
                  min_candidate_variant_size: int = 8,
                  min_edge_observations: int = 3,
+                 generate_evidence_bam: bool = False,
                  verbose: bool = True):
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
@@ -195,9 +196,21 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     proc_opt = ProcessorOptions(
         min_candidate_variant_size=min_candidate_variant_size, is_rna=is_rna)
     tracker = EdgeStatsTracker()
+    evidence_writer = None
+    if generate_evidence_bam:
+        from ..scoring.evidence_bam import SVEvidenceWriter
+        evidence_dir = os.path.join(run_dir, "results", "evidence")
+        os.makedirs(evidence_dir, exist_ok=True)
+        out_paths = []
+        for bi, bam_path in enumerate(bams):
+            prefix = os.path.splitext(os.path.basename(bam_path))[0]
+            out_paths.append(os.path.join(
+                evidence_dir, f"evidence_{bi}.{prefix}.bam"))
+        evidence_writer = SVEvidenceWriter(bams, out_paths)
     processor = SVCandidateProcessor(proc_opt, refiner, scorer, writer,
                                      locus_set, is_somatic, is_tumor_only,
-                                     edge_tracker=tracker)
+                                     edge_tracker=tracker,
+                                     evidence_enabled=generate_evidence_bam)
 
     from ..core.svmodel import is_complex_sv
     from copy import copy as _copy
@@ -225,6 +238,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                 is_self, sum(1 for sv in svs if is_complex_sv(sv)),
                 max(0, len(svs) - mj_total))
             processor.evaluate_candidates(edge, mj_groups, groups)
+            if evidence_writer is not None and \
+                    processor.edge_support is not None:
+                evidence_writer.write(processor.edge_support)
         tracker.add_times(is_self, total_tb.times, cand_tb.times,
                           processor.assembly_time, processor.scoring_time)
         if total_tb.times.wall >= 0.5:
@@ -239,6 +255,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                 f"\t{processor.assembly_time.wall:.4g}"
                 f"\t0\t{processor.scoring_time.wall:.4g}\n")
     log(f"processed {edge_count} graph edges")
+    if evidence_writer is not None:
+        evidence_writer.close()
     with open(os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
               "w") as f:
         f.writelines(edge_runtime_log)
@@ -306,12 +324,14 @@ def main(argv=None):
     ap.add_argument("--rna", action="store_true")
     ap.add_argument("--min-candidate-sv-size", type=int, default=8)
     ap.add_argument("--min-edge-observations", type=int, default=3)
+    ap.add_argument("--generate-evidence-bam", action="store_true")
     args = ap.parse_args(argv)
     run_workflow(args.normal_bams, args.tumor_bams, args.reference,
                  args.run_dir, regions=args.regions or None,
                  is_exome=args.exome, is_rna=args.rna,
                  min_candidate_variant_size=args.min_candidate_sv_size,
-                 min_edge_observations=args.min_edge_observations)
+                 min_edge_observations=args.min_edge_observations,
+                 generate_evidence_bam=args.generate_evidence_bam)
 
 
 if __name__ == "__main__":
