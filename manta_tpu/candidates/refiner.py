@@ -442,7 +442,8 @@ def get_variant_range(ref: str, ref_range: tuple, read: str,
 
 
 def set_small_cand_sv(ref_seq: str, ref_offset: int, contig: str, align,
-                      seg_range: tuple, sv: SVCandidate):
+                      seg_range: tuple, sv: SVCandidate,
+                      is_output_contig: bool = False):
     """(reference: setSmallCandSV:720-800)."""
     sv.is_imprecise = False
     read_beg = read_end = 0
@@ -473,6 +474,9 @@ def set_small_cand_sv(ref_seq: str, ref_offset: int, contig: str, align,
     sv.bp2.interval.end = end_pos + cipos[1] + 1
     sv.bp2.interval.tid = sv.bp1.interval.tid
     sv.insert_seq = contig[read_beg:read_end]
+    if is_output_contig:
+        # (reference: SVCandidateAssemblyRefiner.cpp:796-799)
+        sv.contig_seq = contig
     sv.insert_alignment = (align.ops[seg_range[0]:seg_range[1] + 1].copy(),
                            align.lens[seg_range[0]:seg_range[1] + 1].copy())
 
@@ -524,8 +528,10 @@ class SVCandidateAssemblyRefiner:
                  opt: RefinerOptions | None = None,
                  chrom_depths: dict | None = None,
                  enable_remote_read_retrieval: bool = True,
-                 min_candidate_variant_size: int = 8):
+                 min_candidate_variant_size: int = 8,
+                 is_output_contig: bool = False):
         self.opt = opt or RefinerOptions()
+        self.is_output_contig = is_output_contig
         self.scanner = scanner
         self.fasta = fasta
         self.min_candidate_variant_size = min_candidate_variant_size
@@ -733,6 +739,9 @@ class SVCandidateAssemblyRefiner:
             if data.bporient.is_bp1_reversed:
                 ins = revcomp(ins)
             sv.insert_seq = ins
+        if self.is_output_contig:
+            # (reference: SVCandidateAssemblyRefiner.cpp:1243-1246)
+            sv.contig_seq = contig.seq
         _add_cigar_to_spanning(sv)
 
     # ------------------------------------------------------------------
@@ -874,7 +883,8 @@ class SVCandidateAssemblyRefiner:
                 new_sv.assembly_align_index = rank1["index"]
                 new_sv.assembly_segment_index = seg_index
                 set_small_cand_sv(ref, off, best_contig.seq, best_align.align,
-                                  seg_range, new_sv)
+                                  seg_range, new_sv,
+                                  is_output_contig=self.is_output_contig)
                 if get_extended_sv_type(new_sv) == EXT_INSERT:
                     ins_pos.add(new_sv.bp1.interval.beg)
                 data.svs.append(new_sv)
@@ -1028,7 +1038,8 @@ class SVCandidateAssemblyRefiner:
         new_sv.assembly_align_index = contig_count
         new_sv.assembly_segment_index = 0
         set_small_cand_sv(ref, data.bp1ref[1], fake_seq, fake_align.align,
-                          fake_segments[0], new_sv)
+                          fake_segments[0], new_sv,
+                          is_output_contig=self.is_output_contig)
         if new_sv.bp1.interval.beg in excluded_pos:
             return
         new_sv.is_unknown_size_insertion = True

@@ -116,6 +116,7 @@ class SVCandidate:
     is_imprecise: bool = True
     # refined (assembly) fields, populated during candidate refinement:
     insert_seq: str = ""
+    contig_seq: str = ""
     candidate_index: int = 0
     assembly_align_index: int = 0
     assembly_segment_index: int = 0

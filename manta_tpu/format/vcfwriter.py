@@ -226,6 +226,8 @@ class VcfWriterSV:
         info.append("MATEID=" + mate_id)
         if imprecise:
             info.append("IMPRECISE")
+        elif self.is_output_contig:
+            info.append("CONTIG=" + sv.contig_seq)
         if a_rng[1] - a_rng[0] > 1:
             info.append(f"CIPOS={a_rng[0] + 1 - pos},{a_rng[1] - pos}")
         if not imprecise:
@@ -297,6 +299,8 @@ class VcfWriterSV:
                 info.append(f"CIGAR=1M{cig}")
         if imprecise:
             info.append("IMPRECISE")
+        elif self.is_output_contig:
+            info.append("CONTIG=" + sv.contig_seq)
         if a_rng[1] - a_rng[0] > 1:
             info.append(f"CIPOS={a_rng[0] - internal_pos},"
                         f"{a_rng[1] - 1 - internal_pos}")

@@ -1,0 +1,173 @@
+"""Configuration step: validate inputs, emit a run script.
+
+Equivalent of the reference's two-step user flow
+(reference: bin/configManta.py + lib/makeRunScript.py): validates
+BAM/fasta inputs and chromosome compatibility
+(reference: lib/checkChromSet.py), records all options into
+<runDir>/runWorkflow.config.json, and writes an executable
+<runDir>/runWorkflow.py that drives workflow/run.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import stat
+import sys
+
+from ..io.bam import BamReader
+from ..io.fasta import FastaReader
+
+
+def check_chrom_set(fasta_path: str, bam_paths: list[str]):
+    """(reference: lib/checkChromSet.py) — every BAM's chromosome
+    names/lengths must match the fasta index entries in order."""
+    fasta = FastaReader(fasta_path)
+    fa_chroms = [(name, fasta.chrom_length(name))
+                 for name in fasta._index]
+    for path in bam_paths:
+        header = BamReader(path).header
+        bam_chroms = list(zip(header.ref_names, header.ref_lengths))
+        ncmp = min(len(fa_chroms), len(bam_chroms))
+        if ncmp == 0:
+            raise ValueError(f"no chromosomes in {path}")
+        for i in range(ncmp):
+            if fa_chroms[i] != bam_chroms[i]:
+                raise ValueError(
+                    f"chromosome mismatch between '{fasta_path}' and "
+                    f"'{path}' at index {i}: "
+                    f"{fa_chroms[i]} vs {bam_chroms[i]}")
+
+
+def read_call_regions(path: str) -> dict[str, list[tuple[int, int]]]:
+    """Parse a (bgzipped) BED of callable regions
+    (reference: --callRegions handling, mantaOptions.py)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    regions: dict[str, list[tuple[int, int]]] = {}
+    with opener(path, "rt") as f:
+        for line in f:
+            if not line.strip() or line.startswith(("#", "track", "browser")):
+                continue
+            w = line.split("\t")
+            regions.setdefault(w[0], []).append((int(w[1]), int(w[2])))
+    # merge overlaps
+    for chrom in regions:
+        ivs = sorted(regions[chrom])
+        merged = [list(ivs[0])]
+        for b, e in ivs[1:]:
+            if b <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([b, e])
+        regions[chrom] = [(b, e) for b, e in merged]
+    return regions
+
+
+_RUN_SCRIPT = """#!/usr/bin/env python3
+# auto-generated run script -- edit runWorkflow.config.json to change
+# options, then re-run this script
+import json
+import os
+import sys
+
+sys.path.insert(0, {repo_root!r})
+
+from manta_tpu.workflow.run import run_workflow
+
+config_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "runWorkflow.config.json")
+with open(config_path) as f:
+    config = json.load(f)
+run_workflow(**config)
+"""
+
+
+def configure(args) -> str:
+    normal_bams = args.normal_bams or []
+    tumor_bams = args.tumor_bams or []
+    if not normal_bams and not tumor_bams:
+        raise ValueError("at least one --bam or --tumorBam is required")
+    if len(tumor_bams) > 1:
+        raise ValueError("at most one tumor BAM is supported")
+    for p in normal_bams + tumor_bams + [args.reference]:
+        if not os.path.exists(p):
+            raise ValueError(f"input not found: {p}")
+    if args.call_regions and not os.path.exists(args.call_regions):
+        raise ValueError(f"call regions not found: {args.call_regions}")
+    if args.exome and args.rna:
+        raise ValueError("--exome and --rna are mutually exclusive")
+    if args.rna and (normal_bams or len(tumor_bams) != 1):
+        raise ValueError("RNA mode requires exactly one --tumorBam input")
+    check_chrom_set(args.reference, normal_bams + tumor_bams)
+
+    run_dir = os.path.abspath(args.run_dir)
+    os.makedirs(run_dir, exist_ok=True)
+    config = {
+        "normal_bams": [os.path.abspath(p) for p in normal_bams],
+        "tumor_bams": [os.path.abspath(p) for p in tumor_bams],
+        "reference": os.path.abspath(args.reference),
+        "run_dir": run_dir,
+        "regions": args.regions or None,
+        "is_exome": bool(args.exome),
+        "is_rna": bool(args.rna),
+        "min_candidate_variant_size": args.min_candidate_variant_size,
+        "min_edge_observations": args.min_edge_observations,
+        "generate_evidence_bam": bool(args.generate_evidence_bam),
+        "call_regions": (os.path.abspath(args.call_regions)
+                         if args.call_regions else None),
+        "scan_size_mb": args.scan_size_mb,
+        "is_output_contig": bool(args.output_contig),
+    }
+    with open(os.path.join(run_dir, "runWorkflow.config.json"), "w") as f:
+        json.dump(config, f, indent=1)
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    script_path = os.path.join(run_dir, "runWorkflow.py")
+    with open(script_path, "w") as f:
+        f.write(_RUN_SCRIPT.format(repo_root=repo_root))
+    os.chmod(script_path, os.stat(script_path).st_mode | stat.S_IXUSR |
+             stat.S_IXGRP | stat.S_IXOTH)
+    return script_path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Configure a structural variant calling run "
+                    "(reference: configManta.py)")
+    ap.add_argument("--bam", "--normalBam", dest="normal_bams",
+                    action="append", default=[])
+    ap.add_argument("--tumorBam", "--tumor-bam", dest="tumor_bams",
+                    action="append", default=[])
+    ap.add_argument("--referenceFasta", "--reference", dest="reference",
+                    required=True)
+    ap.add_argument("--runDir", "--run-dir", dest="run_dir",
+                    default="MantaWorkflow")
+    ap.add_argument("--region", dest="regions", action="append", default=[])
+    ap.add_argument("--exome", action="store_true")
+    ap.add_argument("--rna", action="store_true")
+    ap.add_argument("--unstrandedRNA", action="store_true",
+                    dest="unstranded_rna")
+    ap.add_argument("--callRegions", dest="call_regions")
+    ap.add_argument("--scanSizeMb", dest="scan_size_mb", type=int,
+                    default=12)
+    ap.add_argument("--generateEvidenceBam", dest="generate_evidence_bam",
+                    action="store_true")
+    ap.add_argument("--outputContig", dest="output_contig",
+                    action="store_true")
+    ap.add_argument("--retainTempFiles", dest="retain_temp_files",
+                    action="store_true")
+    ap.add_argument("--minCandidateVariantSize",
+                    dest="min_candidate_variant_size", type=int, default=8)
+    ap.add_argument("--minEdgeObservations", dest="min_edge_observations",
+                    type=int, default=3)
+    args = ap.parse_args(argv)
+    script = configure(args)
+    print(f"Successfully created workflow run script.\n"
+          f"To execute the workflow, run the following script:\n\n{script}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

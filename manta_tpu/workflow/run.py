@@ -57,6 +57,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  min_candidate_variant_size: int = 8,
                  min_edge_observations: int = 3,
                  generate_evidence_bam: bool = False,
+                 call_regions: str | None = None,
+                 scan_size_mb: int = 12,
+                 is_output_contig: bool = False,
                  verbose: bool = True):
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
@@ -111,7 +114,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             os.path.join(run_dir, "workspace", "chromDepth.txt"),
             chrom_depths)
 
-    # regions
+    # regions: user regions and/or callable-region BED restriction, then
+    # segmentation into <= scanSizeMb pieces (reference:
+    # workflowUtil.py getChromIntervals, mantaOptions.py scanSizeMb=12)
     if regions:
         region_list = [parse_region(r, header.name_to_tid) for r in regions]
         region_list = [
@@ -120,6 +125,17 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     else:
         region_list = [(tid, 0, length)
                        for tid, length in enumerate(header.ref_lengths)]
+    if call_regions is not None:
+        from .config import read_call_regions
+        bed = read_call_regions(call_regions)
+        restricted = []
+        for (tid, beg, end) in region_list:
+            for (b, e) in bed.get(header.ref_names[tid], []):
+                ib, ie = max(beg, b), min(end, e)
+                if ib < ie:
+                    restricted.append((tid, ib, ie))
+        region_list = restricted
+    region_list = segment_regions(region_list, scan_size_mb * 1_000_000)
 
     # phase 1: locus graph
     log("building breakend graph")
@@ -152,7 +168,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                       chrom_depths=chrom_depths, is_rna=is_rna)
     refiner = SVCandidateAssemblyRefiner(
         scanner, finder.readers, is_tumor, fasta, chrom_depths=chrom_depths,
-        min_candidate_variant_size=min_candidate_variant_size)
+        min_candidate_variant_size=min_candidate_variant_size,
+        is_output_contig=is_output_contig)
     scorer = SVScorer(scanner, finder.readers, is_tumor, fasta,
                       chrom_depths=chrom_depths, is_rna=is_rna)
 
@@ -160,7 +177,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     unsorted_dir = os.path.join(run_dir, "workspace")
     cand_writer = VcfWriterCandidateSV(
         reference, header.ref_names, header.ref_lengths, fasta,
-        os.path.join(unsorted_dir, "candidateSV.vcf"))
+        os.path.join(unsorted_dir, "candidateSV.vcf"),
+        is_output_contig=is_output_contig)
     cand_writer.write_header(PROG_NAME, PROG_VERSION, [])
     sample_names = [get_sample_name(r, f"SAMPLE{i + 1}")
                     for i, r in enumerate(readers)]
@@ -169,7 +187,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         tumor_writer = VcfWriterTumorSV(
             scorer.tumor_opt, chrom_depths is not None,
             reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(unsorted_dir, "tumorSV.vcf"))
+            os.path.join(unsorted_dir, "tumorSV.vcf"),
+            is_output_contig=is_output_contig)
         tumor_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
     else:
         diploid_sample_names = [n for n, t in zip(sample_names, is_tumor)
@@ -177,14 +196,16 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         diploid_writer = VcfWriterDiploidSV(
             scorer.diploid_opt, chrom_depths is not None,
             reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(unsorted_dir, "diploidSV.vcf"))
+            os.path.join(unsorted_dir, "diploidSV.vcf"),
+            is_output_contig=is_output_contig)
         diploid_writer.write_header(PROG_NAME, PROG_VERSION,
                                     diploid_sample_names)
         if is_somatic:
             somatic_writer = VcfWriterSomaticSV(
                 scorer.somatic_opt, chrom_depths is not None,
                 reference, header.ref_names, header.ref_lengths, fasta,
-                os.path.join(unsorted_dir, "somaticSV.vcf"))
+                os.path.join(unsorted_dir, "somaticSV.vcf"),
+            is_output_contig=is_output_contig)
             somatic_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
 
     writer = SVWriter(
@@ -308,6 +329,25 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             lines = ploidy_filter_lines(lines)
         write_vcf_gz(lines, os.path.join(variants_dir, out_name))
     return run_dir
+
+
+def segment_regions(region_list, segment_size: int):
+    """Split regions into near-equal segments no larger than
+    segment_size (reference: workflowUtil.py getChromIntervals)."""
+    out = []
+    for (tid, beg, end) in region_list:
+        size = end - beg
+        if size <= 0:
+            continue
+        n_seg = 1 + (size - 1) // segment_size
+        base = size // n_seg
+        n_plus_one = size % n_seg
+        start = beg
+        for i in range(n_seg):
+            seg = base + (1 if i < n_plus_one else 0)
+            out.append((tid, start, min(start + seg, end)))
+            start += seg
+    return out
 
 
 def main(argv=None):
