@@ -54,6 +54,18 @@ def _get_lib():
         i32p, u8p, i32p, i32p,
         i32p, u8p, i32p, i32p,
         i32p, i32p, ctypes.c_int32]
+    lib.mt_align_jump_intron.restype = ctypes.c_int
+    lib.mt_align_jump_intron.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p,
+        i32p, u8p, i32p, i32p,
+        i32p, u8p, i32p, i32p,
+        i32p, i32p, ctypes.c_int32]
     lib.mt_align_large_indel.restype = ctypes.c_int
     lib.mt_align_large_indel.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -205,6 +217,62 @@ class GlobalJumpAligner:
             lens2.ctypes.data_as(i32p), ctypes.byref(n2),
             ctypes.byref(jins), ctypes.byref(jrange), cap)
         assert rc == 0, f"mt_align_jump failed: {rc}"
+        a1 = Alignment(b1.value, ops1[:n1.value].astype(np.int32), lens1[:n1.value])
+        a2 = Alignment(b2.value, ops2[:n2.value].astype(np.int32), lens2[:n2.value])
+        res = JumpAlignmentResult(
+            score=score.value, align1=a1, align2=a2,
+            jump_insert_size=jins.value, jump_range=jrange.value)
+        if seqmatch:
+            if a1.is_aligned:
+                a1.ops, a1.lens = add_seqmatch(query, ref1, a1.begin_pos,
+                                               a1.ops, a1.lens)
+            if a2.is_aligned:
+                from ..core import cigar as cg
+                qoff = (cg.read_length(a1.ops, a1.lens) if a1.is_aligned else 0) \
+                    + res.jump_insert_size
+                a2.ops, a2.lens = add_seqmatch(query, ref2, a2.begin_pos,
+                                               a2.ops, a2.lens, qoff)
+        return res
+
+
+class GlobalJumpIntronAligner:
+    """Two-reference jump aligner with an RNA intron (splice) state
+    (reference: alignment/GlobalJumpIntronAligner.hpp:33; intron open
+    -15, intron off-edge -1 from SVRefinerOptions.hpp:48-49)."""
+
+    def __init__(self, scores: AlignmentScores, jump_score: int,
+                 intron_open_score: int, intron_off_edge_score: int):
+        self.scores = scores
+        self.jump_score = jump_score
+        self.intron_open_score = intron_open_score
+        self.intron_off_edge_score = intron_off_edge_score
+
+    def align(self, query: bytes, ref1: bytes, ref2: bytes,
+              ref1_fw: bool, ref2_fw: bool, is_stranded: bool,
+              seqmatch: bool = True) -> JumpAlignmentResult:
+        lib = _get_lib()
+        nq, nr1, nr2 = len(query), len(ref1), len(ref2)
+        cap = 2 * (nq + nr1 + nr2) + 4
+        ops1 = np.zeros(cap, np.uint8); lens1 = np.zeros(cap, np.int32)
+        ops2 = np.zeros(cap, np.uint8); lens2 = np.zeros(cap, np.int32)
+        score = ctypes.c_int32(); b1 = ctypes.c_int32(); b2 = ctypes.c_int32()
+        n1 = ctypes.c_int32(); n2 = ctypes.c_int32()
+        jins = ctypes.c_int32(); jrange = ctypes.c_int32()
+        s = self.scores
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = lib.mt_align_jump_intron(
+            query, nq, ref1, nr1, ref2, nr2,
+            s.match, s.mismatch, s.open, s.extend, s.off_edge, self.jump_score,
+            self.intron_open_score, self.intron_off_edge_score,
+            int(ref1_fw), int(ref2_fw), int(is_stranded),
+            ctypes.byref(score),
+            ctypes.byref(b1), ops1.ctypes.data_as(u8p),
+            lens1.ctypes.data_as(i32p), ctypes.byref(n1),
+            ctypes.byref(b2), ops2.ctypes.data_as(u8p),
+            lens2.ctypes.data_as(i32p), ctypes.byref(n2),
+            ctypes.byref(jins), ctypes.byref(jrange), cap)
+        assert rc == 0, f"mt_align_jump_intron failed: {rc}"
         a1 = Alignment(b1.value, ops1[:n1.value].astype(np.int32), lens1[:n1.value])
         a2 = Alignment(b2.value, ops2[:n2.value].astype(np.int32), lens2[:n2.value])
         res = JumpAlignmentResult(

@@ -242,7 +242,8 @@ class SVWriter:
     """Output fan-out (reference: GenerateSVCandidates/SVWriter.cpp)."""
 
     def __init__(self, cand_writer, diploid_writer=None, somatic_writer=None,
-                 tumor_writer=None, diploid_sample_count: int = 1,
+                 tumor_writer=None, rna_writer=None,
+                 diploid_sample_count: int = 1,
                  min_output_alt_score: int = 10,
                  min_output_somatic_score: int = 10,
                  is_skip_scoring: bool = False):
@@ -250,6 +251,7 @@ class SVWriter:
         self.diploid_writer = diploid_writer
         self.somatic_writer = somatic_writer
         self.tumor_writer = tumor_writer
+        self.rna_writer = rna_writer
         self.diploid_sample_count = diploid_sample_count
         self.min_output_alt_score = min_output_alt_score
         self.min_output_somatic_score = min_output_somatic_score
@@ -328,6 +330,10 @@ class SVWriter:
             if self.tumor_writer is not None:
                 self.tumor_writer.write_sv(data, sv, sv_id, base, mi.tumor,
                                            non_event)
+                continue
+            if self.rna_writer is not None:
+                self.rna_writer.write_sv(data, sv, sv_id, base, mi.rna,
+                                         non_event)
                 continue
             if self.diploid_writer is not None:
                 d_event = event if is_mj_diploid_event else non_event

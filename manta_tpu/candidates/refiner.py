@@ -28,7 +28,7 @@ from ..core.svmodel import (
     is_complex_sv, is_same_orientation, is_spanning_sv,
     SV_INDEL, SV_UNKNOWN,
 )
-from ..io.bam import C_D, C_I, C_S, C_EQ, C_X
+from ..io.bam import C_D, C_I, C_M, C_N, C_S, C_EQ, C_X
 from .assembler_reads import BreakendReadAssembler, revcomp
 from ..assembly.assembler import AssemblerOptions
 
@@ -46,12 +46,21 @@ class RefinerOptions:
         default_factory=lambda: AlignmentScores(2, -8, -12, -1, -1))
     large_gap_open_score: int = -100
     jump_score: int = -100
+    rna_spanning_scores: AlignmentScores = field(
+        default_factory=lambda: AlignmentScores(2, -8, -19, -1, -1))
+    rna_jump_score: int = -100
+    rna_intron_open_score: int = -15
+    rna_intron_off_edge_score: int = -1
     contig_filter_scores: AlignmentScores = field(
         default_factory=lambda: AlignmentScores(2, -8, -18, 0, -1))
 
     def __post_init__(self):
         self.small_sv_assemble_opt = AssemblerOptions()
         self.spanning_assemble_opt = AssemblerOptions(min_contig_length=75)
+        # (reference: SVRefinerOptions.hpp:56-59): larger contigs, smaller
+        # kmers for RNA spanning assembly
+        self.rna_spanning_assemble_opt = AssemblerOptions(
+            min_contig_length=75, min_word_length=31)
 
 
 def path_score(scores: AlignmentScores, ops, lens,
@@ -221,12 +230,80 @@ class IntervalTracker:
         return False
 
 
+def kmer_mask_reference(ref: str, contig: str):
+    """Remove long reference stretches without contig kmer matches
+    (reference: kmerMaskReference:1139-1185). Returns
+    (masked_ref, exclusion_blocks [(start, length, n_spacer)])."""
+    mer = 10
+    min_exclusion = 1000
+    padding = 50
+    n_spacer = 25
+    excl = []
+    contig_hash = {contig[i:i + mer]
+                   for i in range(max(0, len(contig) - (mer - 1)))}
+    masked = []
+    max_ref = len(ref) - (mer - 1)
+    pot_excl_start = 0
+    incl_start = 0
+    for r in range(max(0, max_ref)):
+        if ref[r:r + mer] in contig_hash:
+            if (r - pot_excl_start) > (min_exclusion + padding):
+                spacer = 0
+                if pot_excl_start > 0:
+                    masked.append(ref[incl_start:pot_excl_start])
+                    masked.append("N" * n_spacer)
+                    spacer = n_spacer
+                incl_start = r - padding
+                excl.append((pot_excl_start, incl_start - pot_excl_start,
+                             spacer))
+            pot_excl_start = r + padding
+    masked.append(ref[incl_start:min(max(0, max_ref), pot_excl_start)])
+    out = "".join(masked)
+    if not out:
+        out = "N" * n_spacer
+    return out, excl
+
+
+def _translate_masked_pos(excl, masked_pos: int) -> int:
+    offset = 0
+    for (start, length, spacer) in excl:
+        if start > offset + masked_pos:
+            break
+        offset += length - spacer
+    return offset + masked_pos
+
+
+def translate_masked_alignment(al, excl) -> bool:
+    """(reference: translateMaskedAlignment:1101-1135)."""
+    new_ops = []
+    new_lens = []
+    cpos = al.begin_pos
+    for o, l in zip(al.ops.tolist(), al.lens.tolist()):
+        if o not in (C_M, C_EQ, C_X, C_D, C_N):
+            new_ops.append(o)
+            new_lens.append(l)
+        else:
+            length = _translate_masked_pos(excl, cpos + l) - \
+                _translate_masked_pos(excl, cpos)
+            if o in (C_M, C_EQ, C_X) and length != l:
+                return False
+            cpos += l
+            new_ops.append(o)
+            new_lens.append(length)
+    if len(al.ops) > 0:
+        al.begin_pos = _translate_masked_pos(excl, al.begin_pos)
+        al.ops = np.array(new_ops, np.int32)
+        al.lens = np.array(new_lens, np.int32)
+    return True
+
+
 def _is_low_quality_spanning_alignment(max_qc_ref_span: int,
                                        scores: AlignmentScores,
                                        is_leading: bool,
-                                       ops, lens) -> bool:
+                                       ops, lens,
+                                       is_rna: bool = False) -> bool:
     """(reference: isLowQualitySpanningSVAlignment:93-118)."""
-    min_align_read_length = 30
+    min_align_read_length = 20 if is_rna else 30
     min_score_frac = 0.75
     if is_leading:
         ops = ops[::-1].copy()
@@ -246,16 +323,27 @@ def _is_jump_segment_qc_fail(al) -> bool:
     return (not al.is_aligned) or cg.ref_length(al.ops, al.lens) < 20
 
 
-def _is_low_quality_jump_alignment(res, scores: AlignmentScores) -> bool:
+def _spliced_length(ops, lens) -> int:
+    return int(sum(l for o, l in zip(ops.tolist(), lens.tolist())
+                   if o == C_N))
+
+
+def _is_low_quality_jump_alignment(res, scores: AlignmentScores,
+                                   is_rna: bool = False) -> bool:
     low1 = low2 = True
-    for span in (75, 100, 200):
-        if not _is_low_quality_spanning_alignment(span, scores, True,
+    spans = (36, 75, 100) if is_rna else (75, 100, 200)
+    for span in spans:
+        span1 = span + (_spliced_length(res.align1.ops, res.align1.lens)
+                        if is_rna else 0)
+        span2 = span + (_spliced_length(res.align2.ops, res.align2.lens)
+                        if is_rna else 0)
+        if not _is_low_quality_spanning_alignment(span1, scores, True,
                                                   res.align1.ops,
-                                                  res.align1.lens):
+                                                  res.align1.lens, is_rna):
             low1 = False
-        if not _is_low_quality_spanning_alignment(span, scores, False,
+        if not _is_low_quality_spanning_alignment(span2, scores, False,
                                                   res.align2.ops,
-                                                  res.align2.lens):
+                                                  res.align2.lens, is_rna):
             low2 = False
     return low1 or low2
 
@@ -529,9 +617,13 @@ class SVCandidateAssemblyRefiner:
                  chrom_depths: dict | None = None,
                  enable_remote_read_retrieval: bool = True,
                  min_candidate_variant_size: int = 8,
-                 is_output_contig: bool = False):
+                 is_output_contig: bool = False,
+                 is_rna: bool = False,
+                 is_unstranded_rna: bool = False):
         self.opt = opt or RefinerOptions()
         self.is_output_contig = is_output_contig
+        self.is_rna = is_rna
+        self.is_unstranded_rna = is_unstranded_rna
         self.scanner = scanner
         self.fasta = fasta
         self.min_candidate_variant_size = min_candidate_variant_size
@@ -540,7 +632,9 @@ class SVCandidateAssemblyRefiner:
             scanner, readers, is_tumor, self.opt.small_sv_assemble_opt,
             chrom_depths)
         self._spanning_assembler = BreakendReadAssembler(
-            scanner, readers, is_tumor, self.opt.spanning_assemble_opt,
+            scanner, readers, is_tumor,
+            self.opt.rna_spanning_assemble_opt if is_rna
+            else self.opt.spanning_assemble_opt,
             chrom_depths)
         self._large_sv_aligner = GlobalLargeIndelAligner(
             self.opt.large_sv_scores, self.opt.large_gap_open_score)
@@ -549,6 +643,11 @@ class SVCandidateAssemblyRefiner:
             self.opt.large_insert_complete_scores)
         self._spanning_aligner = GlobalJumpAligner(
             self.opt.spanning_scores, self.opt.jump_score)
+        from ..align.aligners import GlobalJumpIntronAligner
+        self._rna_spanning_aligner = GlobalJumpIntronAligner(
+            self.opt.rna_spanning_scores, self.opt.rna_jump_score,
+            self.opt.rna_intron_open_score,
+            self.opt.rna_intron_off_edge_score)
         self._contig_filter_scores = self.opt.contig_filter_scores
         self._span_to_complex_regions = IntervalTracker()
 
@@ -586,7 +685,9 @@ class SVCandidateAssemblyRefiner:
 
     def _get_jump_assembly(self, sv: SVCandidate, is_find_large_insertions,
                            data: AssemblyData):
-        extra_edge = 250
+        # (reference: getJumpAssembly:1745-1760) RNA contigs may span
+        # large introns, so the alignment reference is much wider
+        extra_edge = 25000 if self.is_rna else 250
         extra_split = 100
         extra = extra_edge + extra_split
 
@@ -659,6 +760,17 @@ class SVCandidateAssemblyRefiner:
         for contig in data.contigs:
             r1 = align1_ref[a1_lead:len(align1_ref) - a1_trail]
             r2 = align2_ref[a2_lead:len(align2_ref) - a2_trail]
+            if self.is_rna:
+                res = self._align_rna_contig(sv, bpo, contig, r1, r2)
+                res.align1.begin_pos += a1_lead
+                res.align2.begin_pos += a2_lead
+                data.spanning_alignments.append(res)
+                ext1 = align1_ref[:res.align1.begin_pos]
+                a2_end = res.align2.begin_pos + cg.ref_length(
+                    res.align2.ops, res.align2.lens)
+                ext2 = align2_ref[a2_end:]
+                data.extended_contigs.append(ext1 + contig.seq + ext2)
+                continue
             res = self._spanning_aligner.align(contig.seq.encode(),
                                                r1.encode(), r2.encode())
             used_a1_lead, used_a2_lead = a1_lead, a2_lead
@@ -683,22 +795,96 @@ class SVCandidateAssemblyRefiner:
             ext2 = align2_ref[a2_end:]
             data.extended_contigs.append(ext1 + contig.seq + ext2)
 
-        # contig selection (DNA)
-        best = -1
-        for ci, res in enumerate(data.spanning_alignments):
-            if _is_jump_segment_qc_fail(res.align1) or \
-                    _is_jump_segment_qc_fail(res.align2):
-                continue
-            if best == -1 or res.score > data.spanning_alignments[best].score:
-                best = ci
-        if best == -1 or _is_low_quality_jump_alignment(
-                data.spanning_alignments[best], self._contig_filter_scores):
-            return
-        data.best_alignment_index = best
+        # contig selection
+        if self.is_rna:
+            if not self._select_jump_contig_rna(data):
+                return
+        else:
+            best = -1
+            for ci, res in enumerate(data.spanning_alignments):
+                if _is_jump_segment_qc_fail(res.align1) or \
+                        _is_jump_segment_qc_fail(res.align2):
+                    continue
+                if best == -1 or \
+                        res.score > data.spanning_alignments[best].score:
+                    best = ci
+            if best == -1 or _is_low_quality_jump_alignment(
+                    data.spanning_alignments[best],
+                    self._contig_filter_scores):
+                return
+            data.best_alignment_index = best
 
         new_sv = sv.copy()
         self._generate_refined_from_jump(data, new_sv)
         data.svs.append(new_sv)
+
+    def _align_rna_contig(self, sv, bpo, contig, r1: str, r2: str):
+        """Kmer-masked splice-aware contig alignment
+        (reference: alignJumpContigs RNA branch:1580-1650)."""
+        cut1, excl1 = kmer_mask_reference(r1, contig.seq)
+        cut2, excl2 = kmer_mask_reference(r2, contig.seq)
+        # strand of the fusion transcript at each breakend
+        if bpo.is_bp1_first:
+            bp1_fw = (sv.bp1.state == BND_RIGHT_OPEN)
+            bp2_fw = (sv.bp2.state == BND_LEFT_OPEN)
+        else:
+            bp1_fw = (sv.bp1.state == BND_LEFT_OPEN)
+            bp2_fw = (sv.bp2.state == BND_RIGHT_OPEN)
+        f1 = bpo.is_bp1_reversed != bp1_fw
+        f2 = bpo.is_bp2_reversed != bp2_fw
+        if bpo.is_bp2_aligned_first:
+            f1, f2 = f2, f1
+        res = self._rna_spanning_aligner.align(
+            contig.seq.encode(), cut1.encode(), cut2.encode(),
+            f1, f2, bpo.is_transcript_strand_known, seqmatch=False)
+        ok = translate_masked_alignment(res.align1, excl1) and \
+            translate_masked_alignment(res.align2, excl2)
+        if not ok:
+            res.align1.ops = np.zeros(0, np.int32)
+            res.align1.lens = np.zeros(0, np.int32)
+            res.align2.ops = np.zeros(0, np.int32)
+            res.align2.lens = np.zeros(0, np.int32)
+            return res
+        from ..align.aligners import add_seqmatch
+        if res.align1.is_aligned:
+            res.align1.ops, res.align1.lens = add_seqmatch(
+                contig.seq.encode(), r1.encode(), res.align1.begin_pos,
+                res.align1.ops, res.align1.lens)
+        if res.align2.is_aligned:
+            qoff = (cg.read_length(res.align1.ops, res.align1.lens)
+                    if res.align1.is_aligned else 0) + res.jump_insert_size
+            res.align2.ops, res.align2.lens = add_seqmatch(
+                contig.seq.encode(), r2.encode(), res.align2.begin_pos,
+                res.align2.ops, res.align2.lens, qoff)
+        return res
+
+    def _select_jump_contig_rna(self, data) -> bool:
+        """(reference: selectJumpContigRNA:1312-1360)."""
+        good = []
+        for ci, res in enumerate(data.spanning_alignments):
+            if _is_jump_segment_qc_fail(res.align1) or \
+                    _is_jump_segment_qc_fail(res.align2):
+                continue
+            if _is_low_quality_jump_alignment(
+                    res, self._contig_filter_scores, is_rna=True):
+                continue
+            good.append(ci)
+        if not good:
+            return False
+        max_score = 0
+        selected = good[0]
+        for ci in good:
+            if data.spanning_alignments[ci].score > max_score:
+                max_score = data.spanning_alignments[ci].score
+                selected = ci
+        for ci in good:
+            sufficient = data.spanning_alignments[ci].score * 2 > max_score
+            more_reads = len(data.contigs[ci].support_reads) > \
+                len(data.contigs[selected].support_reads)
+            if sufficient and more_reads:
+                selected = ci
+        data.best_alignment_index = selected
+        return True
 
     def _is_ref_region_overlap(self, extra: int, sv: SVCandidate) -> bool:
         if sv.bp1.interval.tid != sv.bp2.interval.tid:

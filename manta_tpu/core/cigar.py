@@ -56,6 +56,11 @@ def ref_length(ops, lens) -> int:
     return _sum_where(ops, lens, REF_LEN_OPS)
 
 
+def matched_length(ops, lens) -> int:
+    """(reference: apath_matched_length) — M/=/X segment total."""
+    return _sum_where(ops, lens, (C_M, C_EQ, C_X))
+
+
 def clip_lead_size(ops, lens) -> int:
     v = 0
     for o, l in zip(ops, lens):

@@ -565,3 +565,86 @@ class VcfWriterTumorSV(VcfWriterSV):
 
     def write_sv(self, adata, sv, sv_id, base_info, tumor_info, event):
         self.write_sv_core(adata, sv, sv_id, base_info, tumor_info, event)
+
+
+class VcfWriterRnaSV(VcfWriterSV):
+    """(reference: format/VcfWriterRnaSV.cpp) — RNA fusion output with
+    RNA_* annotation; QUAL stays '.' (placeholder scoring model)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+
+    def add_header_info(self):
+        return [
+            '##INFO=<ID=BND_DEPTH,Number=1,Type=Integer,Description="Read depth at local translocation breakend">',
+            '##INFO=<ID=MATE_BND_DEPTH,Number=1,Type=Integer,Description="Read depth at remote translocation mate breakend">',
+            '##INFO=<ID=REF_COUNT,Number=1,Type=Integer,Description="The number of reads supporting the reference allele at this breakend">',
+            '##INFO=<ID=MATE_REF_COUNT,Number=1,Type=Integer,Description="The number of reads supporting the reference allele at the other breakend">',
+            '##INFO=<ID=RNA_FIRST,Number=0,Type=Flag,Description="For RNA fusions, this break-end is 5\' in the fusion transcript">',
+            '##INFO=<ID=RNA_STRANDED,Number=0,Type=Flag,Description="For RNA fusions, the direction of transcription is known">',
+            '##INFO=<ID=RNA_FwRvReads,Number=2,Type=Integer,Description="For RNA fusions, number of stranded reads supporting forward or reverse direction of transcription">',
+            '##INFO=<ID=RNA_Reads,Number=1,Type=Integer,Description="The number of reads and pairs that potentially support this candidate before refinement and scoring">',
+            '##INFO=<ID=RNA_CONTIG,Number=1,Type=String,Description="The sequence of the breakend spanning contig">',
+            '##INFO=<ID=RNA_CONTIG_ALN,Number=2,Type=Integer,Description="Length of the spanning contig alignment on each breakend">',
+        ]
+
+    def add_header_format(self):
+        return [
+            '##FORMAT=<ID=PR,Number=.,Type=Integer,Description="Spanning paired-read support for the ref and alt alleles in the order listed">',
+            '##FORMAT=<ID=SR,Number=.,Type=Integer,Description="Split reads for the ref and alt alleles in the order listed">',
+        ]
+
+    def add_header_filters(self):
+        return [
+            '##FILTER=<ID=LowEvidence,Description="RNA fusion calls without both split read and spanning pair support">',
+            '##FILTER=<ID=Imprecise,Description="RNA fusion candidates for which no spanning contig was found">',
+            '##FILTER=<ID=Local,Description="RNA call covering short genomic distance">',
+        ]
+
+    def modify_transloc_info(self, sv, base_info, is_first, adata, info):
+        info.append(f"BND_DEPTH="
+                    f"{base_info.bp1_max_depth if is_first else base_info.bp2_max_depth}")
+        info.append(f"MATE_BND_DEPTH="
+                    f"{base_info.bp2_max_depth if is_first else base_info.bp1_max_depth}")
+        refinfo = base_info.samples[0].ref
+        rc1 = refinfo.confident_split_read_and_pair_count_ref_bp1
+        rc2 = refinfo.confident_split_read_and_pair_count_ref_bp2
+        info.append(f"REF_COUNT={rc1 if is_first else rc2}")
+        info.append(f"MATE_REF_COUNT={rc2 if is_first else rc1}")
+        is_first_bnd = (adata.bporient.is_bp1_first == is_first)
+        if is_first_bnd:
+            info.append("RNA_FIRST")
+        if adata.bporient.is_transcript_strand_known:
+            info.append("RNA_STRANDED")
+        if not is_first:
+            return
+        info.append(f"RNA_FwRvReads={sv.forward_transcript_strand_read_count},"
+                    f"{sv.reverse_transcript_strand_read_count}")
+        info.append(f"RNA_Reads={int(sv.bp2.evidence.sum())}")
+        if adata.contigs:
+            best = adata.best_alignment_index
+            info.append(f"RNA_CONTIG={adata.contigs[best].seq}")
+            res = adata.spanning_alignments[best]
+            from ..core import cigar as cg
+            m1 = cg.matched_length(res.align1.ops, res.align1.lens)
+            m2 = cg.matched_length(res.align2.ops, res.align2.lens)
+            info.append(f"RNA_CONTIG_ALN={m1},{m2}")
+
+    def write_filter(self, score):
+        return _filters_str(score.filters)
+
+    def modify_sample(self, sv, base_info, score, sample_tags):
+        n = len(base_info.samples)
+        sample_tags.append(("PR", [
+            f"{base_info.samples[i].ref.spanning_pair_count},"
+            f"{base_info.samples[i].alt.spanning_pair_count}"
+            for i in range(n)]))
+        if sv.is_imprecise:
+            return
+        sample_tags.append(("SR", [
+            f"{base_info.samples[i].ref.split_read_count},"
+            f"{base_info.samples[i].alt.split_read_count}"
+            for i in range(n)]))
+
+    def write_sv(self, adata, sv, sv_id, base_info, rna_info, event):
+        self.write_sv_core(adata, sv, sv_id, base_info, rna_info, event)

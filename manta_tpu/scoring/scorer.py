@@ -145,11 +145,26 @@ class TumorResult:
 
 
 @dataclass
+class RnaResult:
+    """(reference: manta/SVScoreInfoRna.hpp) — placeholder RNA scoring
+    model: fixed alt score with evidence/span filters."""
+    alt_score: int = 0
+    filters: set = field(default_factory=set)
+
+    DEFAULT_SCORE = 42
+    MIN_LENGTH = 100_000
+    RNA_FILTER_LABEL = "LowEvidence"
+    IMPRECISE_LABEL = "Imprecise"
+    LOCAL_LABEL = "Local"
+
+
+@dataclass
 class ModelScoreInfo:
     base: ScoreInfo = field(default_factory=ScoreInfo)
     diploid: DiploidResult = field(default_factory=DiploidResult)
     somatic: SomaticResult = field(default_factory=SomaticResult)
     tumor: TumorResult = field(default_factory=TumorResult)
+    rna: RnaResult = field(default_factory=RnaResult)
 
 
 def _linear_scale(val, lo, hi):
@@ -1051,9 +1066,28 @@ class SVScorer:
         if filtered * 2 > junction_count:
             result.filters.add("MaxMQ0Frac")
 
+    def score_rna(self, junction_data, result: RnaResult):
+        """(reference: scoreRNASV SVScorer.cpp)."""
+        (sv, _tracks, base, _w) = junction_data[0]
+        result.alt_score = RnaResult.DEFAULT_SCORE
+        if sv.is_imprecise:
+            result.filters.add(RnaResult.IMPRECISE_LABEL)
+            return
+        if sv.bp1.interval.tid == sv.bp2.interval.tid and \
+                abs(sv.bp2.interval.center_pos()
+                    - sv.bp1.interval.center_pos()) < RnaResult.MIN_LENGTH:
+            result.filters.add(RnaResult.LOCAL_LABEL)
+        base_sample = base.samples[0]
+        if base_sample.alt.split_read_count == 0:
+            result.filters.add(RnaResult.RNA_FILTER_LABEL)
+        if base_sample.alt.confident_spanning_pair_count == 0:
+            result.filters.add(RnaResult.RNA_FILTER_LABEL)
+
     def compute_all_score_models(self, is_somatic, is_tumor_only,
                                  junction_data, model_info: ModelScoreInfo):
-        if is_tumor_only:
+        if self.is_rna:
+            self.score_rna(junction_data, model_info.rna)
+        elif is_tumor_only:
             self.score_tumor(junction_data, model_info.tumor)
         else:
             self.score_diploid(junction_data, model_info.diploid)

@@ -98,8 +98,11 @@ def configure(args) -> str:
         raise ValueError(f"call regions not found: {args.call_regions}")
     if args.exome and args.rna:
         raise ValueError("--exome and --rna are mutually exclusive")
-    if args.rna and (normal_bams or len(tumor_bams) != 1):
-        raise ValueError("RNA mode requires exactly one --tumorBam input")
+    if args.rna and (tumor_bams or len(normal_bams) != 1):
+        raise ValueError(
+            "RNA mode requires exactly one normal sample (--bam)")
+    if args.unstranded_rna and not args.rna:
+        raise ValueError("--unstrandedRNA requires --rna")
     check_chrom_set(args.reference, normal_bams + tumor_bams)
 
     run_dir = os.path.abspath(args.run_dir)
@@ -119,6 +122,7 @@ def configure(args) -> str:
                          if args.call_regions else None),
         "scan_size_mb": args.scan_size_mb,
         "is_output_contig": bool(args.output_contig),
+        "is_unstranded_rna": bool(args.unstranded_rna),
     }
     with open(os.path.join(run_dir, "runWorkflow.config.json"), "w") as f:
         json.dump(config, f, indent=1)
@@ -163,7 +167,11 @@ def main(argv=None):
     ap.add_argument("--minEdgeObservations", dest="min_edge_observations",
                     type=int, default=3)
     args = ap.parse_args(argv)
-    script = configure(args)
+    try:
+        script = configure(args)
+    except ValueError as e:
+        sys.stderr.write(f"ERROR: {e}\n")
+        return 2
     print(f"Successfully created workflow run script.\n"
           f"To execute the workflow, run the following script:\n\n{script}")
     return 0

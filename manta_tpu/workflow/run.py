@@ -60,6 +60,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  call_regions: str | None = None,
                  scan_size_mb: int = 12,
                  is_output_contig: bool = False,
+                 is_unstranded_rna: bool = False,
                  verbose: bool = True):
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
@@ -98,8 +99,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     scan_opt = ScannerOptions(
         min_candidate_variant_size=min_candidate_variant_size,
         is_ignore_anom_proper_pair=is_rna)
-    scanner = SVScanner(scan_opt, [s.frag_stats for s in stats_list],
-                        header.ref_lengths, header.ref_names, is_rna=is_rna)
+    scanner = SVScanner(
+        scan_opt, [s.frag_stats for s in stats_list],
+        header.ref_lengths, header.ref_names, is_rna=is_rna,
+        is_transcript_strand_known=(is_rna and not is_unstranded_rna))
 
     # chrom depth (WGS only; reference: mantaGetDepthFromAlignments uses
     # normal BAMs when present, else tumor BAMs)
@@ -169,7 +172,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     refiner = SVCandidateAssemblyRefiner(
         scanner, finder.readers, is_tumor, fasta, chrom_depths=chrom_depths,
         min_candidate_variant_size=min_candidate_variant_size,
-        is_output_contig=is_output_contig)
+        is_output_contig=is_output_contig, is_rna=is_rna,
+        is_unstranded_rna=is_unstranded_rna)
     scorer = SVScorer(scanner, finder.readers, is_tumor, fasta,
                       chrom_depths=chrom_depths, is_rna=is_rna)
 
@@ -182,8 +186,15 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     cand_writer.write_header(PROG_NAME, PROG_VERSION, [])
     sample_names = [get_sample_name(r, f"SAMPLE{i + 1}")
                     for i, r in enumerate(readers)]
-    diploid_writer = somatic_writer = tumor_writer = None
-    if is_tumor_only:
+    diploid_writer = somatic_writer = tumor_writer = rna_writer = None
+    if is_rna:
+        from ..format.vcfwriter import VcfWriterRnaSV
+        rna_writer = VcfWriterRnaSV(
+            reference, header.ref_names, header.ref_lengths, fasta,
+            os.path.join(unsorted_dir, "rnaSV.vcf"),
+            is_output_contig=is_output_contig)
+        rna_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
+    elif is_tumor_only:
         tumor_writer = VcfWriterTumorSV(
             scorer.tumor_opt, chrom_depths is not None,
             reference, header.ref_names, header.ref_lengths, fasta,
@@ -210,6 +221,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
 
     writer = SVWriter(
         cand_writer, diploid_writer, somatic_writer, tumor_writer,
+        rna_writer=rna_writer,
         diploid_sample_count=sum(1 for t in is_tumor if not t),
         min_output_alt_score=scorer.diploid_opt.min_output_alt_score,
         min_output_somatic_score=scorer.somatic_opt.min_output_somatic_score)
@@ -288,7 +300,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         os.path.join(stats_dir, "svCandidateGenerationStats.xml"))
 
     cand_writer.stream.close()
-    for w in (diploid_writer, somatic_writer, tumor_writer):
+    for w in (diploid_writer, somatic_writer, tumor_writer, rna_writer):
         if w is not None:
             w.stream.close()
 
@@ -320,7 +332,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     for name, out_name, is_diploid in (
             ("diploidSV.vcf", "diploidSV.vcf.gz", True),
             ("somaticSV.vcf", "somaticSV.vcf.gz", False),
-            ("tumorSV.vcf", "tumorSV.vcf.gz", False)):
+            ("tumorSV.vcf", "tumorSV.vcf.gz", False),
+            ("rnaSV.vcf", "rnaSV.vcf.gz", False)):
         lines = read_lines(name)
         if lines is None:
             continue

@@ -532,3 +532,261 @@ extern "C" int mt_align_large_indel(
   pb.reverse();
   return emit_path(pb, out_ops, out_lens, out_n, cap);
 }
+
+// ---------------------------------------------------------------------------
+// Jump aligner with intron (splice) state for RNA spanning contigs.
+// Behavioral parity target (studied not copied):
+//   GlobalJumpIntronAligner (alignment/GlobalJumpIntronAlignerImpl.hpp)
+// The splice state extends along the reference like an unpenalized
+// deletion; it may only be entered where the reference starts a splice
+// donor motif (GT fwd / CT rev) and exited where it ends a splice
+// acceptor motif (AG fwd / AC rev); unstranded mode accepts both.
+
+namespace {
+constexpr uint8_t ST_SPLICE = 4;
+constexpr uint8_t OP_N = 3;
+
+inline bool splice_acceptor(const char* ref, int r, bool fw, bool stranded) {
+  if (r < 2) return false;
+  if ((fw || !stranded) && ref[r - 2] == 'A' && ref[r - 1] == 'G') return true;
+  if ((!fw || !stranded) && ref[r - 2] == 'A' && ref[r - 1] == 'C') return true;
+  return false;
+}
+inline bool splice_donor(const char* ref, int r, int nr, bool fw, bool stranded) {
+  if (nr - r < 2) return false;
+  if ((fw || !stranded) && ref[r] == 'G' && ref[r + 1] == 'T') return true;
+  if ((!fw || !stranded) && ref[r] == 'C' && ref[r + 1] == 'T') return true;
+  return false;
+}
+}  // namespace
+
+extern "C" int mt_align_jump_intron(
+    const char* query, int32_t nq,
+    const char* ref1, int32_t nr1, const char* ref2, int32_t nr2,
+    int32_t s_match, int32_t s_mismatch, int32_t s_open, int32_t s_extend,
+    int32_t s_off_edge, int32_t jump_score,
+    int32_t intron_open, int32_t intron_off_edge,
+    int32_t ref1_fw, int32_t ref2_fw, int32_t is_stranded,
+    int32_t* out_score,
+    int32_t* out_begin1, uint8_t* out_ops1, int32_t* out_lens1, int32_t* out_n1,
+    int32_t* out_begin2, uint8_t* out_ops2, int32_t* out_lens2, int32_t* out_n2,
+    int32_t* out_jump_ins, int32_t* out_jump_range, int32_t cap) {
+  if (nq <= 0 || nr1 <= 0 || nr2 <= 0) return -2;
+  const int32_t jmp = jump_score;
+  const bool fw1 = ref1_fw != 0, fw2 = ref2_fw != 0, strd = is_stranded != 0;
+
+  std::vector<int32_t> m0(nq + 1), d0(nq + 1), i0(nq + 1), j0(nq + 1), sp0(nq + 1);
+  std::vector<int32_t> m1(nq + 1), d1(nq + 1), i1(nq + 1), j1(nq + 1), sp1(nq + 1);
+  int32_t *pm = m0.data(), *pd = d0.data(), *pi = i0.data(), *pj = j0.data(),
+          *ps = sp0.data();
+  int32_t *cm = m1.data(), *cd = d1.data(), *ci = i1.data(), *cj = j1.data(),
+          *cs = sp1.data();
+
+  // 5 states x 3 bits
+  std::vector<uint16_t> ptr1((size_t)(nq + 1) * (nr1 + 1));
+  std::vector<uint16_t> ptr2((size_t)(nq + 1) * (nr2 + 1));
+  auto pack = [](uint8_t a, uint8_t b, uint8_t c, uint8_t d, uint8_t e) -> uint16_t {
+    return (uint16_t)(a | (b << 3) | (c << 6) | (d << 9) | (e << 12));
+  };
+  auto get_ptr = [](uint16_t packed, uint8_t state) -> uint8_t {
+    switch (state) {
+      case ST_MATCH: return packed & 7;
+      case ST_DELETE: return (packed >> 3) & 7;
+      case ST_INSERT: return (packed >> 6) & 7;
+      case ST_JUMP: return (packed >> 9) & 7;
+      default: return (packed >> 12) & 7;
+    }
+  };
+  const uint16_t all_match = 0;
+
+  for (int q = 0; q <= nq; q++) {
+    cm[q] = q * s_off_edge;
+    cd[q] = BAD; ci[q] = BAD; cj[q] = BAD;
+    cs[q] = q * intron_off_edge + intron_open;
+    ptr1[q] = all_match;
+    ptr2[q] = all_match;
+  }
+
+  Btrace bt;
+  // --- ref1 phase
+  for (int r = 0; r < nr1; r++) {
+    std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi);
+    std::swap(cj, pj); std::swap(cs, ps);
+    cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cj[0] = BAD; cs[0] = BAD;
+    ptr1[(size_t)(r + 1) * (nq + 1)] = all_match;
+    const char rc = ref1[r];
+    const bool acc = splice_acceptor(ref1, r, fw1, strd);
+    const bool don = splice_donor(ref1, r, nr1, fw1, strd);
+    for (int q = 0; q < nq; q++) {
+      int32_t vm, vd, vi, vj, vs;
+      uint8_t ptm = best3(vm, pm[q], pd[q], pi[q]);
+      if (acc && vm < ps[q]) { vm = ps[q]; ptm = ST_SPLICE; }
+      vm += (query[q] == rc ? s_match : s_mismatch);
+      uint8_t ptd = best3(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1] + s_open);
+      vd += s_extend;
+      if (q == 0) vd = BAD;
+      uint8_t pti = best3(vi, cm[q] + s_open, BAD, ci[q]);
+      vi += s_extend;
+      if (q == 0) vi = BAD;
+      uint8_t pts = ST_SPLICE;
+      vs = ps[q + 1];
+      if (don && pm[q + 1] + intron_open > vs) { vs = pm[q + 1] + intron_open; pts = ST_MATCH; }
+      uint8_t ptj = best4(vj, vm + jmp, BAD, vi + jmp, pj[q + 1]);
+      cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cj[q + 1] = vj; cs[q + 1] = vs;
+      ptr1[(size_t)(r + 1) * (nq + 1) + q + 1] = pack(ptm, ptd, pti, ptj, pts);
+    }
+    upd_btrace(bt, cm[nq], r + 1, nq);
+  }
+  for (int q = 0; q < nq; q++) {
+    const int32_t max_match = cm[q] + (nq - q) * s_off_edge;
+    const int32_t max_intron = cs[q] + (nq - q) * intron_off_edge;
+    if (max_match >= max_intron) upd_btrace(bt, max_match, nr1, q, ST_MATCH);
+    else upd_btrace(bt, max_intron, nr1, q, ST_SPLICE);
+  }
+
+  // --- reset for ref2, preserve jump
+  for (int q = 0; q <= nq; q++) {
+    cm[q] = q * s_off_edge;
+    cd[q] = BAD; ci[q] = BAD;
+    cs[q] = q * intron_off_edge + intron_open;
+  }
+
+  // --- ref2 phase
+  for (int r = 0; r < nr2; r++) {
+    std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi);
+    std::swap(cj, pj); std::swap(cs, ps);
+    cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cj[0] = BAD; cs[0] = BAD;
+    ptr2[(size_t)(r + 1) * (nq + 1)] = all_match;
+    const char rc = ref2[r];
+    const bool acc = splice_acceptor(ref2, r, fw2, strd);
+    const bool don = splice_donor(ref2, r, nr2, fw2, strd);
+    for (int q = 0; q < nq; q++) {
+      int32_t vm, vd, vi, vj, vs;
+      uint8_t ptm = best4(vm, pm[q], pd[q], pi[q], pj[q]);
+      if (acc && vm < ps[q]) { vm = ps[q]; ptm = ST_SPLICE; }
+      vm += (query[q] == rc ? s_match : s_mismatch);
+      uint8_t ptd = best3(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1] + s_open);
+      vd += s_extend;
+      // jump->ins transition skips the gap-open penalty
+      uint8_t pti = best4(vi, cm[q] + s_open, BAD, ci[q], cj[q]);
+      vi += s_extend;
+      uint8_t pts = ST_SPLICE;
+      vs = ps[q + 1];
+      if (don && pm[q + 1] + intron_open > vs) { vs = pm[q + 1] + intron_open; pts = ST_MATCH; }
+      vj = pj[q + 1];
+      uint8_t ptj = ST_JUMP;
+      cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cj[q + 1] = vj; cs[q + 1] = vs;
+      ptr2[(size_t)(r + 1) * (nq + 1) + q + 1] = pack(ptm, ptd, pti, ptj, pts);
+    }
+    upd_btrace(bt, cm[nq], nr1 + r + 1, nq);
+  }
+  for (int q = 0; q < nq; q++) {
+    const int32_t max_match = cm[q] + (nq - q) * s_off_edge;
+    const int32_t max_intron = cs[q] + (nq - q) * intron_off_edge;
+    if (max_match >= max_intron) upd_btrace(bt, max_match, nr1 + nr2, q, ST_MATCH);
+    else upd_btrace(bt, max_intron, nr1 + nr2, q, ST_SPLICE);
+  }
+
+  // --- backtrace (mirrors mt_align_jump with the added SPLICE case)
+  *out_score = bt.max;
+  *out_jump_ins = 0;
+  *out_jump_range = 0;
+  PathBuilder pb1, pb2;
+  uint8_t cur_op = OP_NONE;
+  int32_t cur_len = 0;
+  int32_t begin1 = 0, begin2 = 0;
+
+  if (bt.qb < nq) { cur_op = OP_S; cur_len = nq - bt.qb; }
+  int q = bt.qb, r = bt.rb;
+  uint8_t st = bt.state;
+  bool is_ref2_end = false;
+
+  auto switch_seg = [&](PathBuilder& target, uint8_t op) {
+    if (cur_op == op) return;
+    if (cur_op != OP_NONE) { target.push_direct(cur_op, cur_len); }
+    cur_op = op; cur_len = 0;
+  };
+
+  while (q > 0 && r > 0) {
+    if (is_ref2_end) break;
+    const bool is_ref1 = (r <= nr1);
+    PathBuilder& apath = is_ref1 ? pb1 : pb2;
+    const int rx = r - (is_ref1 ? 0 : nr1);
+    const uint16_t packed = is_ref1 ? ptr1[(size_t)rx * (nq + 1) + q]
+                                    : ptr2[(size_t)rx * (nq + 1) + q];
+    const uint8_t next = get_ptr(packed, st);
+
+    if (st == ST_MATCH) {
+      if (!is_ref1 && rx == 1 && next == ST_MATCH) is_ref2_end = true;
+      switch_seg(apath, OP_M); q--; r--;
+    } else if (st == ST_DELETE) {
+      switch_seg(apath, OP_D); r--;
+    } else if (st == ST_SPLICE) {
+      if (!is_ref1 && rx == 1 && next == ST_SPLICE) is_ref2_end = true;
+      switch_seg(apath, OP_N); r--;
+    } else if (st == ST_INSERT) {
+      switch_seg(apath, OP_I); q--;
+    } else {  // JUMP
+      if (cur_op != OP_NONE) {
+        begin2 = r - nr1;
+        if (cur_op == OP_I) {
+          *out_jump_ins += cur_len;
+          cur_op = OP_NONE; cur_len = 0;
+        } else {
+          pb2.push_direct(cur_op, cur_len);
+          cur_op = OP_NONE; cur_len = 0;
+        }
+      } else {
+        if (next == ST_JUMP) r--;
+      }
+    }
+    st = next;
+    cur_len++;
+  }
+
+  {
+    const bool is_ref1 = (r < nr1);
+    PathBuilder& apath = is_ref1 ? pb1 : pb2;
+    if (cur_op != OP_NONE) apath.push_direct(cur_op, cur_len);
+    if (q != 0) apath.push_direct(OP_S, q);
+    if (is_ref1) begin1 = r;
+    else begin2 = r - nr1;
+  }
+
+  pb1.reverse();
+  pb2.reverse();
+  *out_begin1 = begin1;
+  *out_begin2 = begin2;
+
+  // jumpRange homology walk (same as mt_align_jump)
+  if (!pb1.ops.empty() && !pb2.ops.empty()) {
+    int64_t ref1_len_used = 0, read1_len_used = 0;
+    for (size_t k = 0; k < pb1.ops.size(); k++) {
+      if (pb1.ops[k] == OP_M || pb1.ops[k] == OP_D || pb1.ops[k] == OP_N)
+        ref1_len_used += pb1.lens[k];
+      if (pb1.ops[k] == OP_M || pb1.ops[k] == OP_I || pb1.ops[k] == OP_S)
+        read1_len_used += pb1.lens[k];
+    }
+    int64_t r1 = begin1 + ref1_len_used;
+    int64_t r2 = begin2;
+    int64_t qk = read1_len_used;
+    int32_t jic = *out_jump_ins;
+    while (true) {
+      if (r1 >= nr1) break;
+      if (jic > 0) {
+        if (qk >= nq) break;
+        if (ref1[r1] != query[qk]) break;
+      } else {
+        if (r2 >= nr2) break;
+        if (ref1[r1] != ref2[r2]) break;
+      }
+      (*out_jump_range)++;
+      r1++;
+      if (jic > 0) { jic--; qk++; } else { r2++; }
+    }
+  }
+
+  int rc1 = emit_path(pb1, out_ops1, out_lens1, out_n1, cap);
+  int rc2 = emit_path(pb2, out_ops2, out_lens2, out_n2, cap);
+  return (rc1 < 0 || rc2 < 0) ? -1 : 0;
+}
