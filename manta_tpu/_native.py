@@ -1,0 +1,56 @@
+"""Native core loader: compiles/loads libmanta_core.so and declares the
+C ABI for all native entry points (aligners, BAM parsing, batch scans).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB = None
+
+i32p = ctypes.POINTER(ctypes.c_int32)
+i64p = ctypes.POINTER(ctypes.c_int64)
+u8p = ctypes.POINTER(ctypes.c_uint8)
+u16p = ctypes.POINTER(ctypes.c_uint16)
+u32p = ctypes.POINTER(ctypes.c_uint32)
+
+
+def get_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "manta_core.cpp"))
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmanta_core.so"))
+    if (not os.path.exists(so)) or \
+            os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src], check=True)
+    lib = ctypes.CDLL(so)
+
+    lib.mt_bam_size.restype = ctypes.c_int
+    lib.mt_bam_size.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p]
+    lib.mt_bam_fill.restype = ctypes.c_int
+    lib.mt_bam_fill.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, u8p, u16p, i32p, i32p, i32p,
+        i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p, i64p, u8p]
+    lib.mt_split_read_scan.restype = ctypes.c_int
+    lib.mt_split_read_scan.argtypes = [
+        u8p, ctypes.c_int32, u8p,
+        u8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), i32p]
+    lib.mt_semi_aligned_batch.restype = ctypes.c_int
+    lib.mt_semi_aligned_batch.argtypes = [
+        ctypes.c_int64, i32p, i64p, u32p, i64p, u8p,
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i32p, i32p, i32p, i32p]
+    _LIB = lib
+    return lib

@@ -30,12 +30,8 @@ def _get_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = os.path.abspath(os.path.join(_NATIVE_DIR, "manta_core.cpp"))
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmanta_core.so"))
-    if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src], check=True)
-    lib = ctypes.CDLL(so)
+    from .._native import get_lib
+    lib = get_lib()
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.mt_align_global.restype = ctypes.c_int

@@ -44,8 +44,9 @@ def string_to_arrays(s: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sum_where(ops, lens, opset) -> int:
-    mask = np.isin(ops, list(opset))
-    return int(lens[mask].sum())
+    # cigars are tiny (1-10 segments): a scalar loop beats np.isin ~20x
+    return sum(int(l) for o, l in zip(ops.tolist(), lens.tolist())
+               if o in opset)
 
 
 def read_length(ops, lens) -> int:

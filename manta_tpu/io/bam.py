@@ -246,17 +246,21 @@ def parse_records(buf: bytes, start: int = 0, end: int | None = None,
     half-open interval (cheap pos prefilter; precise CIGAR-span filter is
     applied on the aligned length afterwards).
     """
-    if end is None:
-        end = len(buf)
-    offs = []
-    i = start
-    while i + 4 <= end:
-        (bs,) = struct.unpack_from("<I", buf, i)
-        if i + 4 + bs > len(buf):
-            break
-        offs.append(i)
-        i += 4 + bs
-    n = len(offs)
+    if end is not None and end < len(buf):
+        buf = buf[:end]
+    # native single-pass extraction (native/manta_core.cpp mt_bam_*)
+    import ctypes
+    from .._native import get_lib, i32p, i64p, u8p, u16p, u32p
+    lib = get_lib()
+    c_n = ctypes.c_int64()
+    c_cig = ctypes.c_int64()
+    c_seq = ctypes.c_int64()
+    c_name = ctypes.c_int64()
+    c_tags = ctypes.c_int64()
+    lib.mt_bam_size(buf, len(buf), start, ctypes.byref(c_n),
+                    ctypes.byref(c_cig), ctypes.byref(c_seq),
+                    ctypes.byref(c_name), ctypes.byref(c_tags))
+    n = int(c_n.value)
     if n == 0:
         return _empty_batch()
 
@@ -267,49 +271,32 @@ def parse_records(buf: bytes, start: int = 0, end: int | None = None,
     cigar_off = np.zeros(n + 1, np.int64); seq_off = np.zeros(n + 1, np.int64)
     qual_off = np.zeros(n + 1, np.int64); name_off = np.zeros(n + 1, np.int64)
     tag_off = np.zeros(n + 1, np.int64)
-    cigars = []; seqs = []; quals = []; names = []; tags = []
-
-    unp = _FIXED.unpack_from
-    for k, o in enumerate(offs):
-        (rid, p, lqn, mq, _bin, ncig, fl, lseq, nrid, np_, tl) = unp(buf, o + 4)
-        refid[k] = rid; pos[k] = p; mapq[k] = mq; flag[k] = fl
-        nrefid[k] = nrid; npos[k] = np_; tlen[k] = tl
-        q = o + 36
-        names.append(buf[q : q + lqn - 1])
-        q += lqn
-        cig = np.frombuffer(buf, np.uint32, ncig, q)
-        cigars.append(cig)
-        q += 4 * ncig
-        packed = np.frombuffer(buf, np.uint8, (lseq + 1) // 2, q)
-        sq = np.empty(lseq, np.uint8)
-        hi = SEQ_DECODE[packed >> 4]
-        lo = SEQ_DECODE[packed & 0xF]
-        sq[0::2] = hi[: (lseq + 1) // 2]
-        sq[1::2] = lo[: lseq // 2]
-        seqs.append(sq)
-        q += (lseq + 1) // 2
-        quals.append(np.frombuffer(buf, np.uint8, lseq, q))
-        q += lseq
-        (bs,) = struct.unpack_from("<I", buf, o)
-        tags.append(buf[q : o + 4 + bs])
-        cigar_off[k + 1] = cigar_off[k] + ncig
-        seq_off[k + 1] = seq_off[k] + lseq
-        qual_off[k + 1] = qual_off[k] + lseq
-        name_off[k + 1] = name_off[k] + lqn - 1
-        tag_off[k + 1] = tag_off[k] + len(tags[-1])
+    cigar = np.empty(int(c_cig.value), np.uint32)
+    seq = np.empty(int(c_seq.value), np.uint8)
+    qual = np.empty(int(c_seq.value), np.uint8)
+    name = np.empty(int(c_name.value), np.uint8)
+    tags_arr = np.empty(int(c_tags.value), np.uint8)
+    rc = lib.mt_bam_fill(
+        buf, len(buf), start, n,
+        refid.ctypes.data_as(i32p), pos.ctypes.data_as(i32p),
+        mapq.ctypes.data_as(u8p), flag.ctypes.data_as(u16p),
+        nrefid.ctypes.data_as(i32p), npos.ctypes.data_as(i32p),
+        tlen.ctypes.data_as(i32p),
+        cigar_off.ctypes.data_as(i64p), cigar.ctypes.data_as(u32p),
+        seq_off.ctypes.data_as(i64p), seq.ctypes.data_as(u8p),
+        qual_off.ctypes.data_as(i64p), qual.ctypes.data_as(u8p),
+        name_off.ctypes.data_as(i64p), name.ctypes.data_as(u8p),
+        tag_off.ctypes.data_as(i64p), tags_arr.ctypes.data_as(u8p))
+    assert rc == 0, "mt_bam_fill failed"
 
     batch = ReadBatch(
         n=n, refid=refid, pos=pos, mapq=mapq, flag=flag,
         next_refid=nrefid, next_pos=npos, tlen=tlen,
-        cigar_off=cigar_off,
-        cigar=np.concatenate(cigars) if cigars else np.zeros(0, np.uint32),
-        seq_off=seq_off,
-        seq=np.concatenate(seqs) if seqs else np.zeros(0, np.uint8),
-        qual_off=qual_off,
-        qual=np.concatenate(quals) if quals else np.zeros(0, np.uint8),
-        name_off=name_off,
-        name=np.frombuffer(b"".join(names), np.uint8).copy(),
-        tag_off=tag_off, tags=b"".join(tags),
+        cigar_off=cigar_off, cigar=cigar,
+        seq_off=seq_off, seq=seq,
+        qual_off=qual_off, qual=qual,
+        name_off=name_off, name=name,
+        tag_off=tag_off, tags=tags_arr.tobytes(),
     )
     if want_overlap is not None:
         tid, beg, iend = want_overlap

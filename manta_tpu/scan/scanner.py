@@ -316,10 +316,11 @@ class SVScanner:
         read = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]]
         qual = batch.qual_arr(i)
         n = len(read)
-        mpos, mops, mlens = cg.matchify_edge_soft_clip(al.pos, al.ops, al.lens)
 
-        lead_tmp, lead_ref, trail_tmp, trail_ref = _edge_poor_alignment(
-            mpos, mops, mlens, read, refseq, ref_offset, 5)
+        # native edge scan (matchifies edge soft-clips internally;
+        # native/manta_core.cpp mt_semi_aligned_batch)
+        lead_tmp, lead_ref, trail_tmp, trail_ref = \
+            _edge_poor_alignment_native(batch, i, refseq, ref_offset, 5)
         if lead_tmp + trail_tmp >= n:
             return 0, 0, 0, 0
 
@@ -665,6 +666,74 @@ def _is_innie_read(batch: ReadBatch, i: int) -> bool:
     if batch.pos[i] > batch.next_pos[i]:
         return not fwd
     return True
+
+
+class _EdgeScanScratch:
+    """Reusable single-read buffers + precast pointers for the native
+    edge scan (ctypes cast cost dominates otherwise)."""
+
+    def __init__(self):
+        import ctypes
+        from .._native import get_lib, i32p, i64p, u8p, u32p
+        self.lib = get_lib()
+        self.pos1 = np.empty(1, np.int32)
+        self.coff = np.empty(2, np.int64)
+        self.soff = np.empty(2, np.int64)
+        self.out = np.empty(4, np.int32)
+        self.p_pos1 = self.pos1.ctypes.data_as(i32p)
+        self.p_coff = self.coff.ctypes.data_as(i64p)
+        self.p_soff = self.soff.ctypes.data_as(i64p)
+        self.p_lead_len = self.out[0:].ctypes.data_as(i32p)
+        self.p_lead_ref = self.out[1:].ctypes.data_as(i32p)
+        self.p_trail_len = self.out[2:].ctypes.data_as(i32p)
+        self.p_trail_ref = self.out[3:].ctypes.data_as(i32p)
+        self.i32p, self.i64p, self.u8p, self.u32p = i32p, i64p, u8p, u32p
+        self._batch_id = None
+        self._p_cig = None
+        self._p_seq = None
+        self._ref_id = None
+        self._p_ref = None
+        self._ref_len = 0
+
+    def ptrs_for(self, batch, refseq):
+        if id(batch) != self._batch_id:
+            self._batch_id = id(batch)
+            self._p_cig = batch.cigar.ctypes.data_as(self.u32p)
+            self._p_seq = batch.seq.ctypes.data_as(self.u8p)
+        if id(refseq) != self._ref_id:
+            if not refseq.flags["C_CONTIGUOUS"]:
+                refseq = np.ascontiguousarray(refseq)
+            self._ref_id = id(refseq)
+            self._keep_ref = refseq
+            self._p_ref = refseq.ctypes.data_as(self.u8p)
+            self._ref_len = len(refseq)
+        return self._p_cig, self._p_seq, self._p_ref, self._ref_len
+
+
+_EDGE_SCRATCH = None
+
+
+def _edge_poor_alignment_native(batch: ReadBatch, i: int,
+                                refseq: np.ndarray, ref_offset: int,
+                                contiguous: int):
+    """Single-read call into the batched native edge scan; equivalent to
+    matchify_edge_soft_clip + _edge_poor_alignment."""
+    global _EDGE_SCRATCH
+    sc = _EDGE_SCRATCH
+    if sc is None:
+        sc = _EDGE_SCRATCH = _EdgeScanScratch()
+    p_cig, p_seq, p_ref, ref_len = sc.ptrs_for(batch, refseq)
+    sc.pos1[0] = batch.pos[i]
+    sc.coff[0] = batch.cigar_off[i]
+    sc.coff[1] = batch.cigar_off[i + 1]
+    sc.soff[0] = batch.seq_off[i]
+    sc.soff[1] = batch.seq_off[i + 1]
+    sc.lib.mt_semi_aligned_batch(
+        1, sc.p_pos1, sc.p_coff, p_cig, sc.p_soff, p_seq,
+        p_ref, ref_len, ref_offset, contiguous,
+        sc.p_lead_len, sc.p_lead_ref, sc.p_trail_len, sc.p_trail_ref)
+    o = sc.out
+    return int(o[0]), int(o[1]), int(o[2]), int(o[3])
 
 
 def _edge_poor_alignment(pos: int, ops: np.ndarray, lens: np.ndarray,

@@ -42,6 +42,18 @@ class QscoreSnp:
             # q=0/1 entries are -inf but unused (quals clamped >= 2)
             self.ln_comp_e = np.log1p(-self.p)
             self.ln_e = np.log(self.p)
+        self._lut256 = None
+
+    def lut256(self):
+        """256-entry float32 match/mismatch ln-likelihood LUTs indexed
+        by raw qual byte (clamped to [2, MAX_QSCORE])."""
+        if self._lut256 is None:
+            qi = np.clip(np.arange(256), 2, MAX_QSCORE)
+            lut_m = self.ln_comp_e[qi].astype(np.float32)
+            lut_x = (self.ln_e[qi] + math.log(1 / 3.0)).astype(np.float32)
+            self._lut256 = (np.ascontiguousarray(lut_m),
+                            np.ascontiguousarray(lut_x))
+        return self._lut256
 
 
 @dataclass
@@ -252,35 +264,31 @@ def split_read_aligner(flank_score_size: int, query: np.ndarray,
     score_beg = bp_beg - flank_score_size
     score_end = bp_end + flank_score_size
 
-    qual_i = np.clip(qual.astype(np.int64), 2, MAX_QSCORE)
-    ln_match = qconv.ln_comp_e[qual_i].astype(np.float32)
-    ln_mism = (qconv.ln_e[qual_i] + math.log(1 / 3.0)).astype(np.float32)
-    ln_random = np.float32(-math.log(4.0))
-
-    n_pos = scan_end - scan_start + 1
-    # windows[k, j] = target[scan_start + k + j]
-    idx = (np.arange(n_pos)[:, None] + scan_start) + np.arange(nq)[None, :]
-    win = target[idx]
-    q = query[None, :]
-    is_n = (q == ord("N")) | (win == ord("N"))
-    mismatch = (q != win) | (q == ord("N"))
-    terms = np.where(is_n, ln_random,
-                     np.where(mismatch, ln_mism[None, :], ln_match[None, :]))
-    # score-range gating: base j at scan pos k contributes iff
-    # score_beg < scan_start+k+j <= score_end
-    tpos = idx
-    gate = (tpos > score_beg) & (tpos <= score_end)
-    terms = np.where(gate, terms, np.float32(0))
-    lnl = np.cumsum(terms.astype(np.float32), axis=1)[:, -1]
-
-    best_k = 0
-    best = None
-    for k in range(n_pos):
-        v = float(lnl[k])
-        if best is None or v > best:
-            best = v
-            best_k = k
-    best_pos = scan_start + best_k
+    # native scan (native/manta_core.cpp mt_split_read_scan): per scan
+    # position float32 base-order accumulation, winner-takes-first
+    import ctypes
+    from .._native import get_lib, i32p, u8p
+    lib = get_lib()
+    lut_m, lut_x = qconv.lut256()
+    fp = ctypes.POINTER(ctypes.c_float)
+    out_lnl = ctypes.c_float()
+    out_pos = ctypes.c_int32()
+    if not query.flags["C_CONTIGUOUS"]:
+        query = np.ascontiguousarray(query)
+    if not qual.flags["C_CONTIGUOUS"]:
+        qual = np.ascontiguousarray(qual)
+    if not target.flags["C_CONTIGUOUS"]:
+        target = np.ascontiguousarray(target)
+    rc = lib.mt_split_read_scan(
+        query.ctypes.data_as(u8p), nq, qual.ctypes.data_as(u8p),
+        target.ctypes.data_as(u8p), nt,
+        bp_beg, bp_end, flank_score_size,
+        lut_m.ctypes.data_as(fp), lut_x.ctypes.data_as(fp),
+        ctypes.c_float(-math.log(4.0)),
+        ctypes.byref(out_lnl), ctypes.byref(out_pos))
+    assert rc == 0, f"mt_split_read_scan failed: {rc}"
+    best = float(out_lnl.value)
+    best_pos = int(out_pos.value)
 
     assert best_pos <= bp_end + 1
     if best_pos <= bp_beg + 1:

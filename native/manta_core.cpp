@@ -790,3 +790,301 @@ extern "C" int mt_align_jump_intron(
   int rc2 = emit_path(pb2, out_ops2, out_lens2, out_n2, cap);
   return (rc1 < 0 || rc2 < 0) ? -1 : 0;
 }
+
+// ---------------------------------------------------------------------------
+// BAM record parsing: single-pass native extraction of the
+// struct-of-arrays ReadBatch layout (replaces the per-record Python loop
+// over the uncompressed buffer; reference semantics: htslib bam_read1).
+
+namespace {
+constexpr char SEQ16[] = "=ACMGRSVTWYHKDBN";
+}
+
+extern "C" int mt_bam_size(
+    const uint8_t* buf, int64_t buflen, int64_t start,
+    int64_t* out_n, int64_t* out_cigar, int64_t* out_seq,
+    int64_t* out_name, int64_t* out_tags) {
+  int64_t n = 0, tot_cigar = 0, tot_seq = 0, tot_name = 0, tot_tags = 0;
+  int64_t i = start;
+  while (i + 4 <= buflen) {
+    uint32_t bs;
+    std::memcpy(&bs, buf + i, 4);
+    if (i + 4 + (int64_t)bs > buflen) break;
+    const uint8_t* p = buf + i + 4;
+    const uint8_t lqn = p[8];
+    uint16_t ncig;
+    std::memcpy(&ncig, p + 12, 2);
+    int32_t lseq;
+    std::memcpy(&lseq, p + 16, 4);
+    const int64_t var = 32;  // fixed fields after block_size
+    const int64_t tag_len =
+        (int64_t)bs - var - lqn - 4LL * ncig - ((lseq + 1) / 2) - lseq;
+    n++;
+    tot_cigar += ncig;
+    tot_seq += lseq;
+    tot_name += lqn - 1;
+    tot_tags += (tag_len > 0 ? tag_len : 0);
+    i += 4 + bs;
+  }
+  *out_n = n;
+  *out_cigar = tot_cigar;
+  *out_seq = tot_seq;
+  *out_name = tot_name;
+  *out_tags = tot_tags;
+  return 0;
+}
+
+extern "C" int mt_bam_fill(
+    const uint8_t* buf, int64_t buflen, int64_t start, int64_t n,
+    int32_t* refid, int32_t* pos, uint8_t* mapq, uint16_t* flag,
+    int32_t* nrefid, int32_t* npos, int32_t* tlen,
+    int64_t* cigar_off, uint32_t* cigar_out,
+    int64_t* seq_off, uint8_t* seq_out,
+    int64_t* qual_off, uint8_t* qual_out,
+    int64_t* name_off, uint8_t* name_out,
+    int64_t* tag_off, uint8_t* tag_out) {
+  int64_t i = start;
+  int64_t k = 0;
+  cigar_off[0] = seq_off[0] = qual_off[0] = name_off[0] = tag_off[0] = 0;
+  while (i + 4 <= buflen && k < n) {
+    uint32_t bs;
+    std::memcpy(&bs, buf + i, 4);
+    if (i + 4 + (int64_t)bs > buflen) break;
+    const uint8_t* p = buf + i + 4;
+    int32_t rid, pp, lseq, nrid, np_, tl;
+    std::memcpy(&rid, p, 4);
+    std::memcpy(&pp, p + 4, 4);
+    const uint8_t lqn = p[8];
+    const uint8_t mq = p[9];
+    uint16_t ncig, fl;
+    std::memcpy(&ncig, p + 12, 2);
+    std::memcpy(&fl, p + 14, 2);
+    std::memcpy(&lseq, p + 16, 4);
+    std::memcpy(&nrid, p + 20, 4);
+    std::memcpy(&np_, p + 24, 4);
+    std::memcpy(&tl, p + 28, 4);
+    refid[k] = rid; pos[k] = pp; mapq[k] = mq; flag[k] = fl;
+    nrefid[k] = nrid; npos[k] = np_; tlen[k] = tl;
+
+    const uint8_t* q = p + 32;
+    std::memcpy(name_out + name_off[k], q, lqn - 1);
+    name_off[k + 1] = name_off[k] + (lqn - 1);
+    q += lqn;
+    std::memcpy(cigar_out + cigar_off[k], q, 4LL * ncig);
+    cigar_off[k + 1] = cigar_off[k] + ncig;
+    q += 4LL * ncig;
+    {
+      uint8_t* dst = seq_out + seq_off[k];
+      const int64_t half = (lseq + 1) / 2;
+      for (int64_t b = 0; b < half; b++) {
+        const uint8_t packed = q[b];
+        dst[2 * b] = SEQ16[packed >> 4];
+        if (2 * b + 1 < lseq) dst[2 * b + 1] = SEQ16[packed & 0xF];
+      }
+      seq_off[k + 1] = seq_off[k] + lseq;
+      q += half;
+    }
+    std::memcpy(qual_out + qual_off[k], q, lseq);
+    qual_off[k + 1] = qual_off[k] + lseq;
+    q += lseq;
+    const int64_t tag_len = (buf + i + 4 + bs) - q;
+    if (tag_len > 0) std::memcpy(tag_out + tag_off[k], q, tag_len);
+    tag_off[k + 1] = tag_off[k] + (tag_len > 0 ? tag_len : 0);
+
+    i += 4 + bs;
+    k++;
+  }
+  return (int)(k == n ? 0 : -1);
+}
+
+// ---------------------------------------------------------------------------
+// Batched semi-aligned edge scan: leading/trailing poorly-aligned edge
+// lengths per read (reference: SVLocusScannerSemiAligned.cpp:33-131),
+// with edge soft-clips matchified first
+// (reference: SimpleAlignment.cpp matchifyEdgeSegmentType).
+
+namespace {
+inline bool sa_base_match(uint8_t rb, const uint8_t* refseq, int64_t ref_len,
+                          int64_t fi) {
+  const uint8_t fb = (fi >= 0 && fi < ref_len) ? refseq[fi] : (uint8_t)'N';
+  return rb == 'N' || fb == 'N' || rb == fb;
+}
+constexpr uint32_t OPBIT_MATCH = (1u << 0) | (1u << 7) | (1u << 8);
+constexpr uint32_t OPBIT_INDEL = (1u << 1) | (1u << 2);
+constexpr uint32_t OPBIT_READ = (1u << 0) | (1u << 1) | (1u << 4) |
+                                (1u << 7) | (1u << 8);
+constexpr uint32_t OPBIT_REF = (1u << 0) | (1u << 2) | (1u << 3) |
+                               (1u << 7) | (1u << 8);
+}  // namespace
+
+extern "C" int mt_semi_aligned_batch(
+    int64_t n,
+    const int32_t* pos,
+    const int64_t* cigar_off, const uint32_t* cigar,
+    const int64_t* seq_off, const uint8_t* seq,
+    const uint8_t* refseq, int64_t ref_len, int64_t ref_offset,
+    int32_t contiguous,
+    int32_t* out_lead_len, int32_t* out_lead_ref,
+    int32_t* out_trail_len, int32_t* out_trail_ref) {
+  std::vector<uint8_t> ops;
+  std::vector<int32_t> lens;
+  for (int64_t r = 0; r < n; r++) {
+    const int64_t c0 = cigar_off[r], c1 = cigar_off[r + 1];
+    const int64_t s0 = seq_off[r];
+    const int64_t n_read = seq_off[r + 1] - s0;
+    const uint8_t* read = seq + s0;
+
+    // matchify edge soft clips
+    ops.clear(); lens.clear();
+    int nseg = (int)(c1 - c0);
+    int first = nseg, last = nseg;
+    bool found = false;
+    for (int i = 0; i < nseg; i++) {
+      const uint8_t o = cigar[c0 + i] & 0xF;
+      if (OPBIT_MATCH & (1u << o)) {
+        if (!found) first = i;
+        found = true;
+        last = i;
+      }
+    }
+    int64_t mpos = pos[r];
+    for (int i = 0; i < nseg; i++) {
+      const uint8_t o = cigar[c0 + i] & 0xF;
+      const int32_t l = cigar[c0 + i] >> 4;
+      const bool is_edge = (i < first) || (i > last);
+      const bool target = is_edge && (o == 4);
+      if (target && i < first) mpos -= l;
+      if (target || o == 0) {
+        if (!ops.empty() && ops.back() == 0) lens.back() += l;
+        else { ops.push_back(0); lens.push_back(l); }
+      } else {
+        ops.push_back(o); lens.push_back(l);
+      }
+    }
+    const int m = (int)ops.size();
+
+    // leading scan
+    int64_t read_idx = 0, ref_idx = mpos;
+    int32_t lead_len = -1, lead_ref = (int32_t)mpos;
+    int run = 0;
+    for (int i = 0; i < m && lead_len < 0; i++) {
+      const uint8_t o = ops[i];
+      const int32_t l = lens[i];
+      if (OPBIT_MATCH & (1u << o)) {
+        for (int32_t sp = 0; sp < l; sp++) {
+          if (sa_base_match(read[read_idx + sp], refseq, ref_len,
+                            ref_idx + sp - ref_offset)) {
+            run++;
+            if (run >= contiguous) {
+              lead_len = (int32_t)((read_idx + sp) - (run - 1));
+              lead_ref = (int32_t)((ref_idx + sp) - (run - 1));
+              break;
+            }
+          } else {
+            run = 0;
+          }
+        }
+      } else if (OPBIT_INDEL & (1u << o)) {
+        run = 0;
+      }
+      if (lead_len >= 0) break;
+      if (OPBIT_READ & (1u << o)) read_idx += l;
+      if (OPBIT_REF & (1u << o)) ref_idx += l;
+    }
+    if (lead_len < 0) { lead_len = (int32_t)read_idx; lead_ref = (int32_t)ref_idx; }
+
+    // trailing scan
+    int64_t ref_span = 0;
+    for (int i = 0; i < m; i++)
+      if (OPBIT_REF & (1u << ops[i])) ref_span += lens[i];
+    read_idx = n_read - 1;
+    ref_idx = mpos + ref_span - 1;
+    int32_t trail_len = -1, trail_ref = 0;
+    run = 0;
+    for (int i = m - 1; i >= 0 && trail_len < 0; i--) {
+      const uint8_t o = ops[i];
+      const int32_t l = lens[i];
+      if (OPBIT_MATCH & (1u << o)) {
+        for (int32_t sp = 0; sp < l; sp++) {
+          if (sa_base_match(read[read_idx - sp], refseq, ref_len,
+                            ref_idx - sp - ref_offset)) {
+            run++;
+            if (run >= contiguous) {
+              trail_len = (int32_t)((n_read - (read_idx - sp)) - run);
+              trail_ref = (int32_t)((ref_idx - sp) + run);
+              break;
+            }
+          } else {
+            run = 0;
+          }
+        }
+      } else if (OPBIT_INDEL & (1u << o)) {
+        run = 0;
+      }
+      if (trail_len >= 0) break;
+      if (OPBIT_READ & (1u << o)) read_idx -= l;
+      if (OPBIT_REF & (1u << o)) ref_idx -= l;
+    }
+    if (trail_len < 0) {
+      trail_len = (int32_t)(n_read - (read_idx + 1));
+      trail_ref = (int32_t)(ref_idx + 1);
+    }
+
+    out_lead_len[r] = lead_len;
+    out_lead_ref[r] = lead_ref;
+    out_trail_len[r] = trail_len;
+    out_trail_ref[r] = trail_ref;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Split-read junction scan (host production path; the device kernel in
+// align/device_splitscore.py is the TPU equivalent).
+// Behavioral parity target (studied not copied):
+//   SplitReadAlignment.cpp splitReadAligner — per scan position the
+//   basecall ln-likelihoods accumulate in float32 in base order, ties
+//   resolved winner-takes-first.
+
+extern "C" int mt_split_read_scan(
+    const uint8_t* query, int32_t nq, const uint8_t* qual,
+    const uint8_t* target, int32_t nt,
+    int32_t bp_beg, int32_t bp_end, int32_t flank_score_size,
+    const float* lut_match, const float* lut_mism, float ln_random,
+    float* out_best_lnl, int32_t* out_best_pos) {
+  if (nq <= 0 || nq >= nt) return -2;
+  int32_t scan_start = bp_beg - nq + 2;
+  if (scan_start < 0) scan_start = 0;
+  int32_t scan_end = bp_end < (nt - nq) ? bp_end : (nt - nq);
+  if (scan_end < 0) scan_end = 0;
+  if (scan_end < scan_start) return -3;
+  const int32_t score_beg = bp_beg - flank_score_size;
+  const int32_t score_end = bp_end + flank_score_size;
+
+  float best = 0.0f;
+  int32_t best_k = 0;
+  bool init = false;
+  for (int32_t k = scan_start; k <= scan_end; k++) {
+    float acc = 0.0f;
+    const uint8_t* w = target + k;
+    for (int32_t j = 0; j < nq; j++) {
+      const int32_t tpos = k + j;
+      if (tpos <= score_beg || tpos > score_end) continue;
+      const uint8_t qb = query[j];
+      const uint8_t tb = w[j];
+      float term;
+      if (qb == 'N' || tb == 'N') term = ln_random;
+      else if (qb != tb) term = lut_mism[qual[j]];
+      else term = lut_match[qual[j]];
+      acc += term;
+    }
+    if (!init || acc > best) {
+      best = acc;
+      best_k = k;
+      init = true;
+    }
+  }
+  *out_best_lnl = best;
+  *out_best_pos = best_k;
+  return 0;
+}
