@@ -124,13 +124,17 @@ class ReadBatch:
             lens = off[idx + 1] - off[idx]
             new_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=new_off[1:])
+            total = int(new_off[-1])
+            if total == 0:
+                return new_off, (b"" if isinstance(blob, bytes)
+                                 else blob[:0])
+            # vectorized CSR gather: source index per output element
+            gather = np.repeat(off[idx], lens) + \
+                (np.arange(total) - np.repeat(new_off[:-1], lens))
             if isinstance(blob, bytes):
-                out = b"".join(blob[off[i]:off[i + 1]] for i in idx)
-            else:
-                out = np.concatenate(
-                    [blob[off[i]:off[i + 1]] for i in idx]
-                ) if n else blob[:0]
-            return new_off, out
+                arr = np.frombuffer(blob, np.uint8)[gather]
+                return new_off, arr.tobytes()
+            return new_off, blob[gather]
 
         co, cg = ragged(self.cigar_off, self.cigar)
         so, sq = ragged(self.seq_off, self.seq)
@@ -403,15 +407,6 @@ class BamReader:
             parts.append(parse_records(raw, 0, want_overlap=(tid, beg, end)))
         if not parts:
             return _empty_batch()
-        out = ReadBatch.concat(parts)
-        if len(chunks) > 1:
-            # chunks may duplicate records; dedupe by (pos, name, flag)
-            seen = set()
-            keep = np.ones(out.n, bool)
-            for i in range(out.n):
-                key = (int(out.pos[i]), out.name_str(i), int(out.flag[i]))
-                if key in seen:
-                    keep[i] = False
-                seen.add(key)
-            out = out.subset(keep)
-        return out
+        # chunk ranges from the index are merged/disjoint, so records
+        # cannot repeat across parts
+        return ReadBatch.concat(parts)

@@ -61,6 +61,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  scan_size_mb: int = 12,
                  is_output_contig: bool = False,
                  is_unstranded_rna: bool = False,
+                 n_jobs: int = 1,
                  verbose: bool = True):
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
@@ -147,9 +148,14 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         min_merge_edge_observations=min_edge_observations)
     build_tb = TimeBlock()
     with build_tb:
-        locus_set = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
-                                     region_list, fasta,
-                                     chrom_depths=chrom_depths)
+        if n_jobs > 1 and len(region_list) > 1:
+            locus_set = _estimate_sv_loci_parallel(
+                bams, is_tumor, scanner, graph_opt, region_list,
+                reference, chrom_depths, n_jobs)
+        else:
+            locus_set = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
+                                         region_list, fasta,
+                                         chrom_depths=chrom_depths)
     merge_tb = TimeBlock()
     with merge_tb:
         locus_set.finalize()
@@ -167,129 +173,177 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
 
     # phase 2: candidate generation and scoring
     log("generating and scoring SV candidates")
-    finder = SVFinder(scanner, bams, is_tumor, locus_set.sample_counts, fasta,
-                      chrom_depths=chrom_depths, is_rna=is_rna)
-    refiner = SVCandidateAssemblyRefiner(
-        scanner, finder.readers, is_tumor, fasta, chrom_depths=chrom_depths,
-        min_candidate_variant_size=min_candidate_variant_size,
-        is_output_contig=is_output_contig, is_rna=is_rna,
-        is_unstranded_rna=is_unstranded_rna)
-    scorer = SVScorer(scanner, finder.readers, is_tumor, fasta,
-                      chrom_depths=chrom_depths, is_rna=is_rna)
-
     variants_dir = os.path.join(run_dir, "results", "variants")
     unsorted_dir = os.path.join(run_dir, "workspace")
-    cand_writer = VcfWriterCandidateSV(
-        reference, header.ref_names, header.ref_lengths, fasta,
-        os.path.join(unsorted_dir, "candidateSV.vcf"),
-        is_output_contig=is_output_contig)
-    cand_writer.write_header(PROG_NAME, PROG_VERSION, [])
     sample_names = [get_sample_name(r, f"SAMPLE{i + 1}")
                     for i, r in enumerate(readers)]
-    diploid_writer = somatic_writer = tumor_writer = rna_writer = None
-    if is_rna:
-        from ..format.vcfwriter import VcfWriterRnaSV
-        rna_writer = VcfWriterRnaSV(
-            reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(unsorted_dir, "rnaSV.vcf"),
-            is_output_contig=is_output_contig)
-        rna_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
-    elif is_tumor_only:
-        tumor_writer = VcfWriterTumorSV(
-            scorer.tumor_opt, chrom_depths is not None,
-            reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(unsorted_dir, "tumorSV.vcf"),
-            is_output_contig=is_output_contig)
-        tumor_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
-    else:
-        diploid_sample_names = [n for n, t in zip(sample_names, is_tumor)
-                                if not t]
-        diploid_writer = VcfWriterDiploidSV(
-            scorer.diploid_opt, chrom_depths is not None,
-            reference, header.ref_names, header.ref_lengths, fasta,
-            os.path.join(unsorted_dir, "diploidSV.vcf"),
-            is_output_contig=is_output_contig)
-        diploid_writer.write_header(PROG_NAME, PROG_VERSION,
-                                    diploid_sample_names)
-        if is_somatic:
-            somatic_writer = VcfWriterSomaticSV(
-                scorer.somatic_opt, chrom_depths is not None,
-                reference, header.ref_names, header.ref_lengths, fasta,
-                os.path.join(unsorted_dir, "somaticSV.vcf"),
-            is_output_contig=is_output_contig)
-            somatic_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
-
-    writer = SVWriter(
-        cand_writer, diploid_writer, somatic_writer, tumor_writer,
-        rna_writer=rna_writer,
-        diploid_sample_count=sum(1 for t in is_tumor if not t),
-        min_output_alt_score=scorer.diploid_opt.min_output_alt_score,
-        min_output_somatic_score=scorer.somatic_opt.min_output_somatic_score)
-
     proc_opt = ProcessorOptions(
         min_candidate_variant_size=min_candidate_variant_size, is_rna=is_rna)
-    tracker = EdgeStatsTracker()
-    evidence_writer = None
-    if generate_evidence_bam:
-        from ..scoring.evidence_bam import SVEvidenceWriter
-        evidence_dir = os.path.join(run_dir, "results", "evidence")
-        os.makedirs(evidence_dir, exist_ok=True)
-        out_paths = []
-        for bi, bam_path in enumerate(bams):
-            prefix = os.path.splitext(os.path.basename(bam_path))[0]
-            out_paths.append(os.path.join(
-                evidence_dir, f"evidence_{bi}.{prefix}.bam"))
-        evidence_writer = SVEvidenceWriter(bams, out_paths)
-    processor = SVCandidateProcessor(proc_opt, refiner, scorer, writer,
-                                     locus_set, is_somatic, is_tumor_only,
-                                     edge_tracker=tracker,
-                                     evidence_enabled=generate_evidence_bam)
 
-    from ..core.svmodel import is_complex_sv
-    from copy import copy as _copy
-    edge_runtime_log = []
-    edge_count = 0
-    for edge in iterate_edges(locus_set):
-        edge_count += 1
-        li, n1, n2 = edge
-        is_self = (n1 == n2)
-        finder_before = _copy(finder.stats)
-        total_tb = TimeBlock()
-        cand_tb = TimeBlock()
-        with total_tb:
-            with cand_tb:
-                svs, groups = finder.find_candidate_sv(locus_set, li, n1, n2)
-            delta = _copy(finder.stats)
-            for k in vars(delta):
-                setattr(delta, k,
-                        getattr(delta, k) - getattr(finder_before, k))
-            tracker.update_edge_candidates(is_self, len(svs), delta)
-            mj_groups = find_multi_junction_candidates(
-                svs, proc_opt.min_candidate_spanning_count, is_rna)
-            mj_total = sum(len(g) for g in mj_groups)
-            tracker.update_mj_filter(
-                is_self, sum(1 for sv in svs if is_complex_sv(sv)),
-                max(0, len(svs) - mj_total))
-            processor.evaluate_candidates(edge, mj_groups, groups)
-            if evidence_writer is not None and \
-                    processor.edge_support is not None:
-                evidence_writer.write(processor.edge_support)
-        tracker.add_times(is_self, total_tb.times, cand_tb.times,
-                          processor.assembly_time, processor.scoring_time)
-        if total_tb.times.wall >= 0.5:
-            # (reference: EdgeRuntimeTracker.cpp stop(), minLogTime=0.5)
-            edge_runtime_log.append(
-                f"{li}\t{n1}\t{n2}\t{total_tb.times.wall:.4g}"
-                f"\t{len(svs)}"
-                f"\t{sum(1 for sv in svs if is_complex_sv(sv))}"
-                f"\t{processor.assembled_count}"
-                f"\t{processor.assembled_complex_count}"
-                f"\t{cand_tb.times.wall:.4g}"
-                f"\t{processor.assembly_time.wall:.4g}"
-                f"\t0\t{processor.scoring_time.wall:.4g}\n")
+    vcf_names = ["candidateSV.vcf"]
+    if is_rna:
+        vcf_names.append("rnaSV.vcf")
+    elif is_tumor_only:
+        vcf_names.append("tumorSV.vcf")
+    else:
+        vcf_names.append("diploidSV.vcf")
+        if is_somatic:
+            vcf_names.append("somaticSV.vcf")
+
+    def build_components(bin_suffix: str = ""):
+        """Construct per-process phase-2 pipeline components
+        (readers/writers re-opened per process)."""
+        from ..format.vcfwriter import VcfWriterRnaSV
+        comp_fasta = FastaReader(reference)
+        finder = SVFinder(scanner, bams, is_tumor, locus_set.sample_counts,
+                          comp_fasta, chrom_depths=chrom_depths,
+                          is_rna=is_rna)
+        refiner = SVCandidateAssemblyRefiner(
+            scanner, finder.readers, is_tumor, comp_fasta,
+            chrom_depths=chrom_depths,
+            min_candidate_variant_size=min_candidate_variant_size,
+            is_output_contig=is_output_contig, is_rna=is_rna,
+            is_unstranded_rna=is_unstranded_rna)
+        scorer = SVScorer(scanner, finder.readers, is_tumor, comp_fasta,
+                          chrom_depths=chrom_depths, is_rna=is_rna)
+
+        def vpath(name):
+            return os.path.join(unsorted_dir, name + bin_suffix)
+
+        cand_writer = VcfWriterCandidateSV(
+            reference, header.ref_names, header.ref_lengths, comp_fasta,
+            vpath("candidateSV.vcf"), is_output_contig=is_output_contig)
+        cand_writer.write_header(PROG_NAME, PROG_VERSION, [])
+        diploid_writer = somatic_writer = tumor_writer = rna_writer = None
+        if is_rna:
+            rna_writer = VcfWriterRnaSV(
+                reference, header.ref_names, header.ref_lengths, comp_fasta,
+                vpath("rnaSV.vcf"), is_output_contig=is_output_contig)
+            rna_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
+        elif is_tumor_only:
+            tumor_writer = VcfWriterTumorSV(
+                scorer.tumor_opt, chrom_depths is not None,
+                reference, header.ref_names, header.ref_lengths, comp_fasta,
+                vpath("tumorSV.vcf"), is_output_contig=is_output_contig)
+            tumor_writer.write_header(PROG_NAME, PROG_VERSION, sample_names)
+        else:
+            diploid_sample_names = [n for n, t in zip(sample_names, is_tumor)
+                                    if not t]
+            diploid_writer = VcfWriterDiploidSV(
+                scorer.diploid_opt, chrom_depths is not None,
+                reference, header.ref_names, header.ref_lengths, comp_fasta,
+                vpath("diploidSV.vcf"), is_output_contig=is_output_contig)
+            diploid_writer.write_header(PROG_NAME, PROG_VERSION,
+                                        diploid_sample_names)
+            if is_somatic:
+                somatic_writer = VcfWriterSomaticSV(
+                    scorer.somatic_opt, chrom_depths is not None,
+                    reference, header.ref_names, header.ref_lengths,
+                    comp_fasta, vpath("somaticSV.vcf"),
+                    is_output_contig=is_output_contig)
+                somatic_writer.write_header(PROG_NAME, PROG_VERSION,
+                                            sample_names)
+
+        writer = SVWriter(
+            cand_writer, diploid_writer, somatic_writer, tumor_writer,
+            rna_writer=rna_writer,
+            diploid_sample_count=sum(1 for t in is_tumor if not t),
+            min_output_alt_score=scorer.diploid_opt.min_output_alt_score,
+            min_output_somatic_score=(
+                scorer.somatic_opt.min_output_somatic_score))
+
+        tracker = EdgeStatsTracker()
+        evidence_writer = None
+        if generate_evidence_bam:
+            from ..scoring.evidence_bam import SVEvidenceWriter
+            evidence_dir = os.path.join(run_dir, "results", "evidence")
+            os.makedirs(evidence_dir, exist_ok=True)
+            out_paths = []
+            for bi, bam_path in enumerate(bams):
+                prefix = os.path.splitext(os.path.basename(bam_path))[0]
+                out_paths.append(os.path.join(
+                    evidence_dir,
+                    f"evidence_{bi}.{prefix}{bin_suffix}.bam"))
+            evidence_writer = SVEvidenceWriter(bams, out_paths)
+        processor = SVCandidateProcessor(
+            proc_opt, refiner, scorer, writer, locus_set, is_somatic,
+            is_tumor_only, edge_tracker=tracker,
+            evidence_enabled=generate_evidence_bam)
+        all_writers = [w for w in (cand_writer, diploid_writer,
+                                   somatic_writer, tumor_writer, rna_writer)
+                       if w is not None]
+        return {
+            "finder": finder, "processor": processor, "tracker": tracker,
+            "evidence_writer": evidence_writer, "writers": all_writers,
+        }
+
+    def run_edges(comps, edges):
+        """Per-edge candidate generation/scoring loop; returns the
+        edge runtime log lines."""
+        from ..core.svmodel import is_complex_sv
+        from copy import copy as _copy
+        finder = comps["finder"]
+        processor = comps["processor"]
+        tracker = comps["tracker"]
+        evidence_writer = comps["evidence_writer"]
+        edge_runtime_log = []
+        for edge in edges:
+            li, n1, n2 = edge
+            is_self = (n1 == n2)
+            finder_before = _copy(finder.stats)
+            total_tb = TimeBlock()
+            cand_tb = TimeBlock()
+            with total_tb:
+                with cand_tb:
+                    svs, groups = finder.find_candidate_sv(
+                        locus_set, li, n1, n2)
+                delta = _copy(finder.stats)
+                for k in vars(delta):
+                    setattr(delta, k,
+                            getattr(delta, k) - getattr(finder_before, k))
+                tracker.update_edge_candidates(is_self, len(svs), delta)
+                mj_groups = find_multi_junction_candidates(
+                    svs, proc_opt.min_candidate_spanning_count, is_rna)
+                mj_total = sum(len(g) for g in mj_groups)
+                tracker.update_mj_filter(
+                    is_self, sum(1 for sv in svs if is_complex_sv(sv)),
+                    max(0, len(svs) - mj_total))
+                processor.evaluate_candidates(edge, mj_groups, groups)
+                if evidence_writer is not None and \
+                        processor.edge_support is not None:
+                    evidence_writer.write(processor.edge_support)
+            tracker.add_times(is_self, total_tb.times, cand_tb.times,
+                              processor.assembly_time,
+                              processor.scoring_time)
+            if total_tb.times.wall >= 0.5:
+                # (reference: EdgeRuntimeTracker.cpp stop(), minLogTime=0.5)
+                edge_runtime_log.append(
+                    f"{li}\t{n1}\t{n2}\t{total_tb.times.wall:.4g}"
+                    f"\t{len(svs)}"
+                    f"\t{sum(1 for sv in svs if is_complex_sv(sv))}"
+                    f"\t{processor.assembled_count}"
+                    f"\t{processor.assembled_complex_count}"
+                    f"\t{cand_tb.times.wall:.4g}"
+                    f"\t{processor.assembly_time.wall:.4g}"
+                    f"\t0\t{processor.scoring_time.wall:.4g}\n")
+        return edge_runtime_log
+
+    all_edges = list(iterate_edges(locus_set))
+    if n_jobs > 1 and len(all_edges) > 1:
+        tracker, edge_runtime_log = _run_edges_parallel(
+            all_edges, locus_set, build_components, run_edges,
+            vcf_names, unsorted_dir, n_jobs, generate_evidence_bam,
+            os.path.join(run_dir, "results", "evidence"), bams)
+    else:
+        comps = build_components()
+        edge_runtime_log = run_edges(comps, all_edges)
+        tracker = comps["tracker"]
+        for w in comps["writers"]:
+            w.stream.close()
+        if comps["evidence_writer"] is not None:
+            comps["evidence_writer"].close()
+    edge_count = len(all_edges)
     log(f"processed {edge_count} graph edges")
-    if evidence_writer is not None:
-        evidence_writer.close()
     with open(os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
               "w") as f:
         f.writelines(edge_runtime_log)
@@ -298,11 +352,6 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         f.writelines(tracker.report())
     tracker.save_xml(
         os.path.join(stats_dir, "svCandidateGenerationStats.xml"))
-
-    cand_writer.stream.close()
-    for w in (diploid_writer, somatic_writer, tumor_writer, rna_writer):
-        if w is not None:
-            w.stream.close()
 
     # final output stage (reference: mantaWorkflow.py sortAllVcfs):
     # sort + dedup, ploidy-filter diploid, extract small indels, then
@@ -344,6 +393,185 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     return run_dir
 
 
+def _partition_edges(locus_set, edges, n_bins: int):
+    """Observation-weighted contiguous edge binning
+    (reference: EdgeRetrieverBin.cpp:38-61 equal-work bins)."""
+    weights = []
+    for (li, n1, n2) in edges:
+        locus = locus_set.loci[li]
+        w = locus.nodes[n1].edges.get(n2, 0)
+        if n1 != n2:
+            w += locus.nodes[n2].edges.get(n1, 0)
+        weights.append(max(w, 1))
+    total = sum(weights)
+    target = total / n_bins
+    bins = []
+    cur = []
+    acc = 0.0
+    for e, w in zip(edges, weights):
+        cur.append(e)
+        acc += w
+        if acc >= target * (len(bins) + 1) and len(bins) < n_bins - 1:
+            bins.append(cur)
+            cur = []
+    bins.append(cur)
+    return [b for b in bins if b]
+
+
+def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
+                        vcf_names, unsorted_dir, n_jobs,
+                        generate_evidence_bam, evidence_dir, bams):
+    """Fork-based phase-2 scale-out: observation-weighted edge bins per
+    worker, per-bin VCF shards merged in bin order afterwards
+    (reference: GenerateSVCandidates thread pool + legacy
+    --bin-index/--bin-count multi-process mode)."""
+    import multiprocessing as mp
+    bins = _partition_edges(locus_set, all_edges, n_jobs)
+    ctx = mp.get_context("fork")
+    queue = ctx.SimpleQueue()
+
+    def worker(bi, edges):
+        comps = build_components(f".{bi:04d}")
+        log_lines = run_edges(comps, edges)
+        for w in comps["writers"]:
+            w.stream.close()
+        if comps["evidence_writer"] is not None:
+            comps["evidence_writer"].close()
+        queue.put((bi, log_lines, comps["tracker"]))
+
+    procs = [ctx.Process(target=worker, args=(bi, edges))
+             for bi, edges in enumerate(bins)]
+    for pr in procs:
+        pr.start()
+    results = [queue.get() for _ in procs]
+    for pr in procs:
+        pr.join()
+    results.sort(key=lambda r: r[0])
+
+    # merge per-bin vcf shards in bin order (header from shard 0)
+    for name in vcf_names:
+        out_lines = []
+        for bi in range(len(bins)):
+            shard = os.path.join(unsorted_dir, f"{name}.{bi:04d}")
+            if not os.path.exists(shard):
+                continue
+            with open(shard) as f:
+                for line in f:
+                    if line.startswith("#"):
+                        if bi == 0:
+                            out_lines.append(line)
+                    else:
+                        out_lines.append(line)
+            os.remove(shard)
+        with open(os.path.join(unsorted_dir, name), "w") as f:
+            f.writelines(out_lines)
+
+    # merge per-bin evidence bams
+    if generate_evidence_bam:
+        from ..io.bam import BamReader
+        from ..io.bamwriter import BamWriter
+        for smp, bam_path in enumerate(bams):
+            prefix = os.path.splitext(os.path.basename(bam_path))[0]
+            final = os.path.join(evidence_dir, f"evidence_{smp}.{prefix}.bam")
+            merged = None
+            for bi in range(len(bins)):
+                shard = os.path.join(
+                    evidence_dir, f"evidence_{smp}.{prefix}.{bi:04d}.bam")
+                if not os.path.exists(shard):
+                    continue
+                rd = BamReader(shard)
+                if merged is None:
+                    h = rd.header
+                    merged = BamWriter(final, h.text, h.ref_names,
+                                       h.ref_lengths)
+                batch = rd.read_all()
+                for i in range(batch.n):
+                    merged.add_record(batch, i)
+                os.remove(shard)
+                if os.path.exists(shard + ".bai"):
+                    os.remove(shard + ".bai")
+            if merged is not None:
+                merged.close()
+
+    from .stats import EdgeStatsTracker
+    tracker = EdgeStatsTracker()
+    log_lines = []
+    for (_bi, lines, tr) in results:
+        log_lines.extend(lines)
+        tracker.self_edges.merge(tr.self_edges)
+        tracker.remote_edges.merge(tr.remote_edges)
+    return tracker, log_lines
+
+
+def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
+                               region_list, reference, chrom_depths,
+                               n_jobs):
+    """Fork-based phase-1 scale-out: independent per-group graphs merged
+    in submission order (reference: per-segment EstimateSVLoci tasks +
+    sequential MergeSVLoci, mantaWorkflow.py:252-299)."""
+    import multiprocessing as mp
+    import tempfile
+    from ..graph.locusgraph import SVLocusSet
+    n_groups = min(n_jobs * 4, len(region_list))
+    # keep each group contiguous in genome order for merge determinism
+    groups = []
+    per = (len(region_list) + n_groups - 1) // n_groups
+    for i in range(0, len(region_list), per):
+        groups.append(region_list[i:i + per])
+    ctx = mp.get_context("fork")
+    queue = ctx.SimpleQueue()
+    tmpdir = tempfile.mkdtemp(prefix="svgraph_")
+
+    def worker(gi, regions):
+        fasta = FastaReader(reference)
+        part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
+                                regions, fasta, chrom_depths=chrom_depths)
+        path = os.path.join(tmpdir, f"part_{gi:04d}.npz")
+        part.save(path)
+        queue.put((gi, path))
+
+    procs = []
+    running = []
+    results = {}
+    jobs = list(enumerate(groups))
+    max_live = n_jobs
+    ji = 0
+    while len(results) < len(jobs):
+        while ji < len(jobs) and len(running) < max_live:
+            gi, regions = jobs[ji]
+            pr = ctx.Process(target=worker, args=(gi, regions))
+            pr.start()
+            procs.append(pr)
+            running.append(pr)
+            ji += 1
+        gi, path = queue.get()
+        results[gi] = path
+        running = [pr for pr in running if pr.is_alive()]
+    for pr in procs:
+        pr.join()
+
+    merged = None
+    for gi in sorted(results):
+        part = SVLocusSet.load(results[gi], skip_index=False)
+        if merged is None:
+            merged = part
+        else:
+            merged.merge_set(part)
+            for si, counts in enumerate(part.sample_counts):
+                tgt = merged.sample_counts[si]
+                for k, v in counts.items():
+                    if isinstance(v, list):
+                        prev = tgt.get(k, [0] * len(v))
+                        tgt[k] = [a + b for a, b in zip(prev, v)]
+                    elif isinstance(v, str):
+                        tgt[k] = v or tgt.get(k, "")
+                    else:
+                        tgt[k] = tgt.get(k, 0) + v
+        os.remove(results[gi])
+    os.rmdir(tmpdir)
+    return merged
+
+
 def segment_regions(region_list, segment_size: int):
     """Split regions into near-equal segments no larger than
     segment_size (reference: workflowUtil.py getChromIntervals)."""
@@ -378,13 +606,15 @@ def main(argv=None):
     ap.add_argument("--min-candidate-sv-size", type=int, default=8)
     ap.add_argument("--min-edge-observations", type=int, default=3)
     ap.add_argument("--generate-evidence-bam", action="store_true")
+    ap.add_argument("-j", "--jobs", type=int, default=1)
     args = ap.parse_args(argv)
     run_workflow(args.normal_bams, args.tumor_bams, args.reference,
                  args.run_dir, regions=args.regions or None,
                  is_exome=args.exome, is_rna=args.rna,
                  min_candidate_variant_size=args.min_candidate_sv_size,
                  min_edge_observations=args.min_edge_observations,
-                 generate_evidence_bam=args.generate_evidence_bam)
+                 generate_evidence_bam=args.generate_evidence_bam,
+                 n_jobs=args.jobs)
 
 
 if __name__ == "__main__":
