@@ -696,7 +696,10 @@ class _EdgeScanScratch:
         self._ref_len = 0
 
     def ptrs_for(self, batch, refseq):
-        if id(batch) != self._batch_id:
+        # hold references so the cached id()s can never be recycled to
+        # a different (freed-and-reallocated) object
+        if batch is not getattr(self, "_keep_batch", None):
+            self._keep_batch = batch
             self._batch_id = id(batch)
             self._p_cig = batch.cigar.ctypes.data_as(self.u32p)
             self._p_seq = batch.seq.ctypes.data_as(self.u8p)

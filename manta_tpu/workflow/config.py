@@ -68,6 +68,7 @@ def read_call_regions(path: str) -> dict[str, list[tuple[int, int]]]:
 _RUN_SCRIPT = """#!/usr/bin/env python3
 # auto-generated run script -- edit runWorkflow.config.json to change
 # options, then re-run this script
+import argparse
 import json
 import os
 import sys
@@ -76,10 +77,19 @@ sys.path.insert(0, {repo_root!r})
 
 from manta_tpu.workflow.run import run_workflow
 
+ap = argparse.ArgumentParser()
+ap.add_argument("-j", "--jobs", type=int, default=1,
+                help="number of worker processes")
+ap.add_argument("--rescore", action="store_true",
+                help="reuse phase-0/1 artifacts, re-run scoring only")
+args = ap.parse_args()
+
 config_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "runWorkflow.config.json")
 with open(config_path) as f:
     config = json.load(f)
+config["n_jobs"] = args.jobs
+config["is_rescore"] = args.rescore
 run_workflow(**config)
 """
 
@@ -123,6 +133,7 @@ def configure(args) -> str:
         "scan_size_mb": args.scan_size_mb,
         "is_output_contig": bool(args.output_contig),
         "is_unstranded_rna": bool(args.unstranded_rna),
+        "cmdline": " ".join(sys.argv),
     }
     with open(os.path.join(run_dir, "runWorkflow.config.json"), "w") as f:
         json.dump(config, f, indent=1)

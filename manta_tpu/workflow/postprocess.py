@@ -289,3 +289,23 @@ def extract_small_indel_lines(lines: list[str], max_size: int) -> list[str]:
             continue
         out.append(line)
     return out
+
+
+def swap_cmdline_lines(lines: list[str], cmdline: str) -> list[str]:
+    """Replace or add the ##cmdline header field
+    (reference: libexec/vcfCmdlineSwapper.py)."""
+    prefix = "##cmdline="
+    out = []
+    written = False
+    for line in lines:
+        if line.startswith("##"):
+            if line.startswith(prefix):
+                out.append(prefix + cmdline + "\n")
+                written = True
+                continue
+        else:
+            if not written:
+                out.append(prefix + cmdline + "\n")
+                written = True
+        out.append(line)
+    return out

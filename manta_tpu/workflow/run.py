@@ -62,6 +62,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  is_output_contig: bool = False,
                  is_unstranded_rna: bool = False,
                  n_jobs: int = 1,
+                 cmdline: str | None = None,
+                 is_rescore: bool = False,
                  verbose: bool = True):
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
@@ -76,19 +78,33 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     readers = [BamReader(p) for p in bams]
     header = readers[0].header
 
+    log_path = os.path.join(run_dir, "workspace", "workflow_log.txt")
+    log_fp = open(log_path, "a")
+
     def log(msg):
+        import datetime
+        stamp = datetime.datetime.now().isoformat(timespec="seconds")
+        log_fp.write(f"[{stamp}] {msg}\n")
+        log_fp.flush()
         if verbose:
             print(f"[manta-tpu] {msg}", file=sys.stderr, flush=True)
 
-    # phase 0: alignment stats
-    log("estimating fragment-size statistics")
-    stats_set = ReadGroupStatsSet()
-    stats_list = []
-    for p in bams:
-        s = extract_read_group_stats(p)
-        stats_set.set_stats(p, s)
-        stats_list.append(s)
-    stats_set.save(os.path.join(run_dir, "workspace", "alignmentStats.json"))
+    # phase 0: alignment stats (reusable checkpoint; reference:
+    # pyflow task resume + --rescore, mantaWorkflow.py)
+    stats_path = os.path.join(run_dir, "workspace", "alignmentStats.json")
+    if is_rescore and os.path.exists(stats_path):
+        log("rescore: reusing fragment-size statistics")
+        stats_set = ReadGroupStatsSet.load(stats_path)
+        stats_list = [stats_set.get_stats(p) for p in bams]
+    else:
+        log("estimating fragment-size statistics")
+        stats_set = ReadGroupStatsSet()
+        stats_list = []
+        for p in bams:
+            s = extract_read_group_stats(p)
+            stats_set.set_stats(p, s)
+            stats_list.append(s)
+        stats_set.save(stats_path)
     from .stats import (
         CpuTimes, EdgeStatsTracker, TimeBlock,
         write_alignment_stats_summary, write_graph_stats,
@@ -109,14 +125,18 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     # normal BAMs when present, else tumor BAMs)
     chrom_depths = None
     if not (is_exome or is_rna):
-        from ..core.chromdepth import estimate_chrom_depths, \
-            write_chrom_depth
-        log("estimating chromosome depth")
-        depth_bams = normal_bams if normal_bams else tumor_bams
-        chrom_depths = estimate_chrom_depths(depth_bams)
-        write_chrom_depth(
-            os.path.join(run_dir, "workspace", "chromDepth.txt"),
-            chrom_depths)
+        from ..core.chromdepth import (
+            estimate_chrom_depths, parse_chrom_depth, write_chrom_depth,
+        )
+        depth_path = os.path.join(run_dir, "workspace", "chromDepth.txt")
+        if is_rescore and os.path.exists(depth_path):
+            log("rescore: reusing chromosome depth")
+            chrom_depths = parse_chrom_depth(depth_path)
+        else:
+            log("estimating chromosome depth")
+            depth_bams = normal_bams if normal_bams else tumor_bams
+            chrom_depths = estimate_chrom_depths(depth_bams)
+            write_chrom_depth(depth_path, chrom_depths)
 
     # regions: user regions and/or callable-region BED restriction, then
     # segmentation into <= scanSizeMb pieces (reference:
@@ -142,28 +162,31 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     region_list = segment_regions(region_list, scan_size_mb * 1_000_000)
 
     # phase 1: locus graph
-    log("building breakend graph")
+    graph_path = os.path.join(run_dir, "workspace", "svLocusGraph.npz")
     graph_opt = SVLocusSetOptions(
         observation_weight=3,
         min_merge_edge_observations=min_edge_observations)
-    build_tb = TimeBlock()
-    with build_tb:
-        if n_jobs > 1 and len(region_list) > 1:
-            locus_set = _estimate_sv_loci_parallel(
-                bams, is_tumor, scanner, graph_opt, region_list,
-                reference, chrom_depths, n_jobs)
-        else:
-            locus_set = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
-                                         region_list, fasta,
-                                         chrom_depths=chrom_depths)
-    merge_tb = TimeBlock()
-    with merge_tb:
-        locus_set.finalize()
-    write_graph_stats(locus_set,
-                      os.path.join(stats_dir, "svLocusGraphStats.tsv"),
-                      build_time=build_tb.times, merge_time=merge_tb.times)
-    graph_path = os.path.join(run_dir, "workspace", "svLocusGraph.npz")
-    locus_set.save(graph_path)
+    if is_rescore and os.path.exists(graph_path):
+        log("rescore: reusing breakend graph")
+    else:
+        log("building breakend graph")
+        build_tb = TimeBlock()
+        with build_tb:
+            if n_jobs > 1 and len(region_list) > 1:
+                locus_set = _estimate_sv_loci_parallel(
+                    bams, is_tumor, scanner, graph_opt, region_list,
+                    reference, chrom_depths, n_jobs)
+            else:
+                locus_set = estimate_sv_loci(
+                    bams, is_tumor, scanner, graph_opt, region_list, fasta,
+                    chrom_depths=chrom_depths)
+        merge_tb = TimeBlock()
+        with merge_tb:
+            locus_set.finalize()
+        write_graph_stats(
+            locus_set, os.path.join(stats_dir, "svLocusGraphStats.tsv"),
+            build_time=build_tb.times, merge_time=merge_tb.times)
+        locus_set.save(graph_path)
     # reload for phase 2: serialization round-trip compacts empty locus
     # slots, matching the reference's save/load locus renumbering
     from ..graph.locusgraph import SVLocusSet
@@ -318,7 +341,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             if total_tb.times.wall >= 0.5:
                 # (reference: EdgeRuntimeTracker.cpp stop(), minLogTime=0.5)
                 edge_runtime_log.append(
-                    f"{li}\t{n1}\t{n2}\t{total_tb.times.wall:.4g}"
+                    f"{li}:{n1}:{n2}\t{total_tb.times.wall:.4g}"
                     f"\t{len(svs)}"
                     f"\t{sum(1 for sv in svs if is_complex_sv(sv))}"
                     f"\t{processor.assembled_count}"
@@ -344,6 +367,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             comps["evidence_writer"].close()
     edge_count = len(all_edges)
     log(f"processed {edge_count} graph edges")
+    # (reference: libexec/sortEdgeLogs.py — slowest edges first)
+    edge_runtime_log.sort(
+        key=lambda l: float(l.split("\t", 2)[1]), reverse=True)
     with open(os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
               "w") as f:
         f.writelines(edge_runtime_log)
@@ -358,7 +384,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     # bgzip + tabix into results/variants
     from .postprocess import (
         extract_small_indel_lines, ploidy_filter_lines, sort_vcf_lines,
+        swap_cmdline_lines,
     )
+    final_cmdline = cmdline if cmdline is not None else \
+        " ".join(sys.argv)
     from ..format.tabix import write_vcf_gz
 
     def read_lines(name):
@@ -370,6 +399,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
 
     cand_lines = read_lines("candidateSV.vcf")
     if cand_lines is not None:
+        cand_lines = swap_cmdline_lines(cand_lines, final_cmdline)
         sorted_cand = sort_vcf_lines(cand_lines, print_all=True)
         write_vcf_gz(sorted_cand,
                      os.path.join(variants_dir, "candidateSV.vcf.gz"))
@@ -386,6 +416,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         lines = read_lines(name)
         if lines is None:
             continue
+        lines = swap_cmdline_lines(lines, final_cmdline)
         lines = sort_vcf_lines(lines)
         if is_diploid:
             lines = ploidy_filter_lines(lines)
@@ -607,6 +638,9 @@ def main(argv=None):
     ap.add_argument("--min-edge-observations", type=int, default=3)
     ap.add_argument("--generate-evidence-bam", action="store_true")
     ap.add_argument("-j", "--jobs", type=int, default=1)
+    ap.add_argument("--rescore", action="store_true",
+                    help="reuse phase-0/1 artifacts, re-run candidate "
+                         "generation and scoring only")
     args = ap.parse_args(argv)
     run_workflow(args.normal_bams, args.tumor_bams, args.reference,
                  args.run_dir, regions=args.regions or None,
@@ -614,7 +648,7 @@ def main(argv=None):
                  min_candidate_variant_size=args.min_candidate_sv_size,
                  min_edge_observations=args.min_edge_observations,
                  generate_evidence_bam=args.generate_evidence_bam,
-                 n_jobs=args.jobs)
+                 n_jobs=args.jobs, is_rescore=args.rescore)
 
 
 if __name__ == "__main__":
