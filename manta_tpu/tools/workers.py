@@ -1,0 +1,140 @@
+"""Standalone phase workers for distributed/multi-host deployment.
+
+Equivalents of the reference's per-phase worker binaries, enabling
+filesystem-handoff orchestration across hosts
+(reference: applications/GetAlignmentStats, MergeAlignmentStats,
+EstimateSVLoci, MergeSVLoci; scheduled by mantaWorkflow.py). Each
+subcommand reads/writes the same checkpoint artifacts the integrated
+workflow uses (alignmentStats.json, svLocusGraph.npz).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_get_stats(args):
+    """(reference: GetAlignmentStats.cpp:28-56)."""
+    from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats
+    out = ReadGroupStatsSet()
+    for path in args.align_files:
+        out.set_stats(path, extract_read_group_stats(path))
+    out.save(args.output_file)
+    return 0
+
+
+def cmd_merge_stats(args):
+    """(reference: MergeAlignmentStats.cpp)."""
+    from ..core.fragstats import ReadGroupStatsSet
+    merged = ReadGroupStatsSet()
+    for path in args.stats_files:
+        merged.merge(ReadGroupStatsSet.load(path))
+    merged.save(args.output_file)
+    return 0
+
+
+def cmd_estimate_loci(args):
+    """(reference: EstimateSVLoci.cpp:25-46) — build a partial graph
+    for one genome region set."""
+    from ..core.fragstats import ReadGroupStatsSet
+    from ..graph.finder import estimate_sv_loci
+    from ..graph.locusgraph import SVLocusSetOptions
+    from ..io.bam import BamReader
+    from ..io.fasta import FastaReader
+    from ..scan.scanner import ScannerOptions, SVScanner
+    from ..workflow.run import parse_region
+    from ..core.chromdepth import parse_chrom_depth
+
+    stats_set = ReadGroupStatsSet.load(args.align_stats)
+    bams = args.align_files
+    stats_list = [stats_set.get_stats(p) for p in bams]
+    header = BamReader(bams[0]).header
+    scanner = SVScanner(
+        ScannerOptions(), [s.frag_stats for s in stats_list],
+        header.ref_lengths, header.ref_names)
+    fasta = FastaReader(args.ref)
+    regions = []
+    for r in args.regions:
+        tid, beg, end = parse_region(r, header.name_to_tid)
+        regions.append(
+            (tid, beg, end if end is not None else header.ref_lengths[tid]))
+    chrom_depths = parse_chrom_depth(args.chrom_depth) \
+        if args.chrom_depth else None
+    locus_set = estimate_sv_loci(
+        bams, [t in args.tumor_indices for t in range(len(bams))],
+        scanner, SVLocusSetOptions(observation_weight=3), regions, fasta,
+        chrom_depths=chrom_depths)
+    locus_set.save(args.output_file)
+    return 0
+
+
+def cmd_merge_loci(args):
+    """(reference: MergeSVLoci.cpp) — sequential merge of partial
+    graphs in argument order, then final noise-edge cleaning."""
+    from ..graph.locusgraph import SVLocusSet
+    merged = None
+    for path in args.graph_files:
+        part = SVLocusSet.load(path)
+        if merged is None:
+            merged = part
+            continue
+        merged.merge_set(part)
+        for si, counts in enumerate(part.sample_counts):
+            tgt = merged.sample_counts[si]
+            for k, v in counts.items():
+                if isinstance(v, list):
+                    prev = tgt.get(k, [0] * len(v))
+                    tgt[k] = [a + b for a, b in zip(prev, v)]
+                elif isinstance(v, str):
+                    tgt[k] = v or tgt.get(k, "")
+                else:
+                    tgt[k] = tgt.get(k, 0) + v
+    if merged is None:
+        raise SystemExit("no input graphs")
+    merged.finalize()
+    merged.save(args.output_file)
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="phase worker commands")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("get-stats")
+    p.add_argument("--align-file", dest="align_files", action="append",
+                   required=True)
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_get_stats)
+
+    p = sub.add_parser("merge-stats")
+    p.add_argument("--align-stats-file", dest="stats_files",
+                   action="append", required=True)
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_merge_stats)
+
+    p = sub.add_parser("estimate-loci")
+    p.add_argument("--align-file", dest="align_files", action="append",
+                   required=True)
+    p.add_argument("--tumor-index", dest="tumor_indices", type=int,
+                   action="append", default=[])
+    p.add_argument("--align-stats", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--region", dest="regions", action="append",
+                   required=True)
+    p.add_argument("--chrom-depth")
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_estimate_loci)
+
+    p = sub.add_parser("merge-loci")
+    p.add_argument("--graph-file", dest="graph_files", action="append",
+                   required=True)
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_merge_loci)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

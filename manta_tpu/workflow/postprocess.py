@@ -309,3 +309,62 @@ def swap_cmdline_lines(lines: list[str], cmdline: str) -> list[str]:
                 written = True
         out.append(line)
     return out
+
+
+_SAMPLE_FT_LABEL = "SampleFT"
+_SAMPLE_FT_HEADER = (
+    f'##FILTER=<ID={_SAMPLE_FT_LABEL},Description="No sample passes all '
+    'the sample-level filters (at the field FORMAT/FT)">\n')
+
+
+def update_sample_ft_filter_lines(lines: list[str]) -> list[str]:
+    """Recompute the record-level SampleFT filter from FORMAT/FT
+    (reference: libexec/updateSampleFTFilter.py)."""
+    out = []
+    header_found = False
+    for line in lines:
+        if line.startswith("##"):
+            if line.startswith("##FILTER") and \
+                    _SAMPLE_FT_LABEL in line:
+                header_found = True
+            out.append(line)
+            continue
+        if line.startswith("#"):
+            if not header_found:
+                out.append(_SAMPLE_FT_HEADER)
+            out.append(line)
+            continue
+        w = line.rstrip("\n").split("\t")
+        filters = w[6].split(";")
+        if filters[0] in (".", "PASS"):
+            filters = []
+        fmt = w[8].split(":")
+        if fmt[0] == ".":
+            fmt = []
+
+        def emit(fs):
+            w[6] = ";".join(fs) if fs else "PASS"
+            out.append("\t".join(w) + "\n")
+
+        if "FT" not in fmt:
+            if _SAMPLE_FT_LABEL in filters:
+                out.append(line)
+            else:
+                filters.append(_SAMPLE_FT_LABEL)
+                emit(filters)
+            continue
+        ft_ix = fmt.index("FT")
+        passed = any(col.split(":")[ft_ix] == "PASS" for col in w[9:])
+        if passed:
+            if _SAMPLE_FT_LABEL not in filters:
+                out.append(line)
+            else:
+                filters.remove(_SAMPLE_FT_LABEL)
+                emit(filters)
+        else:
+            if _SAMPLE_FT_LABEL in filters:
+                out.append(line)
+            else:
+                filters.append(_SAMPLE_FT_LABEL)
+                emit(filters)
+    return out
