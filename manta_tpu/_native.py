@@ -52,5 +52,10 @@ def get_lib():
         ctypes.c_int64, i32p, i64p, u32p, i64p, u8p,
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         i32p, i32p, i32p, i32p]
+    lib.mt_semi_aligned_batch_idx.restype = ctypes.c_int
+    lib.mt_semi_aligned_batch_idx.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i32p, i32p, i32p, i32p]
     _LIB = lib
     return lib

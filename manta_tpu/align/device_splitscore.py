@@ -55,80 +55,6 @@ LN_RANDOM = np.float32(-math.log(4.0))
 
 
 @partial(jax.jit, static_argnames=("n_scan",))
-def batched_split_score_mxu(reads, quals, targets, bp_beg, bp_end,
-                            read_len, target_len, flank_score_size,
-                            ln_match_lut, ln_mism_lut, n_scan: int):
-    """MXU formulation of the split-read scan.
-
-    The per-position ln-likelihood sum decomposes exactly into six
-    per-batch-row correlations (channels: one-hot A/C/G/T carrying the
-    match-vs-mismatch weight, a non-N channel carrying the mismatch
-    base term, and a constant channel carrying the random-base term):
-
-      lnl[b,k] = sum_q sum_j U[b,q,j] * V[b,q,k+j]
-
-    evaluated as one grouped 1-D cross-correlation
-    (lax.conv_general_dilated, feature_group_count=B), which XLA maps
-    onto the MXU systolic array instead of the VPU.
-
-    Returns (best_lnlhood, best_pos): (B,) float32 / int32.
-    """
-    B, L = reads.shape
-    T = targets.shape[1]
-
-    scan_start = jnp.maximum(0, bp_beg - read_len + 2)
-    scan_end = jnp.maximum(0, jnp.minimum(bp_end, target_len - read_len))
-    score_beg = bp_beg - flank_score_size
-    score_end = bp_end + flank_score_size
-
-    qual_i = jnp.clip(quals.astype(jnp.int32), 2, MAX_QSCORE)
-    lnm = ln_match_lut[qual_i].astype(jnp.float32)
-    lnx = ln_mism_lut[qual_i].astype(jnp.float32)
-
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = (j < read_len[:, None]).astype(jnp.float32)       # (B, L)
-    r_is_n = (reads == N_BASE)
-    w = (lnm - lnx)                                           # (B, L)
-
-    # roll target rows so scan position k reads columns [k, k+L)
-    Tp = n_scan + L
-    col = jnp.arange(Tp, dtype=jnp.int32)[None, :] + scan_start[:, None]
-    col_c = jnp.clip(col, 0, T - 1)
-    tgt = jnp.take_along_axis(targets, col_c, axis=1)
-    tgt = jnp.where(col < T, tgt, jnp.uint8(N_BASE))          # (B, Tp)
-    t_is_n = (tgt == N_BASE)
-    gate = ((col > score_beg[:, None]) &
-            (col <= score_end[:, None])).astype(jnp.float32)  # (B, Tp)
-
-    bases = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
-    # U channels (B, 6, L)
-    u_base = [w * (reads == c).astype(jnp.float32) * valid for c in bases]
-    u_nonn = (lnx - LN_RANDOM) * (~r_is_n).astype(jnp.float32) * valid
-    u_const = jnp.broadcast_to(jnp.float32(LN_RANDOM), (B, L)) * valid
-    U = jnp.stack(u_base + [u_nonn, u_const], axis=1)
-    # V channels (B, 6, Tp)
-    v_base = [(tgt == c).astype(jnp.float32) * gate for c in bases]
-    v_nonn = (~t_is_n).astype(jnp.float32) * gate
-    V = jnp.stack(v_base + [v_nonn, gate], axis=1)
-
-    # grouped correlation: one group per batch row, MXU-mapped
-    lnl = jax.lax.conv_general_dilated(
-        V.reshape(1, B * 6, Tp), U,
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        feature_group_count=B,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)[0]                # (B, Tp-L+1)
-    lnl = lnl[:, :n_scan]
-    k = jnp.arange(n_scan, dtype=jnp.int32)
-    scan_valid = k[None, :] <= (scan_end - scan_start)[:, None]
-    lnl = jnp.where(scan_valid, lnl, -jnp.inf)
-    best_k = jnp.argmax(lnl, axis=-1).astype(jnp.int32)
-    best = jnp.take_along_axis(lnl, best_k[:, None], axis=-1)[:, 0]
-    return best, scan_start + best_k
-
-
-@partial(jax.jit, static_argnames=("n_scan",))
 def batched_split_score(reads, quals, targets, bp_beg, bp_end,
                         read_len, target_len, flank_score_size,
                         ln_match_lut, ln_mism_lut, n_scan: int):

@@ -20,8 +20,10 @@ Measured on one v5e chip at (B=512, T=500, L=150): ~85 Gterms/s vs
 ~115 Gterms/s for the XLA gather formulation — the per-iteration
 chunk rotate currently outweighs the HBM savings at these shapes, so
 device_splitscore.batched_split_score remains the default production
-path; this kernel is the basis for the planned MXU correlation
-formulation.
+path. A grouped-conv MXU formulation (6 one-hot/aux channels,
+feature_group_count=B cross-correlation) was validated numerically but
+XLA:TPU takes ~6 minutes to compile the grouped conv even at small
+shapes, so it was dropped.
 """
 
 from __future__ import annotations

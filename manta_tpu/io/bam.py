@@ -120,6 +120,13 @@ class ReadBatch:
             idx = np.flatnonzero(idx)
         n = len(idx)
 
+        # consecutive kept rows form runs; copying per run replaces the
+        # per-byte gather with a few large memcpys when the selection is
+        # dense (the common case for positional filters)
+        run_starts = np.flatnonzero(
+            np.diff(idx, prepend=idx[0] - 2) != 1) if n else np.zeros(0, int)
+        run_ends = np.append(run_starts[1:], n)  # idx[s:e] is one run
+
         def ragged(off, blob):
             lens = off[idx + 1] - off[idx]
             new_off = np.zeros(n + 1, dtype=np.int64)
@@ -128,13 +135,14 @@ class ReadBatch:
             if total == 0:
                 return new_off, (b"" if isinstance(blob, bytes)
                                  else blob[:0])
-            # vectorized CSR gather: source index per output element
-            gather = np.repeat(off[idx], lens) + \
-                (np.arange(total) - np.repeat(new_off[:-1], lens))
+            arr = np.frombuffer(blob, np.uint8) if isinstance(blob, bytes) \
+                else blob
+            parts = [arr[off[idx[s]]:off[idx[e - 1] + 1]]
+                     for s, e in zip(run_starts, run_ends)]
+            out = np.concatenate(parts)
             if isinstance(blob, bytes):
-                arr = np.frombuffer(blob, np.uint8)[gather]
-                return new_off, arr.tobytes()
-            return new_off, blob[gather]
+                return new_off, out.tobytes()
+            return new_off, out
 
         co, cg = ragged(self.cigar_off, self.cigar)
         so, sq = ragged(self.seq_off, self.seq)

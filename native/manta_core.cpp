@@ -917,6 +917,17 @@ constexpr uint32_t OPBIT_REF = (1u << 0) | (1u << 2) | (1u << 3) |
                                (1u << 7) | (1u << 8);
 }  // namespace
 
+namespace {
+inline void semi_aligned_one(
+    int32_t pos_r, const uint32_t* cigar, int64_t c0, int64_t c1,
+    const uint8_t* read, int64_t n_read,
+    const uint8_t* refseq, int64_t ref_len, int64_t ref_offset,
+    int32_t contiguous, std::vector<uint8_t>& ops,
+    std::vector<int32_t>& lens,
+    int32_t* out_lead_len, int32_t* out_lead_ref,
+    int32_t* out_trail_len, int32_t* out_trail_ref);
+}
+
 extern "C" int mt_semi_aligned_batch(
     int64_t n,
     const int32_t* pos,
@@ -929,14 +940,51 @@ extern "C" int mt_semi_aligned_batch(
   std::vector<uint8_t> ops;
   std::vector<int32_t> lens;
   for (int64_t r = 0; r < n; r++) {
-    const int64_t c0 = cigar_off[r], c1 = cigar_off[r + 1];
-    const int64_t s0 = seq_off[r];
-    const int64_t n_read = seq_off[r + 1] - s0;
-    const uint8_t* read = seq + s0;
+    semi_aligned_one(pos[r], cigar, cigar_off[r], cigar_off[r + 1],
+                     seq + seq_off[r], seq_off[r + 1] - seq_off[r],
+                     refseq, ref_len, ref_offset, contiguous, ops, lens,
+                     out_lead_len + r, out_lead_ref + r,
+                     out_trail_len + r, out_trail_ref + r);
+  }
+  return 0;
+}
+
+extern "C" int mt_semi_aligned_batch_idx(
+    int64_t n_idx, const int64_t* idx,
+    const int32_t* pos,
+    const int64_t* cigar_off, const uint32_t* cigar,
+    const int64_t* seq_off, const uint8_t* seq,
+    const uint8_t* refseq, int64_t ref_len, int64_t ref_offset,
+    int32_t contiguous,
+    int32_t* out_lead_len, int32_t* out_lead_ref,
+    int32_t* out_trail_len, int32_t* out_trail_ref) {
+  std::vector<uint8_t> ops;
+  std::vector<int32_t> lens;
+  for (int64_t k = 0; k < n_idx; k++) {
+    const int64_t r = idx[k];
+    semi_aligned_one(pos[r], cigar, cigar_off[r], cigar_off[r + 1],
+                     seq + seq_off[r], seq_off[r + 1] - seq_off[r],
+                     refseq, ref_len, ref_offset, contiguous, ops, lens,
+                     out_lead_len + k, out_lead_ref + k,
+                     out_trail_len + k, out_trail_ref + k);
+  }
+  return 0;
+}
+
+namespace {
+inline void semi_aligned_one(
+    int32_t pos_r, const uint32_t* cigar, int64_t c0, int64_t c1,
+    const uint8_t* read, int64_t n_read,
+    const uint8_t* refseq, int64_t ref_len, int64_t ref_offset,
+    int32_t contiguous, std::vector<uint8_t>& ops,
+    std::vector<int32_t>& lens,
+    int32_t* out_lead_len, int32_t* out_lead_ref,
+    int32_t* out_trail_len, int32_t* out_trail_ref) {
+  {
 
     // matchify edge soft clips
     ops.clear(); lens.clear();
-    int nseg = (int)(c1 - c0);
+    const int nseg = (int)(c1 - c0);
     int first = nseg, last = nseg;
     bool found = false;
     for (int i = 0; i < nseg; i++) {
@@ -947,7 +995,7 @@ extern "C" int mt_semi_aligned_batch(
         last = i;
       }
     }
-    int64_t mpos = pos[r];
+    int64_t mpos = pos_r;
     for (int i = 0; i < nseg; i++) {
       const uint8_t o = cigar[c0 + i] & 0xF;
       const int32_t l = cigar[c0 + i] >> 4;
@@ -1030,13 +1078,13 @@ extern "C" int mt_semi_aligned_batch(
       trail_ref = (int32_t)(ref_idx + 1);
     }
 
-    out_lead_len[r] = lead_len;
-    out_lead_ref[r] = lead_ref;
-    out_trail_len[r] = trail_len;
-    out_trail_ref[r] = trail_ref;
+    *out_lead_len = lead_len;
+    *out_lead_ref = lead_ref;
+    *out_trail_len = trail_len;
+    *out_trail_ref = trail_ref;
   }
-  return 0;
 }
+}  // namespace
 
 // ---------------------------------------------------------------------------
 // Split-read junction scan (host production path; the device kernel in
