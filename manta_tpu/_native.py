@@ -52,6 +52,13 @@ def get_lib():
         ctypes.c_int64, i32p, i64p, u32p, i64p, u8p,
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         i32p, i32p, i32p, i32p]
+    lib.mt_has_tag.restype = ctypes.c_int
+    lib.mt_has_tag.argtypes = [
+        ctypes.c_int64, i64p, ctypes.c_char_p,
+        ctypes.c_char, ctypes.c_char, u8p]
+    lib.mt_mate_ref_len.restype = ctypes.c_int
+    lib.mt_mate_ref_len.argtypes = [
+        ctypes.c_int64, i64p, ctypes.c_char_p, i64p, i32p]
     lib.mt_semi_aligned_batch_idx.restype = ctypes.c_int
     lib.mt_semi_aligned_batch_idx.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,

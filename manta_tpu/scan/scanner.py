@@ -161,6 +161,24 @@ def get_alignment(batch: ReadBatch, i: int) -> SimpleAlign:
         is_fwd=(batch.flag[i] & FLAG_REVERSE) == 0, ops=ops, lens=lens)
 
 
+def mate_ref_len_batch(batch: ReadBatch) -> np.ndarray:
+    """Mate reference span for every read: MC-tag cigar ref length when
+    present, else the read's own length (native batch scan; cached on
+    the batch)."""
+    cached = getattr(batch, "_mate_ref_len", None)
+    if cached is not None:
+        return cached
+    from .._native import get_lib, i32p, i64p
+    lib = get_lib()
+    out = np.empty(batch.n, np.int32)
+    tags = batch.tags if isinstance(batch.tags, bytes) else bytes(batch.tags)
+    lib.mt_mate_ref_len(
+        batch.n, batch.tag_off.ctypes.data_as(i64p), tags,
+        batch.seq_off.ctypes.data_as(i64p), out.ctypes.data_as(i32p))
+    batch._mate_ref_len = out
+    return out
+
+
 def get_mate_alignment(batch: ReadBatch, i: int) -> SimpleAlign:
     """Mate alignment from the MC tag if present, else faked as a full
     match of this read's length (reference:
@@ -288,12 +306,14 @@ class SVScanner:
         fcand = cand & fwd
         out[fcand] = (batch.end_pos[fcand].astype(np.int64)
                       - batch.next_pos[fcand]) >= 0
-        # reverse branch: needs the mate's reference span (MC tag)
-        for i in np.flatnonzero(cand & ~fwd):
-            i = int(i)
-            al = get_alignment(batch, i)
-            mate = get_mate_alignment(batch, i)
-            out[i] = (al.pos - mate.end_pos) <= 0
+        # reverse branch: mate reference span from the MC tag (native
+        # batch scan; faked as read length when absent)
+        rcand = cand & ~fwd
+        if rcand.any():
+            mate_end = batch.next_pos.astype(np.int64) + \
+                mate_ref_len_batch(batch)
+            out[rcand] = (batch.pos[rcand].astype(np.int64)
+                          - mate_end[rcand]) <= 0
         return out
 
     def _semi_aligned_mask_batch(self, batch: ReadBatch, sel: np.ndarray,

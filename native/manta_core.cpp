@@ -1136,3 +1136,93 @@ extern "C" int mt_split_read_scan(
   *out_best_pos = best_k;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Batched BAM aux-tag scans: tag presence and MC-tag mate reference
+// length (replaces per-read Python tag walks in the scan hot path).
+
+namespace {
+// returns pointer to the value bytes of `tag` within [blob, blob+len),
+// sets *type; nullptr if absent
+inline const uint8_t* find_tag_value(const uint8_t* blob, int64_t len,
+                                     char t0, char t1, uint8_t* type) {
+  int64_t i = 0;
+  while (i + 3 <= len) {
+    const uint8_t a = blob[i], b = blob[i + 1], ty = blob[i + 2];
+    i += 3;
+    const bool hit = (a == (uint8_t)t0 && b == (uint8_t)t1);
+    int64_t sz = -1;
+    switch (ty) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      default: break;
+    }
+    if (sz >= 0) {
+      if (hit) { *type = ty; return blob + i; }
+      i += sz;
+    } else if (ty == 'Z' || ty == 'H') {
+      int64_t e = i;
+      while (e < len && blob[e] != 0) e++;
+      if (hit) { *type = ty; return blob + i; }
+      i = e + 1;
+    } else if (ty == 'B') {
+      if (i >= len) return nullptr;
+      const uint8_t sub = blob[i];
+      uint32_t cnt;
+      if (i + 5 > len) return nullptr;
+      std::memcpy(&cnt, blob + i + 1, 4);
+      int64_t esz = (sub == 'c' || sub == 'C') ? 1
+                  : (sub == 's' || sub == 'S') ? 2 : 4;
+      if (hit) { *type = ty; return blob + i; }
+      i += 5 + esz * (int64_t)cnt;
+    } else {
+      return nullptr;  // unknown type: stop scanning
+    }
+  }
+  return nullptr;
+}
+}  // namespace
+
+extern "C" int mt_has_tag(
+    int64_t n, const int64_t* tag_off, const uint8_t* tags,
+    char t0, char t1, uint8_t* out) {
+  for (int64_t r = 0; r < n; r++) {
+    uint8_t ty;
+    out[r] = find_tag_value(tags + tag_off[r], tag_off[r + 1] - tag_off[r],
+                            t0, t1, &ty) != nullptr;
+  }
+  return 0;
+}
+
+// mate reference span: MC cigar ref length when present, else the
+// read's own length (reference: SimpleAlignment_bam_util.cpp:43-61
+// faked full-match mate alignment)
+extern "C" int mt_mate_ref_len(
+    int64_t n, const int64_t* tag_off, const uint8_t* tags,
+    const int64_t* seq_off, int32_t* out) {
+  for (int64_t r = 0; r < n; r++) {
+    uint8_t ty;
+    const int64_t len = tag_off[r + 1] - tag_off[r];
+    const uint8_t* v =
+        find_tag_value(tags + tag_off[r], len, 'M', 'C', &ty);
+    if (v != nullptr && ty == 'Z') {
+      int64_t ref_len = 0, num = 0;
+      for (const uint8_t* p = v; *p != 0 &&
+           p < tags + tag_off[r + 1]; p++) {
+        const uint8_t c = *p;
+        if (c >= '0' && c <= '9') {
+          num = num * 10 + (c - '0');
+        } else {
+          if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X')
+            ref_len += num;
+          num = 0;
+        }
+      }
+      out[r] = (int32_t)ref_len;
+    } else {
+      out[r] = (int32_t)(seq_off[r + 1] - seq_off[r]);
+    }
+  }
+  return 0;
+}
