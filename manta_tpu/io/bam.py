@@ -84,6 +84,18 @@ class ReadBatch:
     def cigar_arr(self, i: int) -> np.ndarray:
         return self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]]
 
+    def cigar_ops_lens(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(ops, lens) int32 views for read i; the whole batch's cigar
+        blob is decoded once and sliced per read."""
+        dec = getattr(self, "_cigar_decoded", None)
+        if dec is None:
+            dec = ((self.cigar & 0xF).astype(np.int32),
+                   (self.cigar >> 4).astype(np.int32))
+            self._cigar_decoded = dec
+        c0 = self.cigar_off[i]
+        c1 = self.cigar_off[i + 1]
+        return dec[0][c0:c1], dec[1][c0:c1]
+
     def read_len(self, i: int) -> int:
         return int(self.seq_off[i + 1] - self.seq_off[i])
 

@@ -110,20 +110,30 @@ class BgzfReader:
     which is the access pattern of index-driven region queries.
     """
 
+    # per-reader LRU of decompressed blocks: region queries in phase 2
+    # revisit the same breakend neighborhoods many times across edges
+    _CACHE_BLOCKS = 512  # x ~64KB uncompressed = ~32 MB cap
+
     def __init__(self, path: str):
         with open(path, "rb") as f:
             self._data = f.read()
-        self._cache_off = -1
-        self._cache: bytes = b""
+        self._cache: dict[int, tuple[bytes, int]] = {}
 
     def block_at(self, coffset: int) -> tuple[bytes, int]:
         """Decompress block starting at compressed offset; return (payload, next_coffset)."""
+        hit = self._cache.get(coffset)
+        if hit is not None:
+            return hit
         payload_off, bsize = _parse_block_header(self._data, coffset)
-        if coffset != self._cache_off:
-            comp = self._data[payload_off : coffset + bsize - 8]
-            self._cache = zlib.decompress(comp, wbits=-15) if comp else b""
-            self._cache_off = coffset
-        return self._cache, coffset + bsize
+        comp = self._data[payload_off : coffset + bsize - 8]
+        payload = zlib.decompress(comp, wbits=-15) if comp else b""
+        if len(self._cache) >= self._CACHE_BLOCKS:
+            # drop the oldest inserted half (dicts preserve order)
+            for k in list(self._cache)[:self._CACHE_BLOCKS // 2]:
+                del self._cache[k]
+        out = (payload, coffset + bsize)
+        self._cache[coffset] = out
+        return out
 
     def read_range(self, vstart: int, vend: int) -> bytes:
         """Read the uncompressed bytes between two virtual offsets."""

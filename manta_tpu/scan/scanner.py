@@ -155,7 +155,7 @@ class SimpleAlign:
 
 
 def get_alignment(batch: ReadBatch, i: int) -> SimpleAlign:
-    ops, lens = cg.cigar_to_arrays(batch.cigar_arr(i))
+    ops, lens = batch.cigar_ops_lens(i)
     return SimpleAlign(
         tid=int(batch.refid[i]), pos=int(batch.pos[i]),
         is_fwd=(batch.flag[i] & FLAG_REVERSE) == 0, ops=ops, lens=lens)

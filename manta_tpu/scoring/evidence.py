@@ -243,6 +243,61 @@ def _set_evidence(a: SRAlignmentInfo):
     a.evidence = 2 * min(a.left_size, a.right_size) / size
 
 
+class _SplitScanScratch:
+    """Reusable ctypes state for the native split scan (per-call
+    pointer casts otherwise dominate the wrapper)."""
+
+    def __init__(self):
+        import ctypes
+        from .._native import get_lib, u8p
+        self.lib = get_lib()
+        self.u8p = u8p
+        self.fp = ctypes.POINTER(ctypes.c_float)
+        self.out_lnl = ctypes.c_float()
+        self.out_pos = ctypes.c_int32()
+        self.p_lnl = ctypes.byref(self.out_lnl)
+        self.p_pos = ctypes.byref(self.out_pos)
+        self.ln_random = ctypes.c_float(-math.log(4.0))
+        self._lut_id = None
+        self._p_lut_m = None
+        self._p_lut_x = None
+
+    def luts_for(self, qconv):
+        lut_m, lut_x = qconv.lut256()
+        if id(qconv) != self._lut_id:
+            self._lut_id = id(qconv)
+            self._keep_qconv = qconv
+            self._p_lut_m = lut_m.ctypes.data_as(self.fp)
+            self._p_lut_x = lut_x.ctypes.data_as(self.fp)
+        return self._p_lut_m, self._p_lut_x
+
+
+_SPLIT_SCRATCH = None
+
+
+def _native_split_scan(query, qual, target, nq, nt, bp_beg, bp_end,
+                       flank_score_size, qconv):
+    global _SPLIT_SCRATCH
+    sc = _SPLIT_SCRATCH
+    if sc is None:
+        sc = _SPLIT_SCRATCH = _SplitScanScratch()
+    if not query.flags["C_CONTIGUOUS"]:
+        query = np.ascontiguousarray(query)
+    if not qual.flags["C_CONTIGUOUS"]:
+        qual = np.ascontiguousarray(qual)
+    if not target.flags["C_CONTIGUOUS"]:
+        target = np.ascontiguousarray(target)
+    p_lut_m, p_lut_x = sc.luts_for(qconv)
+    u8p = sc.u8p
+    rc = sc.lib.mt_split_read_scan(
+        query.ctypes.data_as(u8p), nq, qual.ctypes.data_as(u8p),
+        target.ctypes.data_as(u8p), nt,
+        bp_beg, bp_end, flank_score_size,
+        p_lut_m, p_lut_x, sc.ln_random, sc.p_lnl, sc.p_pos)
+    assert rc == 0, f"mt_split_read_scan failed: {rc}"
+    return float(sc.out_lnl.value), int(sc.out_pos.value)
+
+
 def split_read_aligner(flank_score_size: int, query: np.ndarray,
                        qconv: QscoreSnp, qual: np.ndarray,
                        target: np.ndarray, bp_beg: int, bp_end: int) -> SRAlignmentInfo:
@@ -266,29 +321,9 @@ def split_read_aligner(flank_score_size: int, query: np.ndarray,
 
     # native scan (native/manta_core.cpp mt_split_read_scan): per scan
     # position float32 base-order accumulation, winner-takes-first
-    import ctypes
-    from .._native import get_lib, i32p, u8p
-    lib = get_lib()
-    lut_m, lut_x = qconv.lut256()
-    fp = ctypes.POINTER(ctypes.c_float)
-    out_lnl = ctypes.c_float()
-    out_pos = ctypes.c_int32()
-    if not query.flags["C_CONTIGUOUS"]:
-        query = np.ascontiguousarray(query)
-    if not qual.flags["C_CONTIGUOUS"]:
-        qual = np.ascontiguousarray(qual)
-    if not target.flags["C_CONTIGUOUS"]:
-        target = np.ascontiguousarray(target)
-    rc = lib.mt_split_read_scan(
-        query.ctypes.data_as(u8p), nq, qual.ctypes.data_as(u8p),
-        target.ctypes.data_as(u8p), nt,
-        bp_beg, bp_end, flank_score_size,
-        lut_m.ctypes.data_as(fp), lut_x.ctypes.data_as(fp),
-        ctypes.c_float(-math.log(4.0)),
-        ctypes.byref(out_lnl), ctypes.byref(out_pos))
-    assert rc == 0, f"mt_split_read_scan failed: {rc}"
-    best = float(out_lnl.value)
-    best_pos = int(out_pos.value)
+    best, best_pos = _native_split_scan(query, qual, target, nq, nt,
+                                        bp_beg, bp_end, flank_score_size,
+                                        qconv)
 
     assert best_pos <= bp_end + 1
     if best_pos <= bp_beg + 1:
