@@ -182,12 +182,18 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                      regions: list[tuple[int, int, int]], fasta,
                      chrom_depths: dict[str, float] | None = None,
                      max_depth_factor: float = 12.0) -> SVLocusSet:
-    """Run phase-1 graph construction over the given scan regions
-    (reference: EstimateSVLociRunner.cpp:53-110)."""
+    """Run phase-1 graph construction over the given scan regions.
+
+    Each region builds an INDEPENDENT graph (with its own rolling
+    denoise) merged sequentially into the master set, matching the
+    reference's per-segment EstimateSVLoci tasks + ordered MergeSVLoci
+    reduce (reference: EstimateSVLociRunner.cpp:53-110,
+    MergeSVLoci.cpp, mantaWorkflow.py:252-299). This keeps serial and
+    process-parallel execution bit-identical."""
     readers = [BamReader(p) for p in bam_paths]
     names = readers[0].header.ref_names
     lengths = readers[0].header.ref_lengths
-    locus_set = SVLocusSet(graph_opt, names, lengths, len(bam_paths))
+    master = SVLocusSet(graph_opt, names, lengths, len(bam_paths))
 
     for (tid, beg, end) in regions:
         chrom = names[tid]
@@ -196,8 +202,9 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
         max_depth = None
         if chrom_depths is not None and chrom in chrom_depths:
             max_depth = chrom_depths[chrom] * max_depth_factor
+        part = SVLocusSet(graph_opt, names, lengths, len(bam_paths))
         finder = SVLocusSetFinder(
-            scanner, locus_set, tid, beg, end, is_tumor,
+            scanner, part, tid, beg, end, is_tumor,
             max_depth=max_depth, refseq=refseq, ref_offset=ref_off)
         batches = []
         for r in readers:
@@ -209,8 +216,9 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
         # interleave samples by position (the reference's k-way merge order)
         _run_merged(finder, batches, merge_sorted_batches(batches))
         finder.flush()
+        master.merge_set(part)
         for si, c in enumerate(finder.counts):
-            merged = locus_set.sample_counts[si]
+            merged = master.sample_counts[si]
             for k, v in c.to_dict().items():
                 if isinstance(v, list):
                     prev = merged.get(k, [0] * len(v))
@@ -220,7 +228,7 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                 else:
                     merged[k] = merged.get(k, 0) + v
             merged["source"] = bam_paths[si]
-    return locus_set
+    return master
 
 
 def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
