@@ -101,6 +101,9 @@ def configure(args) -> str:
         raise ValueError("at least one --bam or --tumorBam is required")
     if len(tumor_bams) > 1:
         raise ValueError("at most one tumor BAM is supported")
+    if tumor_bams and len(normal_bams) > 1:
+        raise ValueError(
+            "Can't accept multiple normal samples for tumor subtraction")
     for p in normal_bams + tumor_bams + [args.reference]:
         if not os.path.exists(p):
             raise ValueError(f"input not found: {p}")
