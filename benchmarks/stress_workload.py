@@ -1,0 +1,149 @@
+"""Evidence-preserving scaled stress workload for phase benchmarks.
+
+Tiles the demo HCC1954 junction neighborhoods (chr8 10kb + chr11 25kb
+windows) N times onto a synthetic two-chromosome genome, shifting both
+mates of every pair per tile so spanning/split evidence stays valid.
+Each tile should reproduce the demo's 6 BND junctions, giving a
+correctness check (records == 6*N) along with wall-clock scaling
+numbers for phase 1 and the full workflow.
+
+Usage:
+    python benchmarks/stress_workload.py --tiles 32 --out /tmp/stress \
+        [--run] [-j N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEMO = "/root/reference/src/demo/data"
+TUMOR = f"{DEMO}/G15512.HCC1954.1.COST16011_region.bam"
+DEMO_FA = f"{REPO}/.testdata/Homo_sapiens_assembly19.COST16011_region.fa"
+
+W8 = (107650000, 107660000)
+W11 = (94970000, 94995000)
+SPAN8, SPAN11 = 12000, 27000
+
+
+def generate(tiles: int, out_prefix: str):
+    from manta_tpu.io.bam import BamReader
+    from manta_tpu.io.bamwriter import BamWriter
+    from manta_tpu.io.fasta import FastaReader
+
+    src = BamReader(TUMOR)
+    fa = FastaReader(DEMO_FA)
+    t8 = src.header.name_to_tid["8"]
+    t11 = src.header.name_to_tid["11"]
+    b8 = src.fetch(t8, *W8)
+    b11 = src.fetch(t11, *W11)
+
+    def keep_mask(b):
+        m8 = (b.next_refid == t8) & (b.next_pos >= W8[0]) & \
+            (b.next_pos < W8[1])
+        m11 = (b.next_refid == t11) & (b.next_pos >= W11[0]) & \
+            (b.next_pos < W11[1])
+        return m8 | m11 | ((b.flag & 0x8) != 0)
+
+    b8 = b8.subset(keep_mask(b8))
+    b11 = b11.subset(keep_mask(b11))
+
+    # synthetic fasta: N-padded tiled windows
+    fa_path = out_prefix + ".fa"
+    with open(fa_path, "w") as f:
+        for name, window, span in (("8", W8, SPAN8), ("11", W11, SPAN11)):
+            seg = fa.fetch(name, *window).decode()
+            f.write(f">{name}\n")
+            seq = "N" * 1000 + "".join(
+                seg + "N" * (span - len(seg)) for _ in range(tiles)) + \
+                "N" * 1000
+            for i in range(0, len(seq), 60):
+                f.write(seq[i:i + 60] + "\n")
+    # .fai
+    entries = []
+    with open(fa_path) as f:
+        byte = 0
+        name = None
+        ln = 0
+        start = 0
+        for line in f:
+            if line.startswith(">"):
+                if name is not None:
+                    entries.append((name, ln, start))
+                name = line[1:].strip()
+                byte += len(line)
+                start = byte
+                ln = 0
+            else:
+                ln += len(line.rstrip("\n"))
+                byte += len(line)
+        entries.append((name, ln, start))
+    with open(fa_path + ".fai", "w") as f:
+        for name, ln, start in entries:
+            f.write(f"{name}\t{ln}\t{start}\t60\t61\n")
+
+    def shift(b, base, span, tile):
+        out = copy.copy(b)
+        out.pos = (b.pos - base + 1000 + tile * span).astype(b.pos.dtype)
+        m8 = b.next_refid == t8
+        np_new = np.where(
+            m8, b.next_pos - W8[0] + 1000 + tile * SPAN8,
+            b.next_pos - W11[0] + 1000 + tile * SPAN11)
+        out.next_pos = np_new.astype(b.next_pos.dtype)
+        return out
+
+    bam_path = out_prefix + ".bam"
+    w = BamWriter(bam_path, src.header.text, src.header.ref_names,
+                  src.header.ref_lengths)
+    total = 0
+    for tile in range(tiles):
+        s8 = shift(b8, W8[0], SPAN8, tile)
+        for i in range(b8.n):
+            w.add_record(s8, i)
+        s11 = shift(b11, W11[0], SPAN11, tile)
+        for i in range(b11.n):
+            w.add_record(s11, i)
+        total += b8.n + b11.n
+    w.close()
+    print(f"generated {bam_path}: {total} reads across {tiles} tiles")
+    return bam_path, fa_path, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiles", type=int, default=32)
+    ap.add_argument("--out", default="/tmp/stress")
+    ap.add_argument("--run", action="store_true",
+                    help="run the full workflow and report scaling")
+    ap.add_argument("-j", "--jobs", type=int, default=1)
+    args = ap.parse_args()
+    bam, fa, total = generate(args.tiles, args.out)
+    if not args.run:
+        return
+    from manta_tpu.workflow.run import run_workflow
+    import gzip
+    run_dir = args.out + "_run"
+    import shutil
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.time()
+    run_workflow([], [bam], fa, run_dir, is_exome=True, n_jobs=args.jobs,
+                 verbose=False)
+    dt = time.time() - t0
+    with gzip.open(f"{run_dir}/results/variants/tumorSV.vcf.gz", "rt") as f:
+        records = sum(1 for l in f if not l.startswith("#"))
+    expect = 6 * args.tiles
+    status = "OK" if records == expect else "MISMATCH"
+    print(f"e2e: {dt:.1f}s  {total / dt / 1000:.1f}k reads/s  "
+          f"records {records}/{expect} [{status}]")
+
+
+if __name__ == "__main__":
+    main()
