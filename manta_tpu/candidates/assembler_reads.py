@@ -118,6 +118,13 @@ class BreakendReadAssembler:
             sa = has_sa_tag(batch)
             core_bad = is_read_filtered_core(batch, sa)
             order = np.argsort(batch.pos, kind="stable")
+            # batched semi-aligned lead/trail for all mapped reads
+            batch_lead = batch_trail = None
+            if not self.scanner.opt.use_overlap_pair_evidence:
+                mapped = ~core_bad & ((batch.flag & FLAG_UNMAPPED) == 0)
+                batch_lead, batch_trail = \
+                    self.scanner.semi_aligned_values_batch(
+                        batch, mapped, refseq, ref_offset)
             # shadow state
             shadow_last_qname = None
             shadow_last_mapq = 0
@@ -183,8 +190,13 @@ class BreakendReadAssembler:
 
                 is_semi_keeper = False
                 if not unmapped:
-                    lead, _, trail, _ = self.scanner.semi_aligned_lengths(
-                        batch, i, refseq, ref_offset)
+                    if batch_lead is not None:
+                        lead = int(batch_lead[i])
+                        trail = int(batch_trail[i])
+                    else:
+                        lead, _, trail, _ = \
+                            self.scanner.semi_aligned_lengths(
+                                batch, i, refseq, ref_offset)
                     if search_right_open and trail >= 4:
                         is_semi_keeper = True
                     if search_left_open and lead >= 4:

@@ -413,9 +413,31 @@ class BamReader:
         buf = self._bgzf.decompress_all()
         return parse_records(buf, self._records_ustart)
 
+    _FETCH_CACHE_SIZE = 24
+
     def fetch(self, ref: str | int, beg: int, end: int) -> ReadBatch:
-        """All reads overlapping [beg, end) (0-based half-open)."""
+        """All reads overlapping [beg, end) (0-based half-open).
+
+        Recently fetched regions are cached: phase-2 edge processing
+        re-fetches the same breakend neighborhoods for assembly, pair
+        scoring, and split scoring. Returned batches are treated as
+        immutable by all callers."""
         tid = ref if isinstance(ref, int) else self.header.name_to_tid[ref]
+        cache = getattr(self, "_fetch_cache", None)
+        if cache is None:
+            cache = self._fetch_cache = {}
+        key = (tid, beg, end)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._fetch_uncached(tid, beg, end)
+        if len(cache) >= self._FETCH_CACHE_SIZE:
+            for k in list(cache)[:self._FETCH_CACHE_SIZE // 2]:
+                del cache[k]
+        cache[key] = out
+        return out
+
+    def _fetch_uncached(self, tid: int, beg: int, end: int) -> ReadBatch:
         if self.index is None:
             buf = self._bgzf.decompress_all()
             return parse_records(buf, self._records_ustart,

@@ -316,21 +316,26 @@ class SVScanner:
                           - mate_end[rcand]) <= 0
         return out
 
-    def _semi_aligned_mask_batch(self, batch: ReadBatch, sel: np.ndarray,
-                                 refseq: np.ndarray, ref_offset: int,
-                                 min_bq: int = 20,
-                                 min_hq_frac: float = 0.75) -> np.ndarray:
-        """Batched semi-aligned evidence mask over selected reads
-        (equivalent to per-read semi_aligned_lengths >= threshold with
-        use_overlap_pair_evidence=False)."""
+    def semi_aligned_values_batch(self, batch: ReadBatch, sel: np.ndarray,
+                                  refseq: np.ndarray, ref_offset: int,
+                                  min_bq: int = 20,
+                                  min_hq_frac: float = 0.75):
+        """Vectorized semi_aligned_lengths over selected reads with
+        use_overlap_pair_evidence=False semantics: returns (lead, trail)
+        int32 arrays over the whole batch (zeros where gated out or not
+        selected)."""
         import ctypes
         from .._native import get_lib, i32p, i64p, u8p, u32p
-        overlap = self._overlapping_pair_mask(batch)
+        overlap = getattr(batch, "_overlap_mask", None)
+        if overlap is None:
+            overlap = self._overlapping_pair_mask(batch)
+            batch._overlap_mask = overlap
         idx = np.flatnonzero(sel & ~overlap).astype(np.int64)
-        out = np.zeros(batch.n, dtype=bool)
+        out_lead = np.zeros(batch.n, np.int32)
+        out_trail = np.zeros(batch.n, np.int32)
         m = len(idx)
         if m == 0:
-            return out
+            return out_lead, out_trail
         lib = get_lib()
         lead = np.empty(m, np.int32)
         lead_ref = np.empty(m, np.int32)
@@ -354,21 +359,32 @@ class SVScanner:
         degenerate = (lead.astype(np.int64) + trail) >= read_len
         # high-quality base fraction gates over lead/trail windows
         # (int32 cumsum is ~9x faster than an int64 out-array here)
-        hq_pref = np.concatenate([
-            np.zeros(1, np.int32),
-            np.cumsum((batch.qual >= min_bq).astype(np.int32),
-                      dtype=np.int32)])
+        hq_pref = getattr(batch, "_hq_pref", None)
+        if hq_pref is None:
+            hq_pref = np.concatenate([
+                np.zeros(1, np.int32),
+                np.cumsum((batch.qual >= min_bq).astype(np.int32),
+                          dtype=np.int32)])
+            batch._hq_pref = hq_pref
         q0 = batch.qual_off[idx]
         q1 = batch.qual_off[idx + 1]
         lead_hq = hq_pref[q0 + lead] - hq_pref[q0]
         trail_hq = hq_pref[q1] - hq_pref[q1 - trail]
         lead_ok = (lead > 0) & (lead_hq >= min_hq_frac * lead)
         trail_ok = (trail > 0) & (trail_hq >= min_hq_frac * trail)
+        keep = ~degenerate
+        out_lead[idx] = np.where(keep & lead_ok, lead, 0)
+        out_trail[idx] = np.where(keep & trail_ok, trail, 0)
+        return out_lead, out_trail
+
+    def _semi_aligned_mask_batch(self, batch: ReadBatch, sel: np.ndarray,
+                                 refseq: np.ndarray, ref_offset: int) \
+            -> np.ndarray:
+        """Batched semi-aligned evidence mask over selected reads."""
+        lead, trail = self.semi_aligned_values_batch(batch, sel, refseq,
+                                                     ref_offset)
         min_len = self.opt.min_semi_aligned_mismatch_len
-        hit = ~degenerate & ((lead_ok & (lead >= min_len)) |
-                             (trail_ok & (trail >= min_len)))
-        out[idx[hit]] = True
-        return out
+        return (lead >= min_len) | (trail >= min_len)
 
     def _is_overlapping_pair(self, batch: ReadBatch, i: int, al: SimpleAlign) -> bool:
         f = int(batch.flag[i])
