@@ -47,6 +47,12 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), i32p]
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.mt_split_read_scan_multi.restype = ctypes.c_int
+    lib.mt_split_read_scan_multi.argtypes = [
+        ctypes.c_int64, i64p, i64p, u8p, i64p, u8p,
+        ctypes.c_int32, u8p, i64p, i32p, i32p,
+        ctypes.c_int32, fp, fp, ctypes.c_float, fp, i32p]
     lib.mt_semi_aligned_batch.restype = ctypes.c_int
     lib.mt_semi_aligned_batch.argtypes = [
         ctypes.c_int64, i32p, i64p, u32p, i64p, u8p,

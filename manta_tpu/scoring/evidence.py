@@ -298,6 +298,44 @@ def _native_split_scan(query, qual, target, nq, nt, bp_beg, bp_end,
     return float(sc.out_lnl.value), int(sc.out_pos.value)
 
 
+def split_read_scan_multi(flank_score_size: int, batch, read_idx,
+                          qconv: QscoreSnp, targets: list,
+                          bp_ranges: list):
+    """Score selected batch reads against several junction targets in
+    one native call; returns (lnl, pos) arrays of shape (n, t)."""
+    import ctypes
+    from .._native import get_lib, i32p, i64p, u8p
+    lib = get_lib()
+    fp = ctypes.POINTER(ctypes.c_float)
+    n = len(read_idx)
+    t = len(targets)
+    idx = np.ascontiguousarray(read_idx, dtype=np.int64)
+    tgt_off = np.zeros(t + 1, np.int64)
+    for k, tg in enumerate(targets):
+        tgt_off[k + 1] = tgt_off[k] + len(tg)
+    blob = np.concatenate([np.ascontiguousarray(tg, dtype=np.uint8)
+                           for tg in targets])
+    bpb = np.array([b for (b, _e) in bp_ranges], np.int32)
+    bpe = np.array([e for (_b, e) in bp_ranges], np.int32)
+    lut_m, lut_x = qconv.lut256()
+    out_lnl = np.empty((n, t), np.float32)
+    out_pos = np.empty((n, t), np.int32)
+    rc = lib.mt_split_read_scan_multi(
+        n, idx.ctypes.data_as(i64p),
+        batch.seq_off.ctypes.data_as(i64p),
+        batch.seq.ctypes.data_as(u8p),
+        batch.qual_off.ctypes.data_as(i64p),
+        batch.qual.ctypes.data_as(u8p),
+        t, blob.ctypes.data_as(u8p), tgt_off.ctypes.data_as(i64p),
+        bpb.ctypes.data_as(i32p), bpe.ctypes.data_as(i32p),
+        flank_score_size,
+        lut_m.ctypes.data_as(fp), lut_x.ctypes.data_as(fp),
+        ctypes.c_float(-math.log(4.0)),
+        out_lnl.ctypes.data_as(fp), out_pos.ctypes.data_as(i32p))
+    assert rc == 0, f"mt_split_read_scan_multi failed: {rc}"
+    return out_lnl, out_pos
+
+
 def split_read_aligner(flank_score_size: int, query: np.ndarray,
                        qconv: QscoreSnp, qual: np.ndarray,
                        target: np.ndarray, bp_beg: int, bp_end: int) -> SRAlignmentInfo:
@@ -324,7 +362,17 @@ def split_read_aligner(flank_score_size: int, query: np.ndarray,
     best, best_pos = _native_split_scan(query, qual, target, nq, nt,
                                         bp_beg, bp_end, flank_score_size,
                                         qconv)
+    return finalize_split_alignment(a, best, best_pos, query, target,
+                                    bp_beg, bp_end)
 
+
+def finalize_split_alignment(a: SRAlignmentInfo, best: float, best_pos: int,
+                             query: np.ndarray, target: np.ndarray,
+                             bp_beg: int, bp_end: int) -> SRAlignmentInfo:
+    """Flank/homology sizing + mismatch accounting at the winning scan
+    position (reference: SplitReadAlignment.cpp setEvidence +
+    calculateAlignScore)."""
+    nq = len(query)
     assert best_pos <= bp_end + 1
     if best_pos <= bp_beg + 1:
         a.left_size = (bp_beg + 1) - best_pos

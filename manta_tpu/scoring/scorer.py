@@ -761,31 +761,57 @@ class SVScorer:
         bp2_contig = np.frombuffer(align_info.bp2_contig().encode(), np.uint8)
         bp1_ref = np.frombuffer(align_info.bp1_reference().encode(), np.uint8)
         bp2_ref = np.frombuffer(align_info.bp2_reference().encode(), np.uint8)
+        from ..candidates.assembler_reads import BreakendReadAssembler
+        # phase A: collect unevaluated candidate reads
+        cand = []
         for oi in order:
             i = int(oi)
             if bad[i] or nss[i]:
                 continue
             al = get_alignment(batch, i)
-            from ..candidates.assembler_reads import BreakendReadAssembler
             rng = BreakendReadAssembler._matchify_ref_range(al)
             if not (rng[1] > bp.interval.beg and rng[0] < bp.interval.end):
                 continue
-            self._get_read_split_score(
-                flank_score_size, batch, i, align_info, bp1_contig,
-                bp2_contig, bp1_ref, bp2_ref, min_mapq, min_tier2, track,
-                sample, bam_index=bam_index, sv_id=sv_id, support=support)
-
-    def _get_read_split_score(self, flank_score_size, batch, i, align_info,
-                              bp1_contig, bp2_contig, bp1_ref, bp2_ref,
-                              min_mapq, min_tier2, track, sample,
-                              bam_index=0, sv_id=None, support=None):
-        """(reference: getReadSplitScore:104-229)."""
-        qname = batch.name_str(i)
-        fragev = track.setdefault(qname, FragmentEvidence())
-        is_read1 = bool(batch.flag[i] & FLAG_READ1)
-        alt_bp1 = fragev.alt.bp1.get_read(is_read1)
-        if alt_bp1.is_split_evaluated:
+            qname = batch.name_str(i)
+            fragev = track.setdefault(qname, FragmentEvidence())
+            is_read1 = bool(batch.flag[i] & FLAG_READ1)
+            if fragev.alt.bp1.get_read(is_read1).is_split_evaluated:
+                continue
+            cand.append((i, fragev, is_read1))
+        if not cand:
             return
+        # phase B: one native scan for all reads x {alt,ref} x {bp1,bp2}
+        from .evidence import split_read_scan_multi
+        idx = np.array([c[0] for c in cand], np.int64)
+        alt_lnl, alt_pos = split_read_scan_multi(
+            flank_score_size, batch, idx, self.alt_q,
+            [bp1_contig, bp2_contig],
+            [align_info.bp1_contig_offset, align_info.bp2_contig_offset])
+        ref_lnl, ref_pos = split_read_scan_multi(
+            flank_score_size, batch, idx, self.ref_q,
+            [bp1_ref, bp2_ref],
+            [align_info.bp1_ref_offset, align_info.bp2_ref_offset])
+        for r, (i, fragev, is_read1) in enumerate(cand):
+            self._finish_read_split_score(
+                flank_score_size, batch, i, align_info, bp1_contig,
+                bp2_contig, bp1_ref, bp2_ref, min_mapq, min_tier2,
+                fragev, is_read1, sample,
+                (float(alt_lnl[r, 0]), int(alt_pos[r, 0])),
+                (float(alt_lnl[r, 1]), int(alt_pos[r, 1])),
+                (float(ref_lnl[r, 0]), int(ref_pos[r, 0])),
+                (float(ref_lnl[r, 1]), int(ref_pos[r, 1])),
+                bam_index=bam_index, sv_id=sv_id, support=support)
+
+    def _finish_read_split_score(self, flank_score_size, batch, i,
+                                 align_info, bp1_contig, bp2_contig,
+                                 bp1_ref, bp2_ref, min_mapq, min_tier2,
+                                 fragev, is_read1, sample,
+                                 alt1_scan, alt2_scan, ref1_scan, ref2_scan,
+                                 bam_index=0, sv_id=None, support=None):
+        """(reference: getReadSplitScore:104-229) — evidence update from
+        pre-computed scan winners."""
+        from .evidence import SRAlignmentInfo, finalize_split_alignment
+        alt_bp1 = fragev.alt.bp1.get_read(is_read1)
         ref_bp1 = fragev.ref.bp1.get_read(is_read1)
         alt_bp2 = fragev.alt.bp2.get_read(is_read1)
         ref_bp2 = fragev.ref.bp2.get_read(is_read1)
@@ -795,23 +821,19 @@ class SVScorer:
         ref_bp2.is_split_evaluated = True
 
         read = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]]
-        qual = batch.qual_arr(i)
         set_read_evidence(min_mapq, min_tier2, int(batch.mapq[i]),
                           batch.read_len(i), False,
                           fragev.get_read(is_read1))
 
-        alt_bp1_sr = split_read_aligner(
-            flank_score_size, read, self.alt_q, qual, bp1_contig,
-            align_info.bp1_contig_offset[0], align_info.bp1_contig_offset[1])
-        alt_bp2_sr = split_read_aligner(
-            flank_score_size, read, self.alt_q, qual, bp2_contig,
-            align_info.bp2_contig_offset[0], align_info.bp2_contig_offset[1])
-        ref_bp1_sr = split_read_aligner(
-            flank_score_size, read, self.ref_q, qual, bp1_ref,
-            align_info.bp1_ref_offset[0], align_info.bp1_ref_offset[1])
-        ref_bp2_sr = split_read_aligner(
-            flank_score_size, read, self.ref_q, qual, bp2_ref,
-            align_info.bp2_ref_offset[0], align_info.bp2_ref_offset[1])
+        def fin(scan, target, bp_rng):
+            return finalize_split_alignment(
+                SRAlignmentInfo(), scan[0], scan[1], read, target,
+                bp_rng[0], bp_rng[1])
+
+        alt_bp1_sr = fin(alt1_scan, bp1_contig, align_info.bp1_contig_offset)
+        alt_bp2_sr = fin(alt2_scan, bp2_contig, align_info.bp2_contig_offset)
+        ref_bp1_sr = fin(ref1_scan, bp1_ref, align_info.bp1_ref_offset)
+        ref_bp2_sr = fin(ref2_scan, bp2_ref, align_info.bp2_ref_offset)
 
         ref_bp1.split_ln_lhood = ref_bp1_sr.align_ln_lhood
         ref_bp2.split_ln_lhood = ref_bp2_sr.align_ln_lhood

@@ -1226,3 +1226,80 @@ extern "C" int mt_mate_ref_len(
   }
   return 0;
 }
+
+// Batched multi-target split scan: score many reads against the same
+// small set of junction targets (alt/ref x bp1/bp2) in one call.
+// Inner loop shared with mt_split_read_scan.
+
+namespace {
+inline int split_scan_core(
+    const uint8_t* query, int32_t nq, const uint8_t* qual,
+    const uint8_t* target, int32_t nt,
+    int32_t bp_beg, int32_t bp_end, int32_t flank_score_size,
+    const float* lut_match, const float* lut_mism, float ln_random,
+    float* out_best_lnl, int32_t* out_best_pos) {
+  if (nq <= 0 || nq >= nt) return -2;
+  int32_t scan_start = bp_beg - nq + 2;
+  if (scan_start < 0) scan_start = 0;
+  int32_t scan_end = bp_end < (nt - nq) ? bp_end : (nt - nq);
+  if (scan_end < 0) scan_end = 0;
+  if (scan_end < scan_start) return -3;
+  const int32_t score_beg = bp_beg - flank_score_size;
+  const int32_t score_end = bp_end + flank_score_size;
+
+  float best = 0.0f;
+  int32_t best_k = 0;
+  bool init = false;
+  for (int32_t k = scan_start; k <= scan_end; k++) {
+    float acc = 0.0f;
+    const uint8_t* w = target + k;
+    const int32_t j_lo = (score_beg - k + 1) > 0 ? (score_beg - k + 1) : 0;
+    const int32_t j_hi_excl = (score_end - k + 1) < nq ? (score_end - k + 1) : nq;
+    for (int32_t j = j_lo; j < j_hi_excl; j++) {
+      const uint8_t qb = query[j];
+      const uint8_t tb = w[j];
+      float term;
+      if (qb == 'N' || tb == 'N') term = ln_random;
+      else if (qb != tb) term = lut_mism[qual[j]];
+      else term = lut_match[qual[j]];
+      acc += term;
+    }
+    if (!init || acc > best) {
+      best = acc;
+      best_k = k;
+      init = true;
+    }
+  }
+  *out_best_lnl = best;
+  *out_best_pos = best_k;
+  return 0;
+}
+}  // namespace
+
+extern "C" int mt_split_read_scan_multi(
+    int64_t n_reads, const int64_t* read_idx,
+    const int64_t* seq_off, const uint8_t* seq,
+    const int64_t* qual_off, const uint8_t* qual,
+    int32_t n_targets, const uint8_t* target_blob,
+    const int64_t* target_off,
+    const int32_t* bp_beg, const int32_t* bp_end,
+    int32_t flank_score_size,
+    const float* lut_match, const float* lut_mism, float ln_random,
+    float* out_lnl, int32_t* out_pos) {
+  for (int64_t r = 0; r < n_reads; r++) {
+    const int64_t i = read_idx[r];
+    const uint8_t* q = seq + seq_off[i];
+    const int32_t nq = (int32_t)(seq_off[i + 1] - seq_off[i]);
+    const uint8_t* ql = qual + qual_off[i];
+    for (int32_t t = 0; t < n_targets; t++) {
+      const uint8_t* tg = target_blob + target_off[t];
+      const int32_t nt = (int32_t)(target_off[t + 1] - target_off[t]);
+      const int rc = split_scan_core(
+          q, nq, ql, tg, nt, bp_beg[t], bp_end[t], flank_score_size,
+          lut_match, lut_mism, ln_random,
+          out_lnl + r * n_targets + t, out_pos + r * n_targets + t);
+      if (rc != 0) return rc;
+    }
+  }
+  return 0;
+}
