@@ -34,6 +34,15 @@ def cmd_merge_stats(args):
     return 0
 
 
+def cmd_summarize_stats(args):
+    """(reference: SummarizeAlignmentStats.cpp)."""
+    from ..core.fragstats import ReadGroupStatsSet
+    from ..workflow.stats import write_alignment_stats_summary
+    write_alignment_stats_summary(
+        ReadGroupStatsSet.load(args.stats_file), args.output_file)
+    return 0
+
+
 def cmd_estimate_loci(args):
     """(reference: EstimateSVLoci.cpp:25-46) — build a partial graph
     for one genome region set."""
@@ -112,6 +121,11 @@ def main(argv=None):
                    action="append", required=True)
     p.add_argument("--output-file", required=True)
     p.set_defaults(fn=cmd_merge_stats)
+
+    p = sub.add_parser("summarize-stats")
+    p.add_argument("--stats-file", required=True)
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_summarize_stats)
 
     p = sub.add_parser("estimate-loci")
     p.add_argument("--align-file", dest="align_files", action="append",

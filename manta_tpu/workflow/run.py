@@ -64,7 +64,11 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  n_jobs: int = 1,
                  cmdline: str | None = None,
                  is_rescore: bool = False,
+                 locus_index: int | None = None,
                  verbose: bool = True):
+    if n_jobs <= 0:
+        # auto-detect (reference: estimateHardware.py core detection)
+        n_jobs = os.cpu_count() or 1
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "workspace"), exist_ok=True)
@@ -352,6 +356,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         return edge_runtime_log
 
     all_edges = list(iterate_edges(locus_set))
+    if locus_index is not None:
+        # single-locus debug mode (reference: EdgeRetrieverLocus,
+        # GSC --locus-index)
+        all_edges = [e for e in all_edges if e[0] == locus_index]
     if n_jobs > 1 and len(all_edges) > 1:
         tracker, edge_runtime_log = _run_edges_parallel(
             all_edges, locus_set, build_components, run_edges,
@@ -637,7 +645,10 @@ def main(argv=None):
     ap.add_argument("--min-candidate-sv-size", type=int, default=8)
     ap.add_argument("--min-edge-observations", type=int, default=3)
     ap.add_argument("--generate-evidence-bam", action="store_true")
-    ap.add_argument("-j", "--jobs", type=int, default=1)
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="worker processes; 0 = all cores")
+    ap.add_argument("--locus-index", type=int, default=None,
+                    help="debug: process only edges of one graph locus")
     ap.add_argument("--rescore", action="store_true",
                     help="reuse phase-0/1 artifacts, re-run candidate "
                          "generation and scoring only")
@@ -648,7 +659,8 @@ def main(argv=None):
                  min_candidate_variant_size=args.min_candidate_sv_size,
                  min_edge_observations=args.min_edge_observations,
                  generate_evidence_bam=args.generate_evidence_bam,
-                 n_jobs=args.jobs, is_rescore=args.rescore)
+                 n_jobs=args.jobs, is_rescore=args.rescore,
+                 locus_index=args.locus_index)
 
 
 if __name__ == "__main__":
