@@ -480,7 +480,8 @@ class SVScorer:
                  somatic_opt: CallOptionsSomatic | None = None,
                  tumor_opt: CallOptionsTumor | None = None,
                  chrom_depths: dict | None = None,
-                 is_rna: bool = False):
+                 is_rna: bool = False,
+                 use_device_scoring: bool = False):
         self.scanner = scanner
         self.readers = readers
         self.is_tumor = list(is_tumor)
@@ -494,6 +495,10 @@ class SVScorer:
         self.diploid_sample_count = sum(1 for t in is_tumor if not t)
         self.ref_q = QscoreSnp(1e-3)
         self.alt_q = QscoreSnp(0.0)
+        self._device_scan = None
+        if use_device_scoring:
+            from .device_scan import DeviceScanContext
+            self._device_scan = DeviceScanContext()
         # diploid priors
         d = self.diploid_opt
         self.diploid_prior = [1 - d.indel_prior - d.indel_prior / 2,
@@ -780,14 +785,18 @@ class SVScorer:
             cand.append((i, fragev, is_read1))
         if not cand:
             return
-        # phase B: one native scan for all reads x {alt,ref} x {bp1,bp2}
+        # phase B: one scan for all reads x {alt,ref} x {bp1,bp2},
+        # routed to the TPU kernel when enabled (bit-identical results)
         from .evidence import split_read_scan_multi
         idx = np.array([c[0] for c in cand], np.int64)
-        alt_lnl, alt_pos = split_read_scan_multi(
+        scan = split_read_scan_multi
+        if self._device_scan is not None and len(cand) >= 32:
+            scan = self._device_scan.scan_multi
+        alt_lnl, alt_pos = scan(
             flank_score_size, batch, idx, self.alt_q,
             [bp1_contig, bp2_contig],
             [align_info.bp1_contig_offset, align_info.bp2_contig_offset])
-        ref_lnl, ref_pos = split_read_scan_multi(
+        ref_lnl, ref_pos = scan(
             flank_score_size, batch, idx, self.ref_q,
             [bp1_ref, bp2_ref],
             [align_info.bp1_ref_offset, align_info.bp2_ref_offset])

@@ -65,6 +65,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  cmdline: str | None = None,
                  is_rescore: bool = False,
                  locus_index: int | None = None,
+                 use_device_scoring: bool = False,
                  verbose: bool = True):
     if n_jobs <= 0:
         # auto-detect (reference: estimateHardware.py core detection)
@@ -232,7 +233,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             is_output_contig=is_output_contig, is_rna=is_rna,
             is_unstranded_rna=is_unstranded_rna)
         scorer = SVScorer(scanner, finder.readers, is_tumor, comp_fasta,
-                          chrom_depths=chrom_depths, is_rna=is_rna)
+                          chrom_depths=chrom_depths, is_rna=is_rna,
+                          use_device_scoring=use_device_scoring)
 
         def vpath(name):
             return os.path.join(unsorted_dir, name + bin_suffix)
@@ -649,6 +651,9 @@ def main(argv=None):
                     help="worker processes; 0 = all cores")
     ap.add_argument("--locus-index", type=int, default=None,
                     help="debug: process only edges of one graph locus")
+    ap.add_argument("--device-scoring", action="store_true",
+                    help="route split-read scoring through the attached "
+                         "TPU/accelerator (bit-identical results)")
     ap.add_argument("--rescore", action="store_true",
                     help="reuse phase-0/1 artifacts, re-run candidate "
                          "generation and scoring only")
@@ -660,7 +665,8 @@ def main(argv=None):
                  min_edge_observations=args.min_edge_observations,
                  generate_evidence_bam=args.generate_evidence_bam,
                  n_jobs=args.jobs, is_rescore=args.rescore,
-                 locus_index=args.locus_index)
+                 locus_index=args.locus_index,
+                 use_device_scoring=args.device_scoring)
 
 
 if __name__ == "__main__":
