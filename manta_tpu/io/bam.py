@@ -368,6 +368,12 @@ class BamReader:
 
     def __init__(self, path: str):
         self.path = path
+        with open(path, "rb") as f:
+            magic4 = f.read(4)
+        if magic4 == b"CRAM":
+            raise ValueError(
+                f"{path}: CRAM input is not supported yet; convert to "
+                "BAM (e.g. `samtools view -b -T ref.fa in.cram > out.bam`)")
         self._bgzf = BgzfReader(path)
         # parse header from the start of the uncompressed stream
         hdr_bytes = self._read_prefix(1 << 16)

@@ -115,6 +115,7 @@ class BgzfReader:
     _CACHE_BLOCKS = 512  # x ~64KB uncompressed = ~32 MB cap
 
     def __init__(self, path: str):
+        self.path = path
         with open(path, "rb") as f:
             self._data = f.read()
         self._cache: dict[int, tuple[bytes, int]] = {}
@@ -124,9 +125,14 @@ class BgzfReader:
         hit = self._cache.get(coffset)
         if hit is not None:
             return hit
-        payload_off, bsize = _parse_block_header(self._data, coffset)
-        comp = self._data[payload_off : coffset + bsize - 8]
-        payload = zlib.decompress(comp, wbits=-15) if comp else b""
+        try:
+            payload_off, bsize = _parse_block_header(self._data, coffset)
+            comp = self._data[payload_off : coffset + bsize - 8]
+            payload = zlib.decompress(comp, wbits=-15) if comp else b""
+        except (zlib.error, struct.error, IndexError) as e:
+            raise ValueError(
+                f"{self.path}: corrupt or truncated BGZF block at "
+                f"offset {coffset}: {e}") from e
         if len(self._cache) >= self._CACHE_BLOCKS:
             # drop the oldest inserted half (dicts preserve order)
             for k in list(self._cache)[:self._CACHE_BLOCKS // 2]:
@@ -156,7 +162,12 @@ class BgzfReader:
         return b"".join(out)
 
     def decompress_all(self) -> bytes:
-        return bgzf_decompress_all(self._data)
+        try:
+            return bgzf_decompress_all(self._data)
+        except (zlib.error, struct.error, IndexError, ValueError) as e:
+            raise ValueError(
+                f"{self.path}: corrupt or truncated BGZF stream: "
+                f"{e}") from e
 
     @property
     def size(self) -> int:
