@@ -38,3 +38,28 @@ def test_outputs_exist(demo_run):
     for name in ("alignmentStatsSummary.txt", "svLocusGraphStats.tsv",
                  "svCandidateGenerationStats.tsv"):
         assert os.path.exists(f"{demo_run}/results/stats/{name}")
+
+
+def test_parallel_matches_serial(tmp_path_factory, demo_fasta, normal_bam,
+                                 tumor_bam, demo_run):
+    """Fork-parallel phase execution must be bit-identical to serial."""
+    run_dir = str(tmp_path_factory.mktemp("par_run"))
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
+                 is_exome=True, n_jobs=2, verbose=False)
+    for name in ("candidateSV.vcf.gz", "somaticSV.vcf.gz",
+                 "diploidSV.vcf.gz"):
+        got = _records(f"{run_dir}/results/variants/{name}")
+        want = _records(f"{demo_run}/results/variants/{name}")
+        assert got == want, name
+
+
+def test_rna_mode_smoke(tmp_path_factory, demo_fasta, tumor_bam):
+    """RNA fusion mode end-to-end on the demo data (DNA reads, but the
+    full splice-aware path executes)."""
+    run_dir = str(tmp_path_factory.mktemp("rna_run"))
+    run_workflow([tumor_bam], [], demo_fasta, run_dir, is_rna=True,
+                 verbose=False)
+    recs = _records(f"{run_dir}/results/variants/rnaSV.vcf.gz")
+    assert len(recs) >= 4
+    assert any("RNA_CONTIG=" in r for r in recs)
+    assert any("RNA_FIRST" in r for r in recs)
