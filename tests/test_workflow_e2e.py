@@ -42,10 +42,19 @@ def test_outputs_exist(demo_run):
 
 def test_parallel_matches_serial(tmp_path_factory, demo_fasta, normal_bam,
                                  tumor_bam, demo_run):
-    """Fork-parallel phase execution must be bit-identical to serial."""
+    """Fork-parallel phase execution must be bit-identical to serial.
+
+    Runs in a subprocess so the fork-based workers never fork a
+    JAX-initialized (multithreaded) test process."""
+    import subprocess
+    import sys
     run_dir = str(tmp_path_factory.mktemp("par_run"))
-    run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
-                 is_exome=True, n_jobs=2, verbose=False)
+    subprocess.run(
+        [sys.executable, "-m", "manta_tpu.workflow.run",
+         "--normal-bam", normal_bam, "--tumor-bam", tumor_bam,
+         "--reference", demo_fasta, "--run-dir", run_dir,
+         "--exome", "-j", "2"],
+        check=True, capture_output=True)
     for name in ("candidateSV.vcf.gz", "somaticSV.vcf.gz",
                  "diploidSV.vcf.gz"):
         got = _records(f"{run_dir}/results/variants/{name}")
