@@ -13,17 +13,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..align.aligners import AlignmentScores, GlobalAligner
 from ..core import cigar as cg
-from ..core.readfilter import has_sa_tag, is_read_filtered_core
-from ..core.svmodel import (
-    BND_LEFT_OPEN, BND_RIGHT_OPEN, SVCandidate, get_sv_type, SV_INDEL,
-)
-from ..io.bam import (
-    C_D, C_EQ, C_I, C_M, C_N, C_S, C_X,
-    FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER_PAIR,
-    FLAG_READ1, FLAG_REVERSE, FLAG_UNMAPPED,
-)
+from ..core.svmodel import SVCandidate
 from ..candidates.assembler_reads import revcomp
 
 MAX_QSCORE = 70

@@ -11,10 +11,8 @@ shadow/chimera realignment for large insertions.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
-import numpy as np
 
 from ..align.aligners import AlignmentScores, GlobalAligner
 from ..core import cigar as cg
