@@ -131,32 +131,55 @@ def _align_shape_ok(batch: ReadBatch) -> np.ndarray:
     """Keep only conservative alignments {X}M({Z}N{X2}M)?({Y}S)? with the
     op order reversed for reverse-strand reads
     (reference: ReadAlignFilter, ReadGroupStatsUtil.cpp:525-558).
-    Returns True where the read is KEPT."""
+    Returns True where the read is KEPT.
+
+    Vectorized restatement of the scalar state machine: only M/=/X, one
+    N at most, at least one M, and (in scan direction) no M after the
+    first soft-clip. Ops past a failure point cannot rescue a read, so
+    order-independent counting plus the M-vs-S index constraint is
+    equivalent.
+    """
     n = batch.n
     out = np.zeros(n, dtype=bool)
+    if n == 0 or len(batch.cigar) == 0:
+        return out
+    ops = (batch.cigar & 0xF).astype(np.int32)
+    idx = np.arange(len(ops), dtype=np.int64)
+    c0 = batch.cigar_off[:-1]
+    nseg = batch.cigar_off[1:] - c0
+    nonempty = nseg > 0
+    # clip keeps reduceat indices in range and monotone; empty segments
+    # produce single-element garbage that `nonempty` masks out
+    starts = np.minimum(c0, len(ops) - 1)
+
+    is_m = (ops == C_M) | (ops == C_EQ) | (ops == C_X)
+    is_n = ops == C_N
+    is_s = ops == C_S
+    is_other = ~(is_m | is_n | is_s)
+
+    def seg_sum(vals):
+        return np.add.reduceat(vals.astype(np.int64), starts)
+
+    def seg_min(vals, fill):
+        v = np.where(vals[0], vals[1], fill)
+        return np.minimum.reduceat(v, starts)
+
+    big = np.int64(1 << 60)
+    m_count = seg_sum(is_m)
+    n_count = seg_sum(is_n)
+    other = seg_sum(is_other)
+    m_min = seg_min((is_m, idx), big)
+    m_max = -seg_min((is_m, -idx), big)
+    s_min = seg_min((is_s, idx), big)
+    s_max = -seg_min((is_s, -idx), big)
+
     rev = (batch.flag & FLAG_REVERSE) != 0
-    for i in range(n):
-        ops, _ = _cigar_ops_lens(batch, i)
-        seq = ops[::-1] if rev[i] else ops
-        matched = skip = clipped = False
-        ok = True
-        for op in seq:
-            if op in (C_M, C_EQ, C_X):
-                if clipped:
-                    ok = False
-                    break
-                matched = True
-            elif op == C_N:
-                if skip:
-                    ok = False
-                    break
-                skip = True
-            elif op == C_S:
-                clipped = True
-            else:
-                ok = False
-                break
-        out[i] = ok and matched
+    # forward: last M before first S; reverse: first M after last S
+    order_ok = np.where(rev, m_min > s_max, m_max < s_min)
+    no_s = seg_sum(is_s) == 0
+    order_ok |= no_s
+    out = nonempty & (other == 0) & (n_count <= 1) & (m_count > 0) & \
+        order_ok
     return out
 
 
