@@ -329,7 +329,8 @@ def parse_records(buf: bytes, start: int = 0, end: int | None = None,
         # htslib region-query semantics
         end_pos = np.maximum(batch.end_pos, batch.pos + 1)
         keep = (batch.refid == tid) & (batch.pos < iend) & (end_pos > beg)
-        batch = batch.subset(keep)
+        if not keep.all():
+            batch = batch.subset(keep)
     return batch
 
 
