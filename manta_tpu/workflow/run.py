@@ -431,6 +431,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         if is_diploid:
             lines = ploidy_filter_lines(lines)
         write_vcf_gz(lines, os.path.join(variants_dir, out_name))
+    log("workflow complete")
+    log_fp.close()
     return run_dir
 
 
