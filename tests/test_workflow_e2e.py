@@ -14,7 +14,7 @@ EXPECTED = ("/root/reference/src/demo/expectedResults/somaticSV.vcf.gz")
 def demo_run(tmp_path_factory, demo_fasta, normal_bam, tumor_bam):
     run_dir = str(tmp_path_factory.mktemp("demo_run"))
     run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
-                 is_exome=True, verbose=False)
+                 is_exome=True, generate_evidence_bam=True, verbose=False)
     return run_dir
 
 
@@ -53,13 +53,31 @@ def test_parallel_matches_serial(tmp_path_factory, demo_fasta, normal_bam,
         [sys.executable, "-m", "manta_tpu.workflow.run",
          "--normal-bam", normal_bam, "--tumor-bam", tumor_bam,
          "--reference", demo_fasta, "--run-dir", run_dir,
-         "--exome", "-j", "2"],
+         "--exome", "-j", "2", "--generate-evidence-bam"],
         check=True, capture_output=True)
     for name in ("candidateSV.vcf.gz", "somaticSV.vcf.gz",
                  "diploidSV.vcf.gz"):
         got = _records(f"{run_dir}/results/variants/{name}")
         want = _records(f"{demo_run}/results/variants/{name}")
         assert got == want, name
+    # evidence BAM record content must also be identical across modes
+    import glob
+    import os
+
+    import numpy as np
+
+    from manta_tpu.io.bam import BamReader
+    ser = sorted(glob.glob(f"{demo_run}/results/evidence/evidence_*.bam"))
+    par = sorted(glob.glob(f"{run_dir}/results/evidence/evidence_*.bam"))
+    assert [os.path.basename(p) for p in ser] == \
+        [os.path.basename(p) for p in par] and len(ser) == 2
+    for s, p in zip(ser, par):
+        a, b = BamReader(s).read_all(), BamReader(p).read_all()
+        assert a.n == b.n
+        for k in vars(a):
+            va = getattr(a, k)
+            if isinstance(va, np.ndarray):
+                assert np.array_equal(va, getattr(b, k)), (s, k)
 
 
 def test_rna_mode_smoke(tmp_path_factory, demo_fasta, tumor_bam):
