@@ -23,11 +23,20 @@ def get_lib():
     if _LIB is not None:
         return _LIB
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "manta_core.cpp"))
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmanta_core.so"))
+    # sanitizer build mode (reference: --build-type=ASan,
+    # docs/developerGuide/README.md:115-122): MANTA_TPU_ASAN=1 builds a
+    # separate instrumented library; run tests with it preloaded, e.g.
+    #   LD_PRELOAD=$(g++ -print-file-name=libasan.so) MANTA_TPU_ASAN=1
+    is_asan = os.environ.get("MANTA_TPU_ASAN") == "1"
+    name = "libmanta_core_asan.so" if is_asan else "libmanta_core.so"
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, name))
     if (not os.path.exists(so)) or \
             os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src], check=True)
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so, src]
+        if is_asan:
+            cmd[1:1] = ["-g", "-fsanitize=address",
+                        "-fno-omit-frame-pointer"]
+        subprocess.run(cmd, check=True)
     lib = ctypes.CDLL(so)
 
     lib.mt_bam_size.restype = ctypes.c_int
