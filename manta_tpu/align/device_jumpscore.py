@@ -183,6 +183,12 @@ def jump_scores(queries, ref1s, ref2s, scores, jump_score):
     q, ql = pad_to(queries, nq, 1)     # sentinel 1 never matches bases
     r1, r1l = pad_to(ref1s, nr1, 2)
     r2, r2l = pad_to(ref2s, nr2, 2)
+    # stage explicitly: compiling the kernel from host numpy arguments
+    # lets XLA pick a degenerate layout (~1000x slower dispatches, and
+    # the bad executable then shadows the fast one in the jit cache)
+    import jax
+    q, ql, r1, r1l, r2, r2l = (
+        jax.device_put(a) for a in (q, ql, r1, r1l, r2, r2l))
     out = batched_jump_score(
         q, ql, r1, r1l, r2, r2l,
         scores.match, scores.mismatch, scores.open, scores.extend,

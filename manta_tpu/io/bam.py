@@ -421,6 +421,9 @@ class BamReader:
         return parse_records(buf, self._records_ustart)
 
     _FETCH_CACHE_SIZE = 24
+    _FETCH_COVER_SIZE = 8
+    _FETCH_COVER_PAD = 4096
+    _FETCH_COVER_MAX_SPAN = 65536
 
     def fetch(self, ref: str | int, beg: int, end: int) -> ReadBatch:
         """All reads overlapping [beg, end) (0-based half-open).
@@ -433,11 +436,47 @@ class BamReader:
         cache = getattr(self, "_fetch_cache", None)
         if cache is None:
             cache = self._fetch_cache = {}
+            self._cover_cache = {}
         key = (tid, beg, end)
         hit = cache.get(key)
         if hit is not None:
             return hit
-        out = self._fetch_uncached(tid, beg, end)
+        # covering-window cache: phase-2 edge processing issues many
+        # slightly-different fetches around each breakend (assembly,
+        # pair support, split support), so exact keys rarely repeat.
+        # Parse one padded superwindow and derive exact requests from
+        # it with the same overlap predicate parse_records applies
+        # (pos < end and max(end_pos, pos+1) > beg), which yields a
+        # bit-identical batch in file order.
+        if end - beg > self._FETCH_COVER_MAX_SPAN:
+            # large scans (phase-1 segments, depth estimation) are
+            # one-shot; padding them would only add parse cost
+            out = self._fetch_uncached(tid, beg, end)
+            if len(cache) >= self._FETCH_CACHE_SIZE:
+                for k in list(cache)[:self._FETCH_CACHE_SIZE // 2]:
+                    del cache[k]
+            cache[key] = out
+            return out
+        # all records have pos >= 0, so a negative beg is equivalent to
+        # 0 for both the overlap predicate and window coverage
+        cov_beg = max(0, beg)
+        sup = None
+        for (ctid, cbeg, cend), cb in self._cover_cache.items():
+            if ctid == tid and cbeg <= cov_beg and cend >= end:
+                sup = cb
+                break
+        if sup is None:
+            cbeg = max(0, cov_beg - self._FETCH_COVER_PAD)
+            cend = end + self._FETCH_COVER_PAD
+            sup = self._fetch_uncached(tid, cbeg, cend)
+            if len(self._cover_cache) >= self._FETCH_COVER_SIZE:
+                for k in list(self._cover_cache)[
+                        :self._FETCH_COVER_SIZE // 2]:
+                    del self._cover_cache[k]
+            self._cover_cache[(tid, cbeg, cend)] = sup
+        end_pos = np.maximum(sup.end_pos, sup.pos + 1)
+        keep = (sup.pos < end) & (end_pos > beg)
+        out = sup if keep.all() else sup.subset(keep)
         if len(cache) >= self._FETCH_CACHE_SIZE:
             for k in list(cache)[:self._FETCH_CACHE_SIZE // 2]:
                 del cache[k]
