@@ -93,16 +93,23 @@ def main():
         jax.block_until_ready(out)
         return out
 
-    dev = np.asarray(run())  # warmup + compile at staged-arg shapes
-    assert all(int(dev[i]) == host_res[i].score for i in range(n_host)), \
-        "device/host score mismatch"
+    out = run()  # warmup + compile at staged-arg shapes
     best = None
     for _ in range(5):
         t0 = time.perf_counter()
-        run()
+        out = run()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     dev_dt = best / B
+
+    # parity check LAST and opt-in: one device->host transfer through
+    # the tunnel can take minutes and permanently degrades subsequent
+    # dispatches in this process to ~270 ms. Device/host score parity
+    # is also asserted by tests/test_device_jumpscore.py.
+    if os.environ.get("MANTA_TPU_BENCH_CHECK") == "1":
+        dev = np.asarray(out)
+        assert all(int(dev[i]) == host_res[i].score
+                   for i in range(n_host)), "device/host score mismatch"
 
     cells = Lq * 2 * Lr
     for name, dt in (("host", host_dt), ("device", dev_dt)):

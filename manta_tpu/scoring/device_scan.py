@@ -81,6 +81,12 @@ class DeviceScanContext:
                 rl[row] = s1 - s0
                 tl[row] = len(tg)
         lut_m, lut_x = self._luts_for(qconv)
+        # stage explicitly: jit-compiling from host numpy args can
+        # produce a drastically slower executable (see
+        # align/device_jumpscore.jump_scores)
+        reads, quals, tgts, bp_beg, bp_end, rl, tl = (
+            jax.device_put(a)
+            for a in (reads, quals, tgts, bp_beg, bp_end, rl, tl))
         best, pos = batched_split_score(
             reads, quals, tgts, bp_beg, bp_end, rl, tl,
             flank_score_size, lut_m, lut_x, n_scan=Tp)
