@@ -378,16 +378,16 @@ def finalize_split_alignment(a: SRAlignmentInfo, best: float, best_pos: int,
     a.align_ln_lhood = best
     a.align_pos = best_pos
 
-    # calculateAlignScore
+    # calculateAlignScore: the three regions are contiguous position
+    # ranges (<= left_end, left_end+1..hom_end, > hom_end), so slice
+    # sums replace the positional masks
     w = target[best_pos:best_pos + nq]
     mism = (query != w) | (query == ord("N"))
     left_end = a.left_size
     hom_end = a.left_size + a.hom_size
-    pos_arr = np.arange(nq)
-    a.left_mismatches = int((mism & (pos_arr <= left_end)).sum())
-    a.hom_mismatches = int((mism & (pos_arr > left_end)
-                            & (pos_arr <= hom_end)).sum())
-    a.right_mismatches = int((mism & (pos_arr > hom_end)).sum())
+    a.left_mismatches = int(mism[:left_end + 1].sum())
+    a.hom_mismatches = int(mism[left_end + 1:hom_end + 1].sum())
+    a.right_mismatches = int(mism[hom_end + 1:].sum())
     a.align_score = nq - (a.left_mismatches + a.hom_mismatches
                           + a.right_mismatches)
     _set_evidence(a)
