@@ -74,6 +74,9 @@ def get_lib():
     lib.mt_mate_ref_len.restype = ctypes.c_int
     lib.mt_mate_ref_len.argtypes = [
         ctypes.c_int64, i64p, ctypes.c_char_p, i64p, i32p]
+    lib.mt_rans_uncompress.restype = ctypes.c_int
+    lib.mt_rans_uncompress.argtypes = [
+        u8p, ctypes.c_int64, u8p, ctypes.c_int64]
     lib.mt_semi_aligned_batch_idx.restype = ctypes.c_int
     lib.mt_semi_aligned_batch_idx.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,

@@ -26,7 +26,8 @@ from ..core.svmodel import (
     get_sv_type, SV_INDEL, is_complex_sv, is_cis, is_spanning_sv,
     is_sv_below_min_size,
 )
-from ..io.bam import FLAG_READ2, BamReader, ReadBatch
+from ..io.bam import FLAG_READ2, BamReader, ReadBatch, \
+    open_alignment_reader
 from ..scan.scanner import SVScanner
 
 
@@ -236,7 +237,7 @@ class SVFinder:
                  skip_evidence_signal_filter: bool = False,
                  is_rna: bool = False):
         self.scanner = scanner
-        self.readers = [BamReader(p) for p in bam_paths]
+        self.readers = [open_alignment_reader(p, fasta) for p in bam_paths]
         self.is_tumor = list(is_tumor)
         self.is_somatic = any(is_tumor)
         self.fasta = fasta

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..io.bam import BamReader
+from ..io.bam import open_alignment_reader
 from ..core.readfilter import (
     FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
     is_read_unmapped_or_filtered_core,
@@ -256,12 +256,13 @@ def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
     return state.median()
 
 
-def estimate_chrom_depths(bam_paths: list[str]) -> dict[str, float]:
+def estimate_chrom_depths(bam_paths: list[str],
+                          reference: str | None = None) -> dict[str, float]:
     """Sum per-chromosome depths across BAMs
     (reference: libexec/mergeChromDepth.py)."""
     totals: dict[str, float] = {}
     for path in bam_paths:
-        reader = BamReader(path)
+        reader = open_alignment_reader(path, reference)
         for tid, (name, size) in enumerate(zip(reader.header.ref_names,
                                                reader.header.ref_lengths)):
             d = read_chrom_depth(reader, tid, size)

@@ -20,6 +20,7 @@ import numpy as np
 from ..io.bam import (
     C_H, C_N, C_P, C_S, C_D, C_I, C_M, C_EQ, C_X,
     FLAG_PAIRED, FLAG_READ1, FLAG_REVERSE, BamReader, ReadBatch,
+    open_alignment_reader,
 )
 from .readfilter import (
     ORIENT_RP, has_sa_tag, is_mapped_chrom_pair, is_non_strict_supplement,
@@ -292,7 +293,8 @@ class _Tracker:
         self.stats.frag_stats.filter_observations_over_quantile(0.9995)
 
 
-def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000) -> ReadGroupStats:
+def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
+                             reference: str | None = None) -> ReadGroupStats:
     """Estimate fragment stats for one BAM by convergent sampling.
 
     Mirrors extractReadGroupStatsFromAlignmentFile
@@ -301,7 +303,7 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000) -> Read
     buffers cause a chromSize/100 skip; stop when the distribution
     converges (deciles stable over 100k observations) or 5M observations.
     """
-    reader = BamReader(bam_path)
+    reader = open_alignment_reader(bam_path, reference)
     chrom_count = len(reader.header.ref_names)
     chrom_size = list(reader.header.ref_lengths)
     highest = [-1] * chrom_count

@@ -20,7 +20,7 @@ from ..core.readfilter import (
     is_read_unmapped_or_filtered_core,
 )
 from ..core.svmodel import EV_SIZE
-from ..io.bam import BamReader, ReadBatch
+from ..io.bam import BamReader, ReadBatch, open_alignment_reader
 from ..scan.scanner import (
     WEIGHT_CLOSE_READ_PAIR, ScannerOptions, SVScanner,
 )
@@ -190,7 +190,7 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
     reduce (reference: EstimateSVLociRunner.cpp:53-110,
     MergeSVLoci.cpp, mantaWorkflow.py:252-299). This keeps serial and
     process-parallel execution bit-identical."""
-    readers = [BamReader(p) for p in bam_paths]
+    readers = [open_alignment_reader(p, fasta) for p in bam_paths]
     names = readers[0].header.ref_names
     lengths = readers[0].header.ref_lengths
     master = SVLocusSet(graph_opt, names, lengths, len(bam_paths))

@@ -373,8 +373,8 @@ class BamReader:
             magic4 = f.read(4)
         if magic4 == b"CRAM":
             raise ValueError(
-                f"{path}: CRAM input is not supported yet; convert to "
-                "BAM (e.g. `samtools view -b -T ref.fa in.cram > out.bam`)")
+                f"{path}: CRAM input must be opened with "
+                "open_alignment_reader(path, reference=ref_fasta)")
         self._bgzf = BgzfReader(path)
         # parse header from the start of the uncompressed stream
         hdr_bytes = self._read_prefix(1 << 16)
@@ -498,3 +498,23 @@ class BamReader:
         # chunk ranges from the index are merged/disjoint, so records
         # cannot repeat across parts
         return ReadBatch.concat(parts)
+
+
+def open_alignment_reader(path: str, reference=None):
+    """Open a BAM or CRAM alignment file with a uniform reader interface
+    (header / read_all / fetch), dispatching on the file magic.
+
+    Reference analogue: bam_streamer's format-transparent open
+    (reference: htsapi/bam_streamer.cpp — htslib dispatches BAM vs CRAM
+    internally; CRAM additionally needs the reference FASTA).
+
+    reference: path to the reference FASTA (or a FastaReader); required
+    to decode CRAM sequences unless the file embeds its reference.
+    """
+    with open(path, "rb") as f:
+        magic4 = f.read(4)
+    if magic4 == b"CRAM":
+        from .cram import CramReader
+        ref = getattr(reference, "path", reference)
+        return CramReader(path, reference=ref)
+    return BamReader(path)

@@ -1,0 +1,1012 @@
+"""CRAM 3.0 alignment-file reader producing the same packed ReadBatch
+struct-of-arrays as the BAM reader.
+
+Implemented from the CRAM 3.0 format specification. Capability parity
+with the reference's htsapi layer, which streams CRAM through htslib
+(reference: src/c++/lib/htsapi/bam_streamer.hpp:53 — the reference
+accepts BAM or CRAM transparently; its CRAM support lives in
+redist/htslib-1.9). This is a from-scratch decoder: containers, blocks
+(raw/gzip/bzip2/lzma/rANS-4x8 — the rANS entropy codec is decoded by the
+native core, native/manta_core.cpp mt_rans_uncompress), compression
+headers, slice headers, the core bitstream codecs (HUFFMAN/BETA/GAMMA/
+SUBEXP) and external codecs (EXTERNAL/BYTE_ARRAY_LEN/BYTE_ARRAY_STOP),
+CRAM record decoding with reference-based sequence reconstruction,
+in-slice mate resolution, and .crai index region queries.
+"""
+
+from __future__ import annotations
+
+import bz2
+import ctypes
+import gzip
+import lzma
+import struct
+import zlib
+
+import numpy as np
+
+from .bam import BamHeader, ReadBatch, _empty_batch
+from .fasta import FastaReader
+
+# block compression methods
+_M_RAW, _M_GZIP, _M_BZIP2, _M_LZMA, _M_RANS = range(5)
+# block content types
+_CT_FILE_HEADER = 0
+_CT_COMPRESSION_HEADER = 1
+_CT_MAPPED_SLICE = 2
+_CT_EXTERNAL = 4
+_CT_CORE = 5
+
+_BAM_UNMAPPED = 0x4
+_BAM_MUNMAP = 0x8
+_BAM_MREVERSE = 0x20
+_BAM_REVERSE = 0x10
+
+# CRAM record compression flags (CF series)
+_CF_QS_STORED = 0x1
+_CF_DETACHED = 0x2
+_CF_MATE_DOWNSTREAM = 0x4
+_CF_NO_SEQ = 0x8
+
+# base orders for the substitution matrix rows (ref base -> alternates)
+_SUB_ALTS = {
+    ord("A"): b"CGTN", ord("C"): b"AGTN", ord("G"): b"ACTN",
+    ord("T"): b"ACGN", ord("N"): b"ACGT",
+}
+
+
+class _Cur:
+    """Byte cursor with ITF8/LTF8 varint readers (CRAM spec section 2)."""
+
+    __slots__ = ("b", "o")
+
+    def __init__(self, buf: bytes, off: int = 0):
+        self.b = buf
+        self.o = off
+
+    def u8(self) -> int:
+        v = self.b[self.o]
+        self.o += 1
+        return v
+
+    def take(self, n: int) -> bytes:
+        v = self.b[self.o:self.o + n]
+        self.o += n
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from("<i", self.b, self.o)
+        self.o += 4
+        return v
+
+    def itf8(self) -> int:
+        b = self.b
+        o = self.o
+        u0 = b[o]
+        if u0 < 0x80:
+            self.o = o + 1
+            v = u0
+        elif u0 < 0xC0:
+            self.o = o + 2
+            v = ((u0 << 8) | b[o + 1]) & 0x3FFF
+        elif u0 < 0xE0:
+            self.o = o + 3
+            v = ((u0 << 16) | (b[o + 1] << 8) | b[o + 2]) & 0x1FFFFF
+        elif u0 < 0xF0:
+            self.o = o + 4
+            v = ((u0 << 24) | (b[o + 1] << 16) | (b[o + 2] << 8)
+                 | b[o + 3]) & 0x0FFFFFFF
+        else:
+            self.o = o + 5
+            v = (((u0 & 0x0F) << 28) | (b[o + 1] << 20) | (b[o + 2] << 12)
+                 | (b[o + 3] << 4) | (b[o + 4] & 0x0F))
+        if v >= 1 << 31:
+            v -= 1 << 32
+        return v
+
+    def ltf8(self) -> int:
+        b = self.b
+        o = self.o
+        u0 = b[o]
+        lead = 0
+        while lead < 8 and (u0 << lead) & 0x80:
+            lead += 1
+        v = u0 & ((1 << (7 - lead)) - 1) if lead < 8 else 0
+        for k in range(lead):
+            v = (v << 8) | b[o + 1 + k]
+        self.o = o + 1 + lead
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return v
+
+    def itf8_array(self) -> list[int]:
+        n = self.itf8()
+        return [self.itf8() for _ in range(n)]
+
+
+class _BitReader:
+    """MSB-first bit reader over the slice CORE block."""
+
+    __slots__ = ("b", "byte", "bit")
+
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.byte = 0
+        self.bit = 7
+
+    def bit1(self) -> int:
+        v = (self.b[self.byte] >> self.bit) & 1
+        if self.bit == 0:
+            self.bit = 7
+            self.byte += 1
+        else:
+            self.bit -= 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit1()
+        return v
+
+
+def _uncompress_block(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == _M_RAW:
+        return data
+    if method == _M_GZIP:
+        return gzip.decompress(data)
+    if method == _M_BZIP2:
+        return bz2.decompress(data)
+    if method == _M_LZMA:
+        return lzma.decompress(data)
+    if method == _M_RANS:
+        from .._native import get_lib, u8p
+        lib = get_lib()
+        inp = np.frombuffer(data, np.uint8)
+        out = np.zeros(raw_size, np.uint8)
+        rc = lib.mt_rans_uncompress(
+            inp.ctypes.data_as(u8p), len(data),
+            out.ctypes.data_as(u8p), raw_size)
+        if rc != 0:
+            raise ValueError(f"rANS block decode failed (rc={rc})")
+        return out.tobytes()
+    raise ValueError(f"unsupported CRAM block compression method {method}")
+
+
+class _Block:
+    __slots__ = ("method", "ctype", "content_id", "csize", "rsize", "_raw",
+                 "_data")
+
+    def __init__(self, c: _Cur):
+        self.method = c.u8()
+        self.ctype = c.u8()
+        self.content_id = c.itf8()
+        self.csize = c.itf8()
+        self.rsize = c.itf8()
+        self._raw = c.take(self.csize)
+        c.take(4)  # CRC32 (not verified; htslib verifies optionally)
+        self._data: bytes | None = None
+
+    @property
+    def data(self) -> bytes:
+        if self._data is None:
+            self._data = _uncompress_block(self.method, self._raw,
+                                           self.rsize)
+        return self._data
+
+
+class _Container:
+    __slots__ = ("length", "ref_id", "start", "span", "n_records",
+                 "record_counter", "n_blocks", "landmarks", "file_offset",
+                 "body_offset")
+
+    def __init__(self, c: _Cur, file_offset: int):
+        self.file_offset = file_offset
+        self.length = c.i32()
+        self.ref_id = c.itf8()
+        self.start = c.itf8()
+        self.span = c.itf8()
+        self.n_records = c.itf8()
+        self.record_counter = c.ltf8()
+        c.ltf8()  # bases
+        self.n_blocks = c.itf8()
+        self.landmarks = c.itf8_array()
+        c.take(4)  # CRC32
+        self.body_offset = c.o
+
+    @property
+    def is_eof(self) -> bool:
+        # the spec EOF container: ref -1, start 4542278 ("EOF"), 0 records
+        return self.ref_id == -1 and self.start == 4542278 and \
+            self.n_records == 0
+
+
+# ---------------------------------------------------------------------------
+# Codecs (CRAM spec section 12). Each codec decodes either an int or a
+# byte array, from the shared core bitstream and/or an external block.
+
+
+class _Ext:
+    """Positioned cursors over a slice's external blocks, by content id."""
+
+    def __init__(self, blocks: dict[int, bytes]):
+        self._bufs = blocks
+        self._pos = {cid: 0 for cid in blocks}
+
+    def byte(self, cid: int) -> int:
+        p = self._pos[cid]
+        self._pos[cid] = p + 1
+        return self._bufs[cid][p]
+
+    def take(self, cid: int, n: int) -> bytes:
+        p = self._pos[cid]
+        self._pos[cid] = p + n
+        return self._bufs[cid][p:p + n]
+
+    def until_stop(self, cid: int, stop: int) -> bytes:
+        buf = self._bufs[cid]
+        p = self._pos[cid]
+        e = buf.index(stop, p)
+        self._pos[cid] = e + 1
+        return buf[p:e]
+
+    def itf8(self, cid: int) -> int:
+        buf = self._bufs[cid]
+        o = self._pos[cid]
+        u0 = buf[o]
+        if u0 < 0x80:
+            self._pos[cid] = o + 1
+            v = u0
+        elif u0 < 0xC0:
+            self._pos[cid] = o + 2
+            v = ((u0 << 8) | buf[o + 1]) & 0x3FFF
+        elif u0 < 0xE0:
+            self._pos[cid] = o + 3
+            v = ((u0 << 16) | (buf[o + 1] << 8) | buf[o + 2]) & 0x1FFFFF
+        elif u0 < 0xF0:
+            self._pos[cid] = o + 4
+            v = ((u0 << 24) | (buf[o + 1] << 16) | (buf[o + 2] << 8)
+                 | buf[o + 3]) & 0x0FFFFFFF
+        else:
+            self._pos[cid] = o + 5
+            v = (((u0 & 0x0F) << 28) | (buf[o + 1] << 20)
+                 | (buf[o + 2] << 12) | (buf[o + 3] << 4)
+                 | (buf[o + 4] & 0x0F))
+        if v >= 1 << 31:
+            v -= 1 << 32
+        return v
+
+
+def _parse_encoding(c: _Cur) -> tuple[int, bytes]:
+    codec = c.itf8()
+    nbytes = c.itf8()
+    return codec, c.take(nbytes)
+
+
+class _Codec:
+    """One parsed encoding; decode methods take (core, ext)."""
+
+    E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN = 0, 1, 2, 3
+    E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA = 4, 5, 6
+    E_SUBEXP, E_GOLOMB_RICE, E_GAMMA = 7, 8, 9
+
+    def __init__(self, codec: int, params: bytes, is_byte: bool = False):
+        self.codec = codec
+        self.is_byte = is_byte
+        p = _Cur(params)
+        if codec == self.E_NULL:
+            pass
+        elif codec == self.E_EXTERNAL:
+            self.cid = p.itf8()
+        elif codec == self.E_HUFFMAN:
+            syms = p.itf8_array()
+            lens = p.itf8_array()
+            self._build_huffman(syms, lens)
+        elif codec == self.E_BYTE_ARRAY_LEN:
+            lc, lp = _parse_encoding(p)
+            vc, vp = _parse_encoding(p)
+            self.len_codec = _Codec(lc, lp)
+            self.val_codec = _Codec(vc, vp, is_byte=True)
+        elif codec == self.E_BYTE_ARRAY_STOP:
+            self.stop = p.u8()
+            self.cid = p.itf8()
+        elif codec == self.E_BETA:
+            self.offset = p.itf8()
+            self.nbits = p.itf8()
+        elif codec == self.E_SUBEXP:
+            self.offset = p.itf8()
+            self.k = p.itf8()
+        elif codec == self.E_GAMMA:
+            self.offset = p.itf8()
+        else:
+            raise ValueError(f"unsupported CRAM encoding id {codec}")
+
+    def _build_huffman(self, syms: list[int], lens: list[int]) -> None:
+        if len(syms) == 1 and lens[0] == 0:
+            self.const = syms[0]
+            self.table = None
+            return
+        self.const = None
+        # canonical codes: sort by (length, symbol); codes increment,
+        # shifting left when the length grows
+        order = sorted(range(len(syms)), key=lambda i: (lens[i], syms[i]))
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        prev_len = lens[order[0]]
+        for i in order:
+            code <<= lens[i] - prev_len
+            prev_len = lens[i]
+            table[(lens[i], code)] = syms[i]
+            code += 1
+        self.table = table
+        self.max_len = max(lens)
+
+    # --- int decode ---
+    def read_int(self, core: _BitReader, ext: _Ext) -> int:
+        codec = self.codec
+        if codec == self.E_HUFFMAN:
+            if self.const is not None:
+                return self.const
+            code = 0
+            ln = 0
+            table = self.table
+            while ln <= self.max_len:
+                code = (code << 1) | core.bit1()
+                ln += 1
+                v = table.get((ln, code))
+                if v is not None:
+                    return v
+            raise ValueError("bad huffman code in CRAM core stream")
+        if codec == self.E_EXTERNAL:
+            return ext.itf8(self.cid)
+        if codec == self.E_BETA:
+            return core.bits(self.nbits) - self.offset
+        if codec == self.E_GAMMA:
+            n = 0
+            while core.bit1() == 0:
+                n += 1
+            v = 1
+            for _ in range(n):
+                v = (v << 1) | core.bit1()
+            return v - self.offset
+        if codec == self.E_SUBEXP:
+            n = 0
+            while core.bit1() == 1:
+                n += 1
+            if n == 0:
+                u = core.bits(self.k)
+            else:
+                u = core.bits(self.k + n - 1) + (1 << (self.k + n - 1))
+            return u - self.offset
+        raise ValueError(f"encoding {codec} cannot decode ints")
+
+    # --- single byte decode ---
+    def read_byte(self, core: _BitReader, ext: _Ext) -> int:
+        if self.codec == self.E_EXTERNAL:
+            return ext.byte(self.cid)
+        return self.read_int(core, ext)
+
+    # --- byte array decode ---
+    def read_bytes(self, core: _BitReader, ext: _Ext,
+                   length: int | None = None) -> bytes:
+        codec = self.codec
+        if codec == self.E_BYTE_ARRAY_STOP:
+            return ext.until_stop(self.cid, self.stop)
+        if codec == self.E_BYTE_ARRAY_LEN:
+            n = self.len_codec.read_int(core, ext)
+            return self.val_codec.read_bytes(core, ext, n)
+        if codec == self.E_EXTERNAL:
+            assert length is not None
+            return ext.take(self.cid, length)
+        # core codecs byte-by-byte
+        assert length is not None
+        return bytes(self.read_byte(core, ext) for _ in range(length))
+
+
+class _CompressionHeader:
+    """Parsed container compression header (preservation map, data-series
+    encodings, tag encodings)."""
+
+    def __init__(self, data: bytes):
+        c = _Cur(data)
+        # preservation map
+        c.itf8()  # size in bytes
+        n = c.itf8()
+        self.read_names = True
+        self.ap_delta = True
+        self.ref_required = True
+        self.sub_matrix = b"\x1b" * 5
+        self.tag_dict: list[list[tuple[bytes, int]]] = [[]]
+        for _ in range(n):
+            key = c.take(2)
+            if key == b"RN":
+                self.read_names = bool(c.u8())
+            elif key == b"AP":
+                self.ap_delta = bool(c.u8())
+            elif key == b"RR":
+                self.ref_required = bool(c.u8())
+            elif key == b"SM":
+                self.sub_matrix = c.take(5)
+            elif key == b"TD":
+                ln = c.itf8()
+                blob = c.take(ln)
+                self.tag_dict = []
+                for line in blob.split(b"\x00")[:-1] if blob.endswith(
+                        b"\x00") else blob.split(b"\x00"):
+                    entries = []
+                    for i in range(0, len(line), 3):
+                        entries.append((line[i:i + 2], line[i + 2]))
+                    self.tag_dict.append(entries)
+                if not self.tag_dict:
+                    self.tag_dict = [[]]
+            else:
+                raise ValueError(f"unknown preservation key {key!r}")
+        # data series encodings
+        c.itf8()
+        n = c.itf8()
+        self.series: dict[bytes, _Codec] = {}
+        byte_series = {b"BA", b"QS", b"FC"}
+        for _ in range(n):
+            key = c.take(2)
+            codec, params = _parse_encoding(c)
+            self.series[key] = _Codec(codec, params,
+                                      is_byte=key in byte_series)
+        # tag encodings
+        c.itf8()
+        n = c.itf8()
+        self.tag_codecs: dict[int, _Codec] = {}
+        for _ in range(n):
+            key = c.itf8()
+            codec, params = _parse_encoding(c)
+            self.tag_codecs[key] = _Codec(codec, params, is_byte=True)
+
+    def codec(self, key: bytes) -> _Codec:
+        cd = self.series.get(key)
+        if cd is None:
+            raise ValueError(f"CRAM data series {key!r} required but has "
+                             "no encoding")
+        return cd
+
+
+class _SliceHeader:
+    __slots__ = ("ref_id", "start", "span", "n_records", "record_counter",
+                 "n_blocks", "content_ids", "embedded_ref_id", "ref_md5",
+                 "tags")
+
+    def __init__(self, data: bytes):
+        c = _Cur(data)
+        self.ref_id = c.itf8()
+        self.start = c.itf8()
+        self.span = c.itf8()
+        self.n_records = c.itf8()
+        self.record_counter = c.ltf8()
+        self.n_blocks = c.itf8()
+        self.content_ids = c.itf8_array()
+        self.embedded_ref_id = c.itf8()
+        self.ref_md5 = c.take(16)
+        self.tags = data[c.o:]
+
+
+class _Rec:
+    """One decoded CRAM record prior to mate resolution/packing."""
+
+    __slots__ = ("bf", "cf", "ref_id", "rlen", "apos", "rg", "name",
+                 "mate_flags", "mate_ref", "mate_pos", "tlen", "nf",
+                 "tags", "cigar", "seq", "qual", "aend", "mapq")
+
+    def __init__(self):
+        self.mate_ref = -1
+        self.mate_pos = -1
+        self.tlen = 0
+        self.nf = -1
+
+
+class CraiIndex:
+    """CRAM .crai index: per-slice (seq, start, span, container offset,
+    slice landmark offset, slice size) entries."""
+
+    def __init__(self, path: str):
+        with gzip.open(path, "rt") as f:
+            entries = []
+            for line in f:
+                parts = line.split("\t")
+                if len(parts) < 6:
+                    continue
+                entries.append(tuple(int(x) for x in parts[:6]))
+        self.entries = entries
+
+    def query(self, tid: int, beg: int, end: int) -> list[tuple[int, int]]:
+        """Container file offsets (offset, slice_offset) whose slices may
+        overlap the 0-based half-open query interval."""
+        out = []
+        for (seq, start, span, coff, soff, ssize) in self.entries:
+            if seq != tid and seq != -2:
+                continue
+            s0 = start - 1  # crai start is 1-based
+            if seq == -2 or (s0 < end and s0 + max(span, 1) > beg):
+                out.append((coff, soff))
+        return out
+
+
+class CramReader:
+    """Indexed CRAM 3.0 reader with the BamReader interface.
+
+    Requires the reference FASTA used to create the CRAM (unless the
+    file embeds its reference or was written with RR=false).
+    """
+
+    def __init__(self, path: str, reference: str | None = None):
+        self.path = path
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        if self._buf[:4] != b"CRAM":
+            raise ValueError(f"{path}: not a CRAM file")
+        self.major, self.minor = self._buf[4], self._buf[5]
+        if self.major not in (2, 3):
+            raise ValueError(
+                f"{path}: unsupported CRAM major version {self.major}")
+        c = _Cur(self._buf, 26)  # magic(4) + version(2) + file id(20)
+        hdr_container = _Container(c, 26)
+        hdr_block = _Block(_Cur(self._buf, hdr_container.body_offset))
+        text_buf = hdr_block.data
+        (l_text,) = struct.unpack_from("<i", text_buf, 0)
+        text = text_buf[4:4 + l_text].split(b"\x00")[0].decode()
+        names: list[str] = []
+        lengths: list[int] = []
+        for line in text.splitlines():
+            if line.startswith("@SQ"):
+                nm, ln = None, 0
+                for fld in line.split("\t"):
+                    if fld.startswith("SN:"):
+                        nm = fld[3:]
+                    elif fld.startswith("LN:"):
+                        ln = int(fld[3:])
+                if nm is not None:
+                    names.append(nm)
+                    lengths.append(ln)
+        self.header = BamHeader(text, names, lengths)
+        self._data_start = hdr_container.body_offset + hdr_container.length
+        self._ref = FastaReader(reference) if reference else None
+        self._ref_cache: dict[int, bytes] = {}
+        try:
+            self.index = CraiIndex(path + ".crai")
+        except FileNotFoundError:
+            self.index = None
+
+    # --- container iteration ---
+
+    def _containers(self):
+        off = self._data_start
+        n = len(self._buf)
+        while off < n:
+            c = _Cur(self._buf, off)
+            cont = _Container(c, off)
+            if cont.is_eof:
+                return
+            yield cont
+            off = cont.body_offset + cont.length
+
+    def _container_at(self, off: int) -> _Container:
+        return _Container(_Cur(self._buf, off), off)
+
+    # --- reference access ---
+
+    def _ref_bases(self, tid: int, beg: int, end: int) -> bytes:
+        """Uppercased reference bases [beg, end) 0-based for tid."""
+        if self._ref is None:
+            raise ValueError(
+                f"{self.path}: decoding this CRAM requires the reference "
+                "FASTA; pass reference= to CramReader/open_alignment_reader")
+        name = self.header.ref_names[tid]
+        return self._ref.fetch(name, beg, end)
+
+    # --- decode ---
+
+    _CONTAINER_CACHE_SIZE = 32
+
+    def _decode_container_cached(self, cont: _Container) -> ReadBatch:
+        """Containers are the natural fetch-cache granularity: phase-2
+        edge processing re-fetches the same breakend neighborhoods for
+        assembly, pair scoring, and split scoring. Returned batches are
+        treated as immutable by all callers."""
+        cache = getattr(self, "_container_cache", None)
+        if cache is None:
+            cache = self._container_cache = {}
+        hit = cache.get(cont.file_offset)
+        if hit is not None:
+            return hit
+        out = self._decode_container(cont)
+        if len(cache) >= self._CONTAINER_CACHE_SIZE:
+            for k in list(cache)[:self._CONTAINER_CACHE_SIZE // 2]:
+                del cache[k]
+        cache[cont.file_offset] = out
+        return out
+
+    def read_all(self) -> ReadBatch:
+        parts = [self._decode_container_cached(cont)
+                 for cont in self._containers()]
+        parts = [p for p in parts if p.n]
+        if not parts:
+            return _empty_batch()
+        return ReadBatch.concat(parts)
+
+    def fetch(self, ref: str | int, beg: int, end: int) -> ReadBatch:
+        tid = ref if isinstance(ref, int) else self.header.name_to_tid[ref]
+        if self.index is None:
+            batch = self.read_all()
+        else:
+            offs = sorted({coff for coff, _ in
+                           self.index.query(tid, beg, end)})
+            parts = [self._decode_container_cached(self._container_at(o))
+                     for o in offs]
+            parts = [p for p in parts if p.n]
+            batch = ReadBatch.concat(parts) if parts else _empty_batch()
+        if batch.n == 0:
+            return batch
+        end_pos = np.maximum(batch.end_pos, batch.pos + 1)
+        keep = (batch.refid == tid) & (batch.pos < end) & (end_pos > beg)
+        return batch if keep.all() else batch.subset(keep)
+
+    def _decode_container(self, cont: _Container) -> ReadBatch:
+        if cont.n_records == 0:
+            return _empty_batch()
+        body = cont.body_offset
+        c = _Cur(self._buf, body)
+        comp_block = _Block(c)
+        if comp_block.ctype != _CT_COMPRESSION_HEADER:
+            raise ValueError("container missing compression header")
+        ch = _CompressionHeader(comp_block.data)
+        parts = []
+        for lm in cont.landmarks:
+            parts.append(self._decode_slice(ch, _Cur(self._buf, body + lm),
+                                            cont))
+        parts = [p for p in parts if p.n]
+        if not parts:
+            return _empty_batch()
+        return ReadBatch.concat(parts) if len(parts) > 1 else parts[0]
+
+    def _decode_slice(self, ch: _CompressionHeader, c: _Cur,
+                      cont: _Container) -> ReadBatch:
+        shdr_block = _Block(c)
+        if shdr_block.ctype != _CT_MAPPED_SLICE:
+            raise ValueError(
+                f"unexpected slice block content type {shdr_block.ctype}")
+        sh = _SliceHeader(shdr_block.data)
+        core_data = b""
+        ext_blocks: dict[int, bytes] = {}
+        embedded_ref: bytes | None = None
+        for _ in range(sh.n_blocks):
+            blk = _Block(c)
+            if blk.ctype == _CT_CORE:
+                core_data = blk.data
+            elif blk.ctype == _CT_EXTERNAL:
+                ext_blocks[blk.content_id] = blk.data
+        if sh.embedded_ref_id >= 0:
+            embedded_ref = ext_blocks.get(sh.embedded_ref_id)
+        core = _BitReader(core_data)
+        ext = _Ext(ext_blocks)
+        recs = self._decode_records(ch, sh, core, ext, embedded_ref)
+        _resolve_mates(recs)
+        return _pack_records(recs)
+
+    def _decode_records(self, ch: _CompressionHeader, sh: _SliceHeader,
+                        core: _BitReader, ext: _Ext,
+                        embedded_ref: bytes | None) -> list[_Rec]:
+        cd = ch.codec
+        c_bf = cd(b"BF")
+        c_cf = cd(b"CF")
+        c_rl = cd(b"RL")
+        c_ap = cd(b"AP")
+        c_rg = cd(b"RG")
+        multiref = sh.ref_id == -2
+        c_ri = cd(b"RI") if multiref else None
+        c_rn = ch.series.get(b"RN")
+        c_mf = ch.series.get(b"MF")
+        c_ns = ch.series.get(b"NS")
+        c_np = ch.series.get(b"NP")
+        c_ts = ch.series.get(b"TS")
+        c_nf = ch.series.get(b"NF")
+        c_tl = ch.series.get(b"TL")
+        c_fn = ch.series.get(b"FN")
+        c_fc = ch.series.get(b"FC")
+        c_fp = ch.series.get(b"FP")
+        c_mq = ch.series.get(b"MQ")
+        c_qs = ch.series.get(b"QS")
+        c_ba = ch.series.get(b"BA")
+        series = ch.series
+
+        # per-slice reference window for sequence reconstruction
+        ref_seq: bytes | None = None
+        ref_off = 0
+        if embedded_ref is not None and sh.ref_id >= 0:
+            ref_seq = embedded_ref
+            ref_off = sh.start - 1
+        elif (not multiref and sh.ref_id >= 0 and ch.ref_required
+              and self._ref is not None and sh.span >= 0):
+            ref_seq = self._ref_bases(sh.ref_id, sh.start - 1,
+                                      sh.start - 1 + sh.span)
+            ref_off = sh.start - 1
+
+        recs: list[_Rec] = []
+        last_apos = sh.start
+        counter = sh.record_counter
+        prefix = self.path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        read_group_names = self.header.read_groups()
+        for _ in range(sh.n_records):
+            r = _Rec()
+            r.bf = c_bf.read_int(core, ext)
+            r.cf = c_cf.read_int(core, ext)
+            r.ref_id = c_ri.read_int(core, ext) if multiref else sh.ref_id
+            r.rlen = c_rl.read_int(core, ext)
+            ap = c_ap.read_int(core, ext)
+            if ch.ap_delta:
+                r.apos = last_apos + ap
+                last_apos = r.apos
+            else:
+                r.apos = ap
+            r.rg = c_rg.read_int(core, ext)
+            if ch.read_names:
+                r.name = c_rn.read_bytes(core, ext)
+            if r.cf & _CF_DETACHED:
+                r.mate_flags = c_mf.read_int(core, ext)
+                if not ch.read_names:
+                    r.name = c_rn.read_bytes(core, ext)
+                r.mate_ref = c_ns.read_int(core, ext)
+                r.mate_pos = c_np.read_int(core, ext) - 1
+                r.tlen = c_ts.read_int(core, ext)
+                if r.mate_flags & 0x1:
+                    r.bf |= _BAM_MREVERSE
+                if r.mate_flags & 0x2:
+                    r.bf |= _BAM_MUNMAP
+            elif r.cf & _CF_MATE_DOWNSTREAM:
+                r.nf = c_nf.read_int(core, ext)
+            if not ch.read_names:
+                r.name = b"%s.%d" % (prefix.encode(), counter)
+            counter += 1
+            # tags
+            tl = c_tl.read_int(core, ext) if c_tl is not None else 0
+            tag_parts = []
+            for (tag2, typ) in ch.tag_dict[tl]:
+                key = (tag2[0] << 16) | (tag2[1] << 8) | typ
+                val = ch.tag_codecs[key].read_bytes(core, ext)
+                if typ in (ord("Z"), ord("H")) and \
+                        (not val or val[-1] != 0):
+                    val += b"\x00"
+                tag_parts.append(tag2 + bytes([typ]) + val)
+            if 0 <= r.rg < len(read_group_names):
+                tag_parts.append(
+                    b"RGZ" + read_group_names[r.rg].encode() + b"\x00")
+            r.tags = b"".join(tag_parts)
+
+            if not (r.bf & _BAM_UNMAPPED):
+                self._decode_mapped(r, ch, core, ext, series, ref_seq,
+                                    ref_off, c_fn, c_fc, c_fp, c_mq, c_qs)
+            else:
+                if r.cf & _CF_NO_SEQ:
+                    r.seq = b"N" * r.rlen
+                else:
+                    r.seq = bytes(c_ba.read_byte(core, ext)
+                                  for _ in range(r.rlen))
+                if r.cf & _CF_QS_STORED:
+                    r.qual = c_qs.read_bytes(core, ext, r.rlen)
+                else:
+                    r.qual = b"\xff" * r.rlen
+                r.cigar = []
+                r.aend = r.apos
+                r.mapq = 0  # MQ is not stored for unmapped records
+            recs.append(r)
+        return recs
+
+    def _decode_mapped(self, r: _Rec, ch: _CompressionHeader,
+                       core: _BitReader, ext: _Ext,
+                       series: dict[bytes, _Codec], ref_seq: bytes | None,
+                       ref_off: int, c_fn, c_fc, c_fp, c_mq, c_qs) -> None:
+        nfeat = c_fn.read_int(core, ext)
+        feats = []
+        fpos = 0
+        for _ in range(nfeat):
+            code = c_fc.read_byte(core, ext)
+            fpos += c_fp.read_int(core, ext)
+            ch_code = chr(code)
+            if ch_code == "B":
+                data = (series[b"BA"].read_byte(core, ext),
+                        series[b"QS"].read_byte(core, ext))
+            elif ch_code == "X":
+                data = series[b"BS"].read_byte(core, ext)
+            elif ch_code == "I":
+                data = series[b"IN"].read_bytes(core, ext)
+            elif ch_code == "D":
+                data = series[b"DL"].read_int(core, ext)
+            elif ch_code == "i":
+                data = series[b"BA"].read_byte(core, ext)
+            elif ch_code == "S":
+                data = series[b"SC"].read_bytes(core, ext)
+            elif ch_code == "H":
+                data = series[b"HC"].read_int(core, ext)
+            elif ch_code == "P":
+                data = series[b"PD"].read_int(core, ext)
+            elif ch_code == "N":
+                data = series[b"RS"].read_int(core, ext)
+            elif ch_code == "Q":
+                data = series[b"QS"].read_byte(core, ext)
+            elif ch_code == "b":
+                data = series[b"BB"].read_bytes(core, ext)
+            elif ch_code == "q":
+                data = series[b"QQ"].read_bytes(core, ext)
+            else:
+                raise ValueError(f"unknown CRAM feature code {ch_code!r}")
+            feats.append((fpos, ch_code, data))
+        r.mapq = c_mq.read_int(core, ext)
+        _reconstruct(r, feats, ch.sub_matrix, ref_seq, ref_off)
+        if r.cf & _CF_QS_STORED:
+            r.qual = bytearray(c_qs.read_bytes(core, ext, r.rlen))
+        else:
+            qual = bytearray(b"\xff" * r.rlen)
+            for (fpos, code, data) in feats:
+                if code == "B":
+                    qual[fpos - 1] = data[1]
+                elif code == "Q":
+                    qual[fpos - 1] = data
+            r.qual = bytes(qual)
+
+
+def _reconstruct(r: _Rec, feats, sub_matrix: bytes,
+                 ref_seq: bytes | None, ref_off: int) -> None:
+    """Rebuild SEQ and CIGAR for a mapped record from its features."""
+    seq = bytearray(b"N" * r.rlen)
+    cigar: list[tuple[int, str]] = []  # (length, op)
+    rpos = 1          # 1-based read coordinate of next unconsumed base
+    ref_pos = r.apos - 1  # 0-based reference coordinate
+
+    def add_op(n: int, op: str):
+        if n <= 0:
+            return
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + n, op)
+        else:
+            cigar.append((n, op))
+
+    def copy_ref(n: int):
+        nonlocal rpos, ref_pos
+        if n <= 0:
+            return
+        if ref_seq is not None:
+            lo = ref_pos - ref_off
+            chunk = ref_seq[lo:lo + n]
+            seq[rpos - 1:rpos - 1 + len(chunk)] = chunk
+        add_op(n, "M")
+        rpos += n
+        ref_pos += n
+
+    def sub_base(refb: int, code: int) -> int:
+        row = {65: 0, 67: 1, 71: 2, 84: 3, 78: 4}.get(refb, 4)
+        byte = sub_matrix[row]
+        alts = _SUB_ALTS.get(refb, b"ACGT")
+        for i, alt in enumerate(alts):
+            if (byte >> (6 - 2 * i)) & 0x3 == code:
+                return alt
+        return ord("N")
+
+    for (fpos, code, data) in feats:
+        copy_ref(fpos - rpos)  # match run up to the feature
+        if code == "B":
+            seq[fpos - 1] = data[0]
+            add_op(1, "M")
+            rpos += 1
+            ref_pos += 1
+        elif code == "X":
+            refb = ref_seq[ref_pos - ref_off] if ref_seq is not None \
+                else ord("N")
+            seq[fpos - 1] = sub_base(refb, data)
+            add_op(1, "M")
+            rpos += 1
+            ref_pos += 1
+        elif code == "I":
+            seq[fpos - 1:fpos - 1 + len(data)] = data
+            add_op(len(data), "I")
+            rpos += len(data)
+        elif code == "i":
+            seq[fpos - 1] = data
+            add_op(1, "I")
+            rpos += 1
+        elif code == "D":
+            add_op(data, "D")
+            ref_pos += data
+        elif code == "N":
+            add_op(data, "N")
+            ref_pos += data
+        elif code == "S":
+            seq[fpos - 1:fpos - 1 + len(data)] = data
+            add_op(len(data), "S")
+            rpos += len(data)
+        elif code == "H":
+            add_op(data, "H")
+        elif code == "P":
+            add_op(data, "P")
+        elif code == "b":
+            seq[fpos - 1:fpos - 1 + len(data)] = data
+            add_op(len(data), "M")
+            rpos += len(data)
+            ref_pos += len(data)
+        elif code in ("Q", "q"):
+            pass  # quality-only features; seq/cigar unaffected
+    copy_ref(r.rlen - rpos + 1)
+    if r.cf & _CF_NO_SEQ:
+        seq = bytearray(b"N" * r.rlen)
+    r.seq = bytes(seq)
+    ops = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6}
+    r.cigar = [(n << 4) | ops[op] for (n, op) in cigar]
+    r.aend = ref_pos  # 0-based exclusive end
+
+
+def _resolve_mates(recs: list[_Rec]) -> None:
+    """In-slice mate resolution for records with a downstream mate
+    (CRAM spec: NF links record i to record i+NF+1)."""
+    for i, r in enumerate(recs):
+        if r.nf < 0:
+            continue
+        j = i + r.nf + 1
+        if j >= len(recs):
+            continue
+        m = recs[j]
+        r.mate_ref = m.ref_id
+        r.mate_pos = m.apos - 1
+        m.mate_ref = r.ref_id
+        m.mate_pos = r.apos - 1
+        if m.bf & _BAM_UNMAPPED:
+            r.bf |= _BAM_MUNMAP
+        if m.bf & _BAM_REVERSE:
+            r.bf |= _BAM_MREVERSE
+        if r.bf & _BAM_UNMAPPED:
+            m.bf |= _BAM_MUNMAP
+        if r.bf & _BAM_REVERSE:
+            m.bf |= _BAM_MREVERSE
+        # template length: leftmost record positive, rightmost negative
+        if r.ref_id == m.ref_id and not (r.bf & _BAM_UNMAPPED) and \
+                not (m.bf & _BAM_UNMAPPED):
+            aleft = min(r.apos, m.apos)
+            aright = max(r.aend, m.aend)  # 0-based exclusive ends
+            tlen = aright - (aleft - 1)
+            if (r.apos, i) <= (m.apos, j):
+                r.tlen, m.tlen = tlen, -tlen
+            else:
+                r.tlen, m.tlen = -tlen, tlen
+
+
+def _pack_records(recs: list[_Rec]) -> ReadBatch:
+    n = len(recs)
+    if n == 0:
+        return _empty_batch()
+    refid = np.fromiter((r.ref_id for r in recs), np.int32, n)
+    pos = np.fromiter((r.apos - 1 for r in recs), np.int32, n)
+    mapq = np.fromiter((getattr(r, "mapq", 0) for r in recs), np.uint8, n)
+    flag = np.fromiter((r.bf & 0xFFFF for r in recs), np.uint16, n)
+    nref = np.fromiter((r.mate_ref for r in recs), np.int32, n)
+    npos = np.fromiter((r.mate_pos for r in recs), np.int32, n)
+    tlen = np.fromiter((r.tlen for r in recs), np.int32, n)
+
+    def ragged(items, dtype):
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(x) for x in items], out=off[1:])
+        if dtype is np.uint32:
+            flat = np.fromiter(
+                (v for x in items for v in x), np.uint32, int(off[-1]))
+        else:
+            flat = np.frombuffer(b"".join(bytes(x) for x in items),
+                                 np.uint8).copy()
+        return off, flat
+
+    cig_off, cig = ragged([r.cigar for r in recs], np.uint32)
+    seq_off, seq = ragged([r.seq for r in recs], np.uint8)
+    qual_off, qual = ragged([r.qual for r in recs], np.uint8)
+    name_off, name = ragged([r.name for r in recs], np.uint8)
+    tag_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(r.tags) for r in recs], out=tag_off[1:])
+    tags = b"".join(r.tags for r in recs)
+    return ReadBatch(
+        n=n, refid=refid, pos=pos, mapq=mapq, flag=flag,
+        next_refid=nref, next_pos=npos, tlen=tlen,
+        cigar_off=cig_off, cigar=cig, seq_off=seq_off, seq=seq,
+        qual_off=qual_off, qual=qual, name_off=name_off, name=name,
+        tag_off=tag_off, tags=tags,
+    )

@@ -13,7 +13,7 @@ close (reference runs samtools sort/merge/index instead).
 
 from __future__ import annotations
 
-from ..io.bam import BamReader
+from ..io.bam import BamReader, open_alignment_reader
 from ..io.bamwriter import BamWriter
 
 FLAG_READ1 = 0x40
@@ -100,8 +100,10 @@ def _zm_string(read: SupportRead) -> str:
 class SVEvidenceWriter:
     """(reference: SVEvidenceWriter + SynchronizedBamWriter)."""
 
-    def __init__(self, bam_paths: list[str], out_paths: list[str]):
-        self.readers = [BamReader(p) for p in bam_paths]
+    def __init__(self, bam_paths: list[str], out_paths: list[str],
+                 reference: str | None = None):
+        self.readers = [open_alignment_reader(p, reference)
+                        for p in bam_paths]
         self.writers = []
         for reader, out in zip(self.readers, out_paths):
             h = reader.header

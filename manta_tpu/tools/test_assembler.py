@@ -17,14 +17,15 @@ from ..assembly.assembler import AssemblerOptions, run_iterative_assembler
 from ..candidates.assembler_reads import revcomp
 from ..core.readfilter import is_read_filtered_core, is_non_strict_supplement
 from ..io.bam import (
-    BamReader, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
-    FLAG_UNMAPPED,
+    FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
+    FLAG_UNMAPPED, open_alignment_reader,
 )
 
 
-def extract_assembly_reads(bam_path: str, min_singleton_mapq: int = 15):
+def extract_assembly_reads(bam_path: str, min_singleton_mapq: int = 15,
+                           reference: str | None = None):
     """(reference: extractAssemblyReads.cpp)."""
-    reader = BamReader(bam_path)
+    reader = open_alignment_reader(bam_path, reference)
     batch = reader.read_all()
     core_bad = is_read_filtered_core(batch)
     nss = is_non_strict_supplement(batch)
@@ -60,13 +61,14 @@ def main(argv=None):
         description="Assemble reads from BAM input (debug tool)")
     ap.add_argument("--align-file", dest="bams", action="append",
                     required=True)
+    ap.add_argument("--ref", default=None)
     ap.add_argument("--output-file", required=True)
     args = ap.parse_args(argv)
     reads = []
     for path in args.bams:
         print(f"[INFO] Extracting reads from file: '{path}'",
               file=sys.stderr)
-        reads.extend(extract_assembly_reads(path))
+        reads.extend(extract_assembly_reads(path, reference=args.ref))
     print("[INFO] Assembling read input.", file=sys.stderr)
     contigs, _read_info = run_iterative_assembler(AssemblerOptions(), reads)
     print(f"[INFO] Assembly complete. Contig count: {len(contigs)}",

@@ -19,7 +19,8 @@ def cmd_get_stats(args):
     from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats
     out = ReadGroupStatsSet()
     for path in args.align_files:
-        out.set_stats(path, extract_read_group_stats(path))
+        out.set_stats(path, extract_read_group_stats(
+            path, reference=args.ref))
     out.save(args.output_file)
     return 0
 
@@ -49,7 +50,7 @@ def cmd_estimate_loci(args):
     from ..core.fragstats import ReadGroupStatsSet
     from ..graph.finder import estimate_sv_loci
     from ..graph.locusgraph import SVLocusSetOptions
-    from ..io.bam import BamReader
+    from ..io.bam import open_alignment_reader
     from ..io.fasta import FastaReader
     from ..scan.scanner import ScannerOptions, SVScanner
     from ..workflow.run import parse_region
@@ -58,7 +59,7 @@ def cmd_estimate_loci(args):
     stats_set = ReadGroupStatsSet.load(args.align_stats)
     bams = args.align_files
     stats_list = [stats_set.get_stats(p) for p in bams]
-    header = BamReader(bams[0]).header
+    header = open_alignment_reader(bams[0], args.ref).header
     scanner = SVScanner(
         ScannerOptions(), [s.frag_stats for s in stats_list],
         header.ref_lengths, header.ref_names)
@@ -113,6 +114,7 @@ def main(argv=None):
     p = sub.add_parser("get-stats")
     p.add_argument("--align-file", dest="align_files", action="append",
                    required=True)
+    p.add_argument("--ref", default=None)
     p.add_argument("--output-file", required=True)
     p.set_defaults(fn=cmd_get_stats)
 

@@ -17,7 +17,7 @@ import os
 import stat
 import sys
 
-from ..io.bam import BamReader
+from ..io.bam import open_alignment_reader
 from ..io.fasta import FastaReader
 
 
@@ -28,7 +28,7 @@ def check_chrom_set(fasta_path: str, bam_paths: list[str]):
     fa_chroms = [(name, fasta.chrom_length(name))
                  for name in fasta._index]
     for path in bam_paths:
-        header = BamReader(path).header
+        header = open_alignment_reader(path, fasta_path).header
         bam_chroms = list(zip(header.ref_names, header.ref_lengths))
         ncmp = min(len(fa_chroms), len(bam_chroms))
         if ncmp == 0:

@@ -16,7 +16,7 @@ import sys
 from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats
 from ..graph.finder import estimate_sv_loci
 from ..graph.locusgraph import SVLocusSetOptions
-from ..io.bam import BamReader
+from ..io.bam import BamReader, open_alignment_reader
 from ..io.fasta import FastaReader
 from ..scan.scanner import ScannerOptions, SVScanner
 from ..candidates.svfinder import SVFinder, iterate_edges
@@ -80,7 +80,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     is_tumor_only = bool(tumor_bams) and not normal_bams
 
     fasta = FastaReader(reference)
-    readers = [BamReader(p) for p in bams]
+    readers = [open_alignment_reader(p, reference) for p in bams]
     header = readers[0].header
 
     log_path = os.path.join(run_dir, "workspace", "workflow_log.txt")
@@ -106,7 +106,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         stats_set = ReadGroupStatsSet()
         stats_list = []
         for p in bams:
-            s = extract_read_group_stats(p)
+            s = extract_read_group_stats(p, reference=reference)
             stats_set.set_stats(p, s)
             stats_list.append(s)
         stats_set.save(stats_path)
@@ -140,7 +140,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         else:
             log("estimating chromosome depth")
             depth_bams = normal_bams if normal_bams else tumor_bams
-            chrom_depths = estimate_chrom_depths(depth_bams)
+            chrom_depths = estimate_chrom_depths(
+                depth_bams, reference=reference)
             write_chrom_depth(depth_path, chrom_depths)
 
     # regions: user regions and/or callable-region BED restriction, then
@@ -293,7 +294,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                 out_paths.append(os.path.join(
                     evidence_dir,
                     f"evidence_{bi}.{prefix}{bin_suffix}.bam"))
-            evidence_writer = SVEvidenceWriter(bams, out_paths)
+            evidence_writer = SVEvidenceWriter(
+                bams, out_paths, reference=reference)
         processor = SVCandidateProcessor(
             proc_opt, refiner, scorer, writer, locus_set, is_somatic,
             is_tumor_only, edge_tracker=tracker,

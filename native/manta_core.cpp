@@ -1303,3 +1303,174 @@ extern "C" int mt_split_read_scan_multi(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 block decoder (CRAM 3.0 compression method 4).
+//
+// Implements the decoder side of the rANS codec specified in the CRAM 3.0
+// format specification section 13 (reference analogue: the htslib-1.9 codec
+// used by the reference's htsapi layer via redist/htslib; reimplemented from
+// the format spec): 4 interleaved byte-wise rANS states, 12-bit normalized
+// frequencies, order-0 (i%4 state striping) and order-1 (quartered output,
+// previous-byte context) variants.
+//
+// Input layout: [order u8][compressed size u32le][raw size u32le][payload].
+// Returns 0 on success, negative on malformed input.
+
+namespace {
+
+constexpr uint32_t RANS_LOW = 1u << 23;
+constexpr uint32_t RANS_TF = 1u << 12;  // total frequency (12-bit)
+
+struct ByteCur {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+  inline uint8_t u8() {
+    if (p >= end) { ok = false; return 0; }
+    return *p++;
+  }
+  inline uint32_t u32le() {
+    if (p + 4 > end) { ok = false; return 0; }
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                 ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+    p += 4;
+    return v;
+  }
+  inline uint8_t peek() const { return p < end ? *p : 0; }
+};
+
+// shared frequency-table reader: symbols ascend with RLE runs, 0 terminator
+// (a leading symbol 0 is consumed before the terminator check).
+template <typename SetF>
+inline bool read_freq_rle(ByteCur& c, SetF&& set_freq) {
+  int rle = 0;
+  int j = c.u8();
+  do {
+    int f = c.u8();
+    if (f >= 128) f = ((f & 127) << 8) | c.u8();
+    if (!c.ok || !set_freq(j, f)) return false;
+    if (!rle && c.peek() == j + 1) {
+      j = c.u8();
+      rle = c.u8();
+    } else if (rle) {
+      rle--;
+      j++;
+    } else {
+      j = c.u8();
+    }
+  } while (j && c.ok);
+  return c.ok;
+}
+
+inline void rans_renorm(uint32_t& x, ByteCur& c) {
+  while (x < RANS_LOW) {
+    if (c.p >= c.end) break;  // stream exhausted: states stay valid for
+                              // remaining buffered symbols
+    x = (x << 8) | *c.p++;
+  }
+}
+
+}  // namespace
+
+extern "C" int mt_rans_uncompress(
+    const uint8_t* in, int64_t in_sz, uint8_t* out, int64_t out_sz) {
+  if (in_sz < 9) return -1;
+  ByteCur c{in, in + in_sz};
+  const int order = c.u8();
+  (void)c.u32le();                      // compressed size (unused)
+  const uint32_t raw_sz = c.u32le();
+  if (!c.ok || (int64_t)raw_sz != out_sz || (order != 0 && order != 1))
+    return -2;
+  if (out_sz == 0) return 0;
+
+  if (order == 0) {
+    // order-0: one shared table; output byte i decoded by state i & 3
+    std::vector<uint32_t> freq(256, 0), cbase(256, 0);
+    std::vector<uint8_t> ssym(RANS_TF);
+    uint32_t x = 0;
+    bool fit = read_freq_rle(c, [&](int j, int f) {
+      if (j < 0 || j > 255 || x + (uint32_t)f > RANS_TF) return false;
+      freq[j] = f;
+      cbase[j] = x;
+      std::memset(&ssym[x], j, f);
+      x += f;
+      return true;
+    });
+    if (!fit) return -3;
+    uint32_t R[4];
+    for (int k = 0; k < 4; k++) R[k] = c.u32le();
+    if (!c.ok) return -4;
+    for (int64_t i = 0; i < out_sz; i++) {
+      uint32_t& rx = R[i & 3];
+      const uint32_t m = rx & (RANS_TF - 1);
+      const uint8_t s = ssym[m];
+      out[i] = s;
+      rx = freq[s] * (rx >> 12) + m - cbase[s];
+      rans_renorm(rx, c);
+    }
+    return 0;
+  }
+
+  // order-1: per-context tables; output split into 4 quarters, one state
+  // each, with the previous decoded byte (0 at start) as context
+  std::vector<uint32_t> freq(256 * 256, 0), cbase(256 * 256, 0);
+  std::vector<uint8_t> ssym(256 * RANS_TF);
+  {
+    int rle_i = 0;
+    int i = c.u8();
+    do {
+      uint32_t x = 0;
+      bool fit = read_freq_rle(c, [&](int j, int f) {
+        if (i < 0 || i > 255 || j < 0 || j > 255 ||
+            x + (uint32_t)f > RANS_TF)
+          return false;
+        freq[i * 256 + j] = f;
+        cbase[i * 256 + j] = x;
+        std::memset(&ssym[i * RANS_TF + x], j, f);
+        x += f;
+        return true;
+      });
+      if (!fit) return -3;
+      if (!rle_i && c.peek() == i + 1) {
+        i = c.u8();
+        rle_i = c.u8();
+      } else if (rle_i) {
+        rle_i--;
+        i++;
+      } else {
+        i = c.u8();
+      }
+    } while (i && c.ok);
+    if (!c.ok) return -3;
+  }
+  uint32_t R[4];
+  for (int k = 0; k < 4; k++) R[k] = c.u32le();
+  if (!c.ok) return -4;
+  const int64_t q = out_sz >> 2;
+  int64_t idx[4] = {0, q, 2 * q, 3 * q};
+  uint8_t ctx[4] = {0, 0, 0, 0};
+  for (int64_t i = 0; i < q; i++) {
+    for (int k = 0; k < 4; k++) {
+      uint32_t& rx = R[k];
+      const uint32_t m = rx & (RANS_TF - 1);
+      const uint8_t s = ssym[ctx[k] * RANS_TF + m];
+      out[idx[k]] = s;
+      rx = freq[ctx[k] * 256 + s] * (rx >> 12) + m - cbase[ctx[k] * 256 + s];
+      rans_renorm(rx, c);
+      ctx[k] = s;
+      idx[k]++;
+    }
+  }
+  // tail (out_sz not divisible by 4): state 3 continues
+  for (int64_t i = idx[3]; i < out_sz; i++) {
+    uint32_t& rx = R[3];
+    const uint32_t m = rx & (RANS_TF - 1);
+    const uint8_t s = ssym[ctx[3] * RANS_TF + m];
+    out[i] = s;
+    rx = freq[ctx[3] * 256 + s] * (rx >> 12) + m - cbase[ctx[3] * 256 + s];
+    rans_renorm(rx, c);
+    ctx[3] = s;
+  }
+  return 0;
+}
