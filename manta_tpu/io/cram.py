@@ -528,6 +528,16 @@ class CraiIndex:
         return out
 
 
+def _scan_container_index(reader: "CramReader") -> "CraiIndex":
+    idx = CraiIndex.__new__(CraiIndex)
+    entries = []
+    for cont in reader._containers():
+        entries.append((cont.ref_id, cont.start, cont.span,
+                        cont.file_offset, 0, 0))
+    idx.entries = entries
+    return idx
+
+
 class CramReader:
     """Indexed CRAM 3.0 reader with the BamReader interface.
 
@@ -571,7 +581,10 @@ class CramReader:
         try:
             self.index = CraiIndex(path + ".crai")
         except FileNotFoundError:
-            self.index = None
+            # container headers alone give (ref, start, span, offset) —
+            # scanning them (no block decode) yields an equivalent
+            # region index, so unindexed CRAMs still fetch efficiently
+            self.index = _scan_container_index(self)
 
     # --- container iteration ---
 

@@ -232,3 +232,22 @@ def test_demo_bam_through_cram_is_lossless(tmp_path, demo_fasta,
     got = CramReader(path, reference=demo_fasta).read_all()
     assert got.n == orig.n
     assert batch_rows(got) == batch_rows(orig)
+
+
+def test_fetch_without_crai_uses_container_scan(synth):
+    """Generated CRAMs have no .crai; the reader must still serve
+    region queries via the container-header scan index."""
+    tmp, fa, chrA, chrB, recs = synth
+    path = str(tmp / "t_gzip.cram")  # written by the roundtrip test
+    if not os.path.exists(path):
+        write_cram(path, ["c1", "c2"], [len(chrA), len(chrB)],
+                   {0: chrA, 1: chrB}, recs, compress="gzip",
+                   per_container=4)
+    rd = CramReader(path, reference=fa)
+    assert rd.index is not None and len(rd.index.entries) >= 2
+    got = rd.fetch("c2", 40, 130)
+    assert got.n == 1 and got.name_str(0) == "q1"
+    got = rd.fetch("c1", 0, 5000)
+    names = {got.name_str(i) for i in range(got.n)}
+    assert names == {"p1", "d1", "n1", "u1"}
+    assert rd.fetch("c2", 2900, 3000).n == 0
