@@ -74,6 +74,13 @@ def get_lib():
     lib.mt_mate_ref_len.restype = ctypes.c_int
     lib.mt_mate_ref_len.argtypes = [
         ctypes.c_int64, i64p, ctypes.c_char_p, i64p, i32p]
+    lib.mt_matchify_ranges.restype = ctypes.c_int
+    lib.mt_matchify_ranges.argtypes = [
+        ctypes.c_int64, i32p, i64p, u32p, i32p, i32p]
+    lib.mt_split_finalize_multi.restype = ctypes.c_int
+    lib.mt_split_finalize_multi.argtypes = [
+        ctypes.c_int64, i64p, i64p, u8p,
+        ctypes.c_int32, u8p, i64p, i32p, i32p, i32p, i32p]
     lib.mt_rans_uncompress.restype = ctypes.c_int
     lib.mt_rans_uncompress.argtypes = [
         u8p, ctypes.c_int64, u8p, ctypes.c_int64]

@@ -357,6 +357,84 @@ def split_read_aligner(flank_score_size: int, query: np.ndarray,
                                     bp_beg, bp_end)
 
 
+def matchify_ranges_batch(batch):
+    """Soft-clip-matchified reference ranges for every read in a batch
+    (native mt_matchify_ranges), cached on the batch: phase-2 evaluates
+    several breakends against the same fetched window."""
+    cached = getattr(batch, "_matchify_ranges", None)
+    if cached is not None:
+        return cached
+    from .._native import get_lib, i32p, i64p, u32p
+    lib = get_lib()
+    beg = np.empty(batch.n, np.int32)
+    end = np.empty(batch.n, np.int32)
+    rc = lib.mt_matchify_ranges(
+        batch.n, batch.pos.ctypes.data_as(i32p),
+        batch.cigar_off.ctypes.data_as(i64p),
+        batch.cigar.ctypes.data_as(u32p),
+        beg.ctypes.data_as(i32p), end.ctypes.data_as(i32p))
+    assert rc == 0, f"mt_matchify_ranges failed: {rc}"
+    batch._matchify_ranges = (beg, end)
+    return beg, end
+
+
+def split_finalize_multi(batch, read_idx, targets: list, bp_ranges: list,
+                         best_pos) -> "np.ndarray":
+    """Batched mismatch accounting at the winning scan positions for
+    selected reads x targets (native mt_split_finalize_multi). Returns
+    (n, t, 3) int32 left/hom/right mismatch counts — the exact values
+    finalize_split_alignment computes per pair."""
+    from .._native import get_lib, i32p, i64p, u8p
+    lib = get_lib()
+    n = len(read_idx)
+    t = len(targets)
+    idx = np.ascontiguousarray(read_idx, dtype=np.int64)
+    tgt_off = np.zeros(t + 1, np.int64)
+    for k, tg in enumerate(targets):
+        tgt_off[k + 1] = tgt_off[k] + len(tg)
+    blob = np.concatenate([np.ascontiguousarray(tg, dtype=np.uint8)
+                           for tg in targets])
+    bpb = np.array([b for (b, _e) in bp_ranges], np.int32)
+    bpe = np.array([e for (_b, e) in bp_ranges], np.int32)
+    bpos = np.ascontiguousarray(best_pos, dtype=np.int32)
+    out = np.empty((n, t, 3), np.int32)
+    rc = lib.mt_split_finalize_multi(
+        n, idx.ctypes.data_as(i64p),
+        batch.seq_off.ctypes.data_as(i64p),
+        batch.seq.ctypes.data_as(u8p),
+        t, blob.ctypes.data_as(u8p), tgt_off.ctypes.data_as(i64p),
+        bpb.ctypes.data_as(i32p), bpe.ctypes.data_as(i32p),
+        bpos.ctypes.data_as(i32p), out.ctypes.data_as(i32p))
+    assert rc == 0, f"mt_split_finalize_multi failed: {rc}"
+    return out
+
+
+def finalize_split_alignment_counts(a: SRAlignmentInfo, best: float,
+                                    best_pos: int, nq: int, bp_beg: int,
+                                    bp_end: int, mm) -> SRAlignmentInfo:
+    """finalize_split_alignment with the window mismatch counts already
+    computed natively (split_finalize_multi)."""
+    if best_pos <= bp_beg + 1:
+        a.left_size = (bp_beg + 1) - best_pos
+    else:
+        a.left_size = 0
+    a.hom_size = min(nq - a.left_size,
+                     ((bp_end + 1) - best_pos) - a.left_size)
+    if a.left_size + a.hom_size < nq:
+        a.right_size = nq - (a.left_size + a.hom_size)
+    else:
+        a.right_size = 0
+    a.align_ln_lhood = best
+    a.align_pos = best_pos
+    a.left_mismatches = int(mm[0])
+    a.hom_mismatches = int(mm[1])
+    a.right_mismatches = int(mm[2])
+    a.align_score = nq - (a.left_mismatches + a.hom_mismatches
+                          + a.right_mismatches)
+    _set_evidence(a)
+    return a
+
+
 def finalize_split_alignment(a: SRAlignmentInfo, best: float, best_pos: int,
                              query: np.ndarray, target: np.ndarray,
                              bp_beg: int, bp_end: int) -> SRAlignmentInfo:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 
 from ..align.aligners import AlignmentScores, GlobalAligner
 from ..core import cigar as cg
@@ -100,6 +101,17 @@ class PairProcessorParams:
         return self.interval
 
 
+def _skip_record_mask(batch) -> np.ndarray:
+    """Vectorized isSkipRecord (reference:
+    SVScorePairProcessor::isSkipRecord): unmapped, mate-unmapped, or
+    non-innie records are never pair evidence."""
+    from ..core.readfilter import is_innie_pair
+    f = batch.flag
+    unmapped = (f & FLAG_UNMAPPED) != 0
+    mate_un = ((f & FLAG_PAIRED) != 0) & ((f & FLAG_MATE_UNMAPPED) != 0)
+    return unmapped | mate_un | ~is_innie_pair(batch)
+
+
 class RefPairProcessor(PairProcessorParams):
     """(reference: SVScorePairRefProcessor)."""
 
@@ -113,6 +125,29 @@ class RefPairProcessor(PairProcessorParams):
             return True
         from ..scan.scanner import _is_innie_read
         return not _is_innie_read(batch, i)
+
+    def survivor_mask(self, batch) -> np.ndarray:
+        """Batch prefilter applying exactly the per-record rejects of
+        is_skip_record + process(); process() is only invoked on
+        surviving indices (it re-checks cheaply). Records here carry no
+        cross-record state, so filtering preserves output exactly."""
+        tid, beg, end = self.interval
+        pos = batch.pos.astype(np.int64)
+        ok = ~_skip_record_mask(batch)
+        ok &= (pos >= beg) & (pos < end)
+        ts = np.abs(batch.tlen.astype(np.int64))
+        if not self.pair_opt.use_proper_pair_flag:
+            ok &= (ts >= self.min_frag) & (ts <= self.max_frag)
+        else:
+            ok &= (batch.flag & FLAG_PROPER_PAIR) != 0
+        first = (pos < batch.next_pos) | \
+            ((pos == batch.next_pos) & ((batch.flag & FLAG_READ1) != 0))
+        frag_beg = np.where(first, pos, batch.next_pos.astype(np.int64))
+        frag_end = frag_beg + ts
+        overlap = np.minimum(1 + self.center_pos - frag_beg,
+                             frag_end - self.center_pos)
+        ok &= overlap >= self.pair_opt.min_frag_support
+        return ok
 
     def process(self, batch, i, bam_index):
         pos = int(batch.pos[i])
@@ -208,6 +243,30 @@ class AltPairProcessor(PairProcessorParams):
             from ..scan.scanner import _is_innie_read
             return not _is_innie_read(batch, i)
         return False
+
+    def survivor_mask(self, batch) -> np.ndarray | None:
+        """Batch prefilter for the stateless (non-large-insert) path;
+        the large-insert path tracks shadow anchors across consecutive
+        records, so it must see every record (returns None)."""
+        if is_large_insert_sv(self.sv):
+            return None
+        tid, beg, end = self.interval
+        pos = batch.pos.astype(np.int64)
+        ok = ~_skip_record_mask(batch)
+        ok &= (pos >= beg) & (pos < end)
+        ts = np.abs(batch.tlen.astype(np.int64))
+        alt_ts = ts - self.alt_shift
+        anom = (ts < self.min_frag) | (ts > self.max_frag)
+        alt_bad = (alt_ts < self.min_frag) | (alt_ts > self.max_frag)
+        ok &= ~(anom & alt_bad)
+        first = (pos < batch.next_pos) | \
+            ((pos == batch.next_pos) & ((batch.flag & FLAG_READ1) != 0))
+        frag_beg = np.where(first, pos, batch.next_pos.astype(np.int64))
+        frag_end = frag_beg + ts
+        overlap = np.minimum(1 + self.center_pos_a - frag_beg,
+                             frag_end - self.center_pos_b)
+        ok &= overlap >= self.pair_opt.min_frag_support
+        return ok
 
     def _realign_paired_read(self, is_left_of_insert: bool, float_read: str,
                              anchor_pos: int):

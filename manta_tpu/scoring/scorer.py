@@ -662,12 +662,18 @@ class SVScorer:
                 core_bad = is_read_filtered_core(batch, sa)
                 nss = ((batch.flag & 0x800) != 0) | \
                     (((batch.flag & 0x100) != 0) & sa)
+                keep = ~(core_bad | nss)
+                # batch prefilter: stateless processors expose the exact
+                # per-record rejects as a vectorized mask, so the Python
+                # loop only touches surviving records
+                mask = proc.survivor_mask(batch)
+                if mask is not None:
+                    keep &= mask
                 order = np.argsort(batch.pos, kind="stable")
+                order = order[keep[order]]
                 for oi in order:
                     i = int(oi)
-                    if core_bad[i] or nss[i]:
-                        continue
-                    if proc.is_skip_record(batch, i):
+                    if mask is None and proc.is_skip_record(batch, i):
                         continue
                     proc.process(batch, i, bam_index)
 
@@ -766,17 +772,18 @@ class SVScorer:
         bp2_contig = np.frombuffer(align_info.bp2_contig().encode(), np.uint8)
         bp1_ref = np.frombuffer(align_info.bp1_reference().encode(), np.uint8)
         bp2_ref = np.frombuffer(align_info.bp2_reference().encode(), np.uint8)
-        from ..candidates.assembler_reads import BreakendReadAssembler
-        # phase A: collect unevaluated candidate reads
+        # phase A: collect unevaluated candidate reads. The
+        # soft-clip-matchified overlap test runs natively over the whole
+        # batch (mt_matchify_ranges); only overlapping reads reach the
+        # Python fragment-bank lookups.
+        from .evidence import matchify_ranges_batch
+        rng_beg, rng_end = matchify_ranges_batch(batch)
+        overlap = (rng_end > bp.interval.beg) & (rng_beg < bp.interval.end)
+        keep = ~(bad | nss) & overlap
+        order = order[keep[order]]
         cand = []
         for oi in order:
             i = int(oi)
-            if bad[i] or nss[i]:
-                continue
-            al = get_alignment(batch, i)
-            rng = BreakendReadAssembler._matchify_ref_range(al)
-            if not (rng[1] > bp.interval.beg and rng[0] < bp.interval.end):
-                continue
             qname = batch.name_str(i)
             fragev = track.setdefault(qname, FragmentEvidence())
             is_read1 = bool(batch.flag[i] & FLAG_READ1)
@@ -787,39 +794,44 @@ class SVScorer:
             return
         # phase B: one scan for all reads x {alt,ref} x {bp1,bp2},
         # routed to the TPU kernel when enabled (bit-identical results)
-        from .evidence import split_read_scan_multi
+        from .evidence import split_finalize_multi, split_read_scan_multi
         idx = np.array([c[0] for c in cand], np.int64)
         scan = split_read_scan_multi
         if self._device_scan is not None and len(cand) >= 32:
             scan = self._device_scan.scan_multi
-        alt_lnl, alt_pos = scan(
-            flank_score_size, batch, idx, self.alt_q,
-            [bp1_contig, bp2_contig],
-            [align_info.bp1_contig_offset, align_info.bp2_contig_offset])
-        ref_lnl, ref_pos = scan(
-            flank_score_size, batch, idx, self.ref_q,
-            [bp1_ref, bp2_ref],
-            [align_info.bp1_ref_offset, align_info.bp2_ref_offset])
+        alt_targets = [bp1_contig, bp2_contig]
+        alt_ranges = [align_info.bp1_contig_offset,
+                      align_info.bp2_contig_offset]
+        ref_targets = [bp1_ref, bp2_ref]
+        ref_ranges = [align_info.bp1_ref_offset, align_info.bp2_ref_offset]
+        alt_lnl, alt_pos = scan(flank_score_size, batch, idx, self.alt_q,
+                                alt_targets, alt_ranges)
+        ref_lnl, ref_pos = scan(flank_score_size, batch, idx, self.ref_q,
+                                ref_targets, ref_ranges)
+        # winner-position mismatch accounting, batched natively
+        alt_mm = split_finalize_multi(batch, idx, alt_targets, alt_ranges,
+                                      alt_pos)
+        ref_mm = split_finalize_multi(batch, idx, ref_targets, ref_ranges,
+                                      ref_pos)
         for r, (i, fragev, is_read1) in enumerate(cand):
             self._finish_read_split_score(
-                flank_score_size, batch, i, align_info, bp1_contig,
-                bp2_contig, bp1_ref, bp2_ref, min_mapq, min_tier2,
-                fragev, is_read1, sample,
-                (float(alt_lnl[r, 0]), int(alt_pos[r, 0])),
-                (float(alt_lnl[r, 1]), int(alt_pos[r, 1])),
-                (float(ref_lnl[r, 0]), int(ref_pos[r, 0])),
-                (float(ref_lnl[r, 1]), int(ref_pos[r, 1])),
+                flank_score_size, batch, i, align_info, min_mapq,
+                min_tier2, fragev, is_read1, sample,
+                (float(alt_lnl[r, 0]), int(alt_pos[r, 0]), alt_mm[r, 0]),
+                (float(alt_lnl[r, 1]), int(alt_pos[r, 1]), alt_mm[r, 1]),
+                (float(ref_lnl[r, 0]), int(ref_pos[r, 0]), ref_mm[r, 0]),
+                (float(ref_lnl[r, 1]), int(ref_pos[r, 1]), ref_mm[r, 1]),
                 bam_index=bam_index, sv_id=sv_id, support=support)
 
     def _finish_read_split_score(self, flank_score_size, batch, i,
-                                 align_info, bp1_contig, bp2_contig,
-                                 bp1_ref, bp2_ref, min_mapq, min_tier2,
+                                 align_info, min_mapq, min_tier2,
                                  fragev, is_read1, sample,
                                  alt1_scan, alt2_scan, ref1_scan, ref2_scan,
                                  bam_index=0, sv_id=None, support=None):
         """(reference: getReadSplitScore:104-229) — evidence update from
-        pre-computed scan winners."""
-        from .evidence import SRAlignmentInfo, finalize_split_alignment
+        pre-computed scan winners; each *_scan carries (lnlhood, pos,
+        left/hom/right mismatch counts)."""
+        from .evidence import SRAlignmentInfo, finalize_split_alignment_counts
         alt_bp1 = fragev.alt.bp1.get_read(is_read1)
         ref_bp1 = fragev.ref.bp1.get_read(is_read1)
         alt_bp2 = fragev.alt.bp2.get_read(is_read1)
@@ -829,20 +841,19 @@ class SVScorer:
         alt_bp2.is_split_evaluated = True
         ref_bp2.is_split_evaluated = True
 
-        read = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]]
+        nq = batch.read_len(i)
         set_read_evidence(min_mapq, min_tier2, int(batch.mapq[i]),
-                          batch.read_len(i), False,
-                          fragev.get_read(is_read1))
+                          nq, False, fragev.get_read(is_read1))
 
-        def fin(scan, target, bp_rng):
-            return finalize_split_alignment(
-                SRAlignmentInfo(), scan[0], scan[1], read, target,
-                bp_rng[0], bp_rng[1])
+        def fin(scan, bp_rng):
+            return finalize_split_alignment_counts(
+                SRAlignmentInfo(), scan[0], scan[1], nq,
+                bp_rng[0], bp_rng[1], scan[2])
 
-        alt_bp1_sr = fin(alt1_scan, bp1_contig, align_info.bp1_contig_offset)
-        alt_bp2_sr = fin(alt2_scan, bp2_contig, align_info.bp2_contig_offset)
-        ref_bp1_sr = fin(ref1_scan, bp1_ref, align_info.bp1_ref_offset)
-        ref_bp2_sr = fin(ref2_scan, bp2_ref, align_info.bp2_ref_offset)
+        alt_bp1_sr = fin(alt1_scan, align_info.bp1_contig_offset)
+        alt_bp2_sr = fin(alt2_scan, align_info.bp2_contig_offset)
+        ref_bp1_sr = fin(ref1_scan, align_info.bp1_ref_offset)
+        ref_bp2_sr = fin(ref2_scan, align_info.bp2_ref_offset)
 
         ref_bp1.split_ln_lhood = ref_bp1_sr.align_ln_lhood
         ref_bp2.split_ln_lhood = ref_bp2_sr.align_ln_lhood

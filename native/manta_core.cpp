@@ -1474,3 +1474,97 @@ extern "C" int mt_rans_uncompress(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Batched soft-clip-matchified reference ranges.
+//
+// Port of the per-read matchifyEdgeSoftClipRefRange logic (reference:
+// manta/SVCandidateAssembler.cpp edge-segment handling): the reference
+// span of each read extended by any read-consuming ops outside the
+// first/last aligned-match segments. One call covers a whole batch,
+// replacing a per-read Python cigar walk.
+
+extern "C" int mt_matchify_ranges(
+    int64_t n, const int32_t* pos, const int64_t* cigar_off,
+    const uint32_t* cigar, int32_t* out_beg, int32_t* out_end) {
+  for (int64_t r = 0; r < n; r++) {
+    const int64_t c0 = cigar_off[r];
+    const int64_t c1 = cigar_off[r + 1];
+    int64_t first = c1;
+    int64_t last = c1;
+    bool found = false;
+    for (int64_t k = c0; k < c1; k++) {
+      const uint32_t op = cigar[k] & 0xF;
+      if (op == 0 || op == 7 || op == 8) {  // M/=/X
+        if (!found) first = k;
+        found = true;
+        last = k;
+      }
+    }
+    int64_t beg = pos[r];
+    int64_t end = beg;
+    for (int64_t k = c0; k < c1; k++) {
+      const uint32_t op = cigar[k] & 0xF;
+      const int64_t l = cigar[k] >> 4;
+      if (k < first || k > last) {
+        if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8) {
+          // read-consuming op on an edge segment
+          if (k < first) beg -= l; else end += l;
+        }
+      }
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) end += l;
+    }
+    out_beg[r] = (int32_t)beg;
+    out_end[r] = (int32_t)end;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched split-alignment mismatch accounting at the winning scan
+// position (reference: SplitReadAlignment.cpp calculateAlignScore):
+// for each (read, target) pair, counts mismatches in the left / homology
+// / right regions implied by the breakend offset range.
+
+extern "C" int mt_split_finalize_multi(
+    int64_t n_reads, const int64_t* read_idx,
+    const int64_t* seq_off, const uint8_t* seq,
+    int32_t n_targets, const uint8_t* target_blob, const int64_t* target_off,
+    const int32_t* bp_beg, const int32_t* bp_end,
+    const int32_t* best_pos, int32_t* out_mm /* (n_reads, n_targets, 3) */) {
+  for (int64_t r = 0; r < n_reads; r++) {
+    const int64_t i = read_idx[r];
+    const uint8_t* q = seq + seq_off[i];
+    const int64_t nq = seq_off[i + 1] - seq_off[i];
+    for (int32_t t = 0; t < n_targets; t++) {
+      const uint8_t* tg = target_blob + target_off[t];
+      const int64_t nt = target_off[t + 1] - target_off[t];
+      const int64_t pos = best_pos[r * n_targets + t];
+      int64_t left = 0;
+      if (pos <= bp_beg[t] + 1) left = (int64_t)bp_beg[t] + 1 - pos;
+      int64_t hom = (int64_t)bp_end[t] + 1 - pos - left;
+      if (hom > nq - left) hom = nq - left;
+      // region boundaries match the Python slices [:l+1], [l+1:h+1], [h+1:]
+      int64_t lend = left + 1;
+      int64_t hend = left + hom + 1;
+      if (lend > nq) lend = nq;
+      if (hend > nq) hend = nq;
+      if (hend < lend) hend = lend;
+      int32_t mm[3] = {0, 0, 0};
+      for (int64_t j = 0; j < nq; j++) {
+        const int64_t tp = pos + j;
+        const uint8_t tb = (tp >= 0 && tp < nt) ? tg[tp] : (uint8_t)'N';
+        const bool mis = (q[j] != tb) || (q[j] == 'N');
+        if (!mis) continue;
+        if (j < lend) mm[0]++;
+        else if (j < hend) mm[1]++;
+        else mm[2]++;
+      }
+      int32_t* o = out_mm + (r * n_targets + t) * 3;
+      o[0] = mm[0];
+      o[1] = mm[1];
+      o[2] = mm[2];
+    }
+  }
+  return 0;
+}
