@@ -90,3 +90,68 @@ def test_rna_mode_smoke(tmp_path_factory, demo_fasta, tumor_bam):
     assert len(recs) >= 4
     assert any("RNA_CONTIG=" in r for r in recs)
     assert any("RNA_FIRST" in r for r in recs)
+
+
+def test_tumor_only_mode_smoke(tmp_path_factory, demo_fasta, tumor_bam):
+    """Tumor-only calling end-to-end: tumorSV output with PR/SR counts."""
+    run_dir = str(tmp_path_factory.mktemp("tumor_only_run"))
+    run_workflow([], [tumor_bam], demo_fasta, run_dir, is_exome=True,
+                 verbose=False)
+    recs = _records(f"{run_dir}/results/variants/tumorSV.vcf.gz")
+    assert len(recs) >= 4
+    assert all("PR:" in r.split("\t")[8] or r.split("\t")[8] == "PR"
+               for r in recs)
+
+
+def test_cram_inputs_match_oracle(tmp_path_factory, demo_fasta, normal_bam,
+                                  tumor_bam):
+    """The full workflow on CRAM inputs (converted losslessly from the
+    demo BAMs) produces the same somatic VCF as the oracle."""
+    import os
+
+    from cramgen import CramRec, write_cram
+    from manta_tpu.io.bam import BamReader
+    from manta_tpu.io.fasta import FastaReader
+    from test_cram import aux_split
+
+    tmp = tmp_path_factory.mktemp("cram_inputs")
+    ops = "MIDNSHP=X"
+    crams = []
+    for src_path in (normal_bam, tumor_bam):
+        src = BamReader(src_path)
+        b = src.read_all()
+        fr = FastaReader(demo_fasta)
+        ref_seqs = {tid: fr.fetch(nm, 0, fr.chrom_length(nm))
+                    for tid, nm in enumerate(src.header.ref_names)
+                    if nm in fr._index}
+        recs = []
+        for i in range(b.n):
+            flag = int(b.flag[i])
+            cigar = [(ops[int(c) & 0xF], int(c) >> 4)
+                     for c in b.cigar_arr(i)]
+            qual = bytes(b.qual_arr(i))
+            if qual and qual[0] == 0xFF:
+                qual = None
+            mate = ("detached", int(b.next_refid[i]), int(b.next_pos[i]),
+                    int(b.tlen[i])) if flag & 0x1 else None
+            tags = aux_split(bytes(b.tags[b.tag_off[i]:b.tag_off[i + 1]]))
+            recs.append(CramRec(
+                b.name_str(i), flag, int(b.refid[i]), int(b.pos[i]),
+                int(b.mapq[i]), cigar, b.seq_str(i).encode(), qual,
+                tags=tags, mate=mate))
+        extra = [ln for ln in src.header.text.splitlines()
+                 if ln.startswith(("@RG", "@PG"))]
+        out = str(tmp / (os.path.basename(src_path)
+                         .replace(".bam", ".cram")))
+        # gzip blocks keep the (pure-Python) test encoder fast; the
+        # rANS decode path is covered by tests/test_cram.py round-trips
+        write_cram(out, src.header.ref_names, src.header.ref_lengths,
+                   ref_seqs, recs, compress="gzip", per_container=2000,
+                   extra_header_lines=extra)
+        crams.append(out)
+    run_dir = str(tmp / "run")
+    run_workflow([crams[0]], [crams[1]], demo_fasta, run_dir,
+                 is_exome=True, verbose=False)
+    got = _records(f"{run_dir}/results/variants/somaticSV.vcf.gz")
+    want = _records(EXPECTED)
+    assert got == want
