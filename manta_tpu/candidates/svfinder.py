@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 import numpy as np
 from scipy.stats import binom
 
+from ..core.depthsweep import DepthSweep
 from ..core.readfilter import (
     has_sa_tag, is_non_strict_supplement, is_read_unmapped_or_filtered_core,
 )
@@ -109,7 +110,8 @@ class SampleGroup:
         else:
             self.mapped_read_index += 1
 
-    def add(self, ref: ReadRef, is_expect_repeat: bool):
+    def add(self, ref: ReadRef, is_expect_repeat: bool,
+            read_index: float | None = None):
         b, i = ref.batch, ref.index
         qname = b.name_str(i)
         if qname in self._index:
@@ -124,8 +126,11 @@ class SampleGroup:
         sa = b.get_tag(i, b"SA") is not None
         flag = int(b.flag[i])
         nss = bool(flag & 0x800) or (bool(flag & 0x100) and sa)
-        ref.read_index = self.submapped_read_index if ref.is_submapped \
-            else self.mapped_read_index
+        if read_index is not None:
+            ref.read_index = read_index
+        else:
+            ref.read_index = self.submapped_read_index if ref.is_submapped \
+                else self.mapped_read_index
         if is_read2:
             if nss:
                 frag.read2_supplemental.append(ref)
@@ -282,11 +287,14 @@ class SVFinder:
         chrom = self.scanner.chrom_names[tid]
         if self.chrom_depths is not None and chrom in self.chrom_depths:
             max_depth = self.chrom_depths[chrom] * self.max_depth_factor
-        depth_buffer = np.zeros(end - beg, np.int64) if max_depth is not None \
-            else None
+        sweep = DepthSweep() if max_depth is not None else None
 
         min_mapq = self.scanner.opt.min_mapq
         min_tier2 = self.scanner.opt.min_tier2_mapq
+        gi_local = GenomeInterval(local_node.tid, local_node.beg,
+                                  local_node.end)
+        gi_remote = GenomeInterval(remote_node.tid, remote_node.beg,
+                                   remote_node.end)
 
         for bam_index, reader in enumerate(self.readers):
             is_tumor = self.is_tumor[bam_index]
@@ -298,36 +306,36 @@ class SVFinder:
             sa = has_sa_tag(batch)
             core_bad = is_read_unmapped_or_filtered_core(batch, sa)
             order = np.argsort(batch.pos, kind="stable")
-            ev_masks = None
-            for i in order:
-                i = int(i)
-                pos = int(batch.pos[i])
-                if pos >= end:
-                    break
-                if core_bad[i]:
-                    continue
-                if max_depth is not None:
-                    if not is_tumor:
-                        # simple pileup estimate over the search window
-                        s = max(0, pos - beg)
-                        e = min(end - beg, pos - beg + batch.read_len(i))
-                        if e > s:
-                            depth_buffer[s:e] += 1
-                    off = pos - beg
-                    if off >= 0 and depth_buffer is not None and \
-                            depth_buffer[off] > max_depth:
-                        continue
-                if batch.mapq[i] < min_tier2:
-                    continue
-                is_submapped = batch.mapq[i] < min_mapq
-                if is_submapped and not gather_submapped:
-                    continue
-                group.increment(is_submapped)
-                if ev_masks is None:
-                    ev_masks = self.scanner.sv_evidence_mask(
-                        batch, bam_index, refseq, ref_off, sa=sa)
-                if not ev_masks[i]:
-                    continue
+            pos_s = batch.pos[order].astype(np.int64)
+            # vectorized equivalent of the scalar in-order gating: window,
+            # core filters, pileup max-depth gate (checked after the
+            # read's own increment), then the two-tier mapq gates
+            alive = ~core_bad[order] & (pos_s < end)
+            if sweep is not None:
+                lens_s = (batch.seq_off[1:] - batch.seq_off[:-1])[order]
+                contrib = alive if not is_tumor \
+                    else np.zeros(batch.n, bool)
+                depths = sweep.start_depth(pos_s, lens_s, contrib)
+                alive &= (pos_s < beg) | (depths <= max_depth)
+            mapq_s = batch.mapq[order]
+            alive &= mapq_s >= min_tier2
+            submapped_s = mapq_s < min_mapq
+            if not gather_submapped:
+                alive &= ~submapped_s
+            # running read-scan counters; each add records the counter
+            # value as of its own increment (reference: addSVNodeRead)
+            sub_pass = alive & submapped_s
+            map_pass = alive & ~submapped_s
+            sub_idx = np.cumsum(sub_pass) + group.submapped_read_index
+            map_idx = np.cumsum(map_pass) + group.mapped_read_index
+            cand = []
+            if alive.any():
+                ev_masks = self.scanner.sv_evidence_mask(
+                    batch, bam_index, refseq, ref_off, sa=sa)
+                cand = np.flatnonzero(alive & ev_masks[order]).tolist()
+            for k in cand:
+                i = int(order[k])
+                is_submapped = bool(submapped_s[k])
                 if not group.is_full and \
                         len(group.fragments) >= SampleGroup.MAX_DATA_SIZE:
                     group.is_full = True
@@ -339,30 +347,22 @@ class SVFinder:
                         local_bp, remote_bp = bp1, bp2
                         if w1 == 0:
                             local_bp, remote_bp = bp2, bp1
-                        if not remote_bp.interval.is_intersect(
-                                GenomeInterval(remote_node.tid,
-                                               remote_node.beg,
-                                               remote_node.end)):
+                        if not remote_bp.interval.is_intersect(gi_remote):
                             continue
-                        if not local_bp.interval.is_intersect(
-                                GenomeInterval(local_node.tid,
-                                               local_node.beg,
-                                               local_node.end)):
+                        if not local_bp.interval.is_intersect(gi_local):
                             continue
                     else:
-                        gi_remote = GenomeInterval(remote_node.tid,
-                                                   remote_node.beg,
-                                                   remote_node.end)
-                        gi_local = GenomeInterval(local_node.tid,
-                                                  local_node.beg,
-                                                  local_node.end)
                         if not bp1.interval.is_intersect(gi_remote):
                             continue
                         if not bp1.interval.is_intersect(gi_local):
                             continue
                     group.add(ReadRef(batch, i, is_node1, is_submapped),
-                              is_expect_repeat)
+                              is_expect_repeat,
+                              read_index=float(sub_idx[k] if is_submapped
+                                               else map_idx[k]))
                     break
+            group.submapped_read_index += float(sub_pass.sum())
+            group.mapped_read_index += float(map_pass.sum())
 
     # ------------------------------------------------------------------
 
