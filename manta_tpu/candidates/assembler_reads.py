@@ -15,10 +15,11 @@ import numpy as np
 
 from ..assembly.assembler import AssemblerOptions, run_iterative_assembler
 from ..core import cigar as cg
+from ..core.depthsweep import DepthSweep
 from ..core.readfilter import is_read_filtered_core, has_sa_tag
 from ..core.svmodel import BND_LEFT_OPEN, BND_RIGHT_OPEN, SVBreakend
 from ..io.bam import (
-    C_D, C_I, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
+    FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
     FLAG_READ2, FLAG_REVERSE, FLAG_UNMAPPED,
 )
 from ..scan.scanner import SVScanner, get_alignment
@@ -104,8 +105,7 @@ class BreakendReadAssembler:
             max_depth = self.chrom_depths[chrom] * self.max_depth_factor
             max_remote_depth = self.chrom_depths[chrom] * \
                 self.max_remote_depth_factor
-        depth = np.zeros(send - sbeg, np.int64) if max_depth is not None \
-            else None
+        sweep = DepthSweep() if max_depth is not None else None
         remote_depth_triggered = False
 
         remote_reads: list[list[RemoteReadInfo]] = [[] for _ in self.readers]
@@ -118,114 +118,145 @@ class BreakendReadAssembler:
             sa = has_sa_tag(batch)
             core_bad = is_read_filtered_core(batch, sa)
             order = np.argsort(batch.pos, kind="stable")
-            # batched semi-aligned lead/trail for all mapped reads
-            batch_lead = batch_trail = None
+            pos_s = batch.pos[order].astype(np.int64)
+            flag_s = batch.flag[order].astype(np.int64)
+            mapq_s = batch.mapq[order]
+            unmapped_s = (flag_s & FLAG_UNMAPPED) != 0
+            fwd_s = (flag_s & FLAG_REVERSE) == 0
+            # vectorized equivalents of the scalar in-order gates: window,
+            # core filter, non-strict supplement, pileup max-depth gate
+            # (checked after the read's own increment; nss reads still
+            # contribute depth before being skipped)
+            processed = ~core_bad[order] & (pos_s < send)
+            nss_s = ((flag_s & 0x800) != 0) | \
+                (((flag_s & 0x100) != 0) & sa[order])
+            if sweep is not None:
+                lens_s = (batch.seq_off[1:] - batch.seq_off[:-1])[order]
+                contrib = processed & ~unmapped_s if not is_tumor \
+                    else np.zeros(batch.n, bool)
+                depths = sweep.start_depth(pos_s, lens_s, contrib)
+                gated = processed & ~nss_s & (pos_s >= sbeg)
+                remote_trigger_s = gated & (depths > max_remote_depth)
+                survivors = processed & ~nss_s & \
+                    (~gated | (depths <= max_depth))
+            else:
+                remote_trigger_s = np.zeros(batch.n, bool)
+                survivors = processed & ~nss_s
+
+            # indel keepers: first I/D cigar op >= min_assemble_indel
+            first_indel = cg.first_indel_size_batch(
+                batch.cigar, batch.cigar_off)[order]
+            indel_keeper_s = survivors & ~unmapped_s & \
+                (first_indel >= min_assemble_indel)
+
+            # semi-aligned keepers (batched when overlap-pair evidence is
+            # off; otherwise evaluated per candidate row below)
+            semi_maybe_s = np.zeros(batch.n, bool)
             if not self.scanner.opt.use_overlap_pair_evidence:
                 mapped = ~core_bad & ((batch.flag & FLAG_UNMAPPED) == 0)
                 batch_lead, batch_trail = \
                     self.scanner.semi_aligned_values_batch(
                         batch, mapped, refseq, ref_offset)
-            # shadow state
-            shadow_last_qname = None
-            shadow_last_mapq = 0
-            shadow_set = False
-            for oi in order:
-                i = int(oi)
-                if len(reads) >= self.MAX_NUM_READS:
-                    break
-                pos = int(batch.pos[i])
-                if pos >= send:
-                    break
-                if core_bad[i]:
-                    continue
-                flag = int(batch.flag[i])
-                unmapped = bool(flag & FLAG_UNMAPPED)
-                if max_depth is not None and not is_tumor and not unmapped:
-                    s = max(0, pos - sbeg)
-                    e = min(send - sbeg, pos - sbeg + batch.read_len(i))
-                    if e > s:
-                        depth[s:e] += 1
-                nss = bool(flag & 0x800) or (bool(flag & 0x100) and sa[i])
-                if nss:
-                    continue
-                if max_depth is not None:
-                    off = pos - sbeg
-                    if off >= 0:
-                        if depth[off] > max_remote_depth:
-                            remote_depth_triggered = True
-                        if depth[off] > max_depth:
-                            continue
+                lead_s = batch_lead[order]
+                trail_s = batch_trail[order]
+                semi_keeper_s = np.zeros(batch.n, bool)
+                if search_right_open:
+                    semi_keeper_s |= trail_s >= 4
+                if search_left_open:
+                    semi_keeper_s |= lead_s >= 4
+                semi_keeper_s &= survivors & ~unmapped_s
+            else:
+                semi_keeper_s = None
+                semi_maybe_s = survivors & ~unmapped_s
 
-                al = get_alignment(batch, i)
+            # shadow pairing: an anchor arms the finder and the NEXT
+            # surviving read consumes it, valid shadow or not (reference:
+            # ShadowReadFinder::check) -- so shadows pair with their
+            # immediately preceding survivor
+            anchor_s = ((flag_s & FLAG_PAIRED) != 0) & ~unmapped_s & \
+                ((flag_s & FLAG_MATE_UNMAPPED) != 0) & \
+                (mapq_s >= self.scanner.opt.min_singleton_mapq_candidates)
+            if not search_left_open:
+                anchor_s &= fwd_s
+            if not search_right_open:
+                anchor_s &= ~fwd_s
+            surv_rows = np.flatnonzero(survivors)
+            prev_surv = np.full(batch.n, -1, np.int64)
+            shadow_maybe_s = np.zeros(batch.n, bool)
+            if surv_rows.size > 1:
+                prev_surv[surv_rows[1:]] = surv_rows[:-1]
+                shadow_maybe_s[surv_rows[1:]] = anchor_s[surv_rows[:-1]]
+            shadow_maybe_s &= unmapped_s & \
+                ((flag_s & FLAG_MATE_UNMAPPED) == 0)
 
-                if search_remote_insertion and not unmapped:
-                    if self._is_mate_insertion_candidate(batch, i):
-                        bam_range = self._matchify_ref_range(al)
-                        s_left = search_left_open and not (
-                            bam_range[1] > left_flank[0]
-                            and bam_range[0] < left_flank[1])
-                        s_right = search_right_open and not (
-                            bam_range[1] > right_flank[0]
-                            and bam_range[0] < right_flank[1])
-                        fwd = (flag & FLAG_REVERSE) == 0
-                        ok = not ((not s_left and not fwd)
-                                  or (not s_right and fwd))
-                        if ok:
-                            remote_reads[bam_index].append(RemoteReadInfo(
-                                qname=batch.name_str(i),
-                                read_no=2 if not (flag & FLAG_READ2) else 1,
-                                tid=int(batch.next_refid[i]),
-                                pos=int(batch.next_pos[i]),
-                                local_pos=pos,
-                                read_size=batch.read_len(i),
-                                is_local_fwd=fwd))
+            # remote-mate insertion candidates (cross-chrom / >=10kb pairs)
+            if search_remote_insertion:
+                mate_cand_s = survivors & \
+                    ((flag_s & FLAG_PAIRED) != 0) & \
+                    ((flag_s & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED)) == 0) & \
+                    (mapq_s >= self.scanner.opt.min_mapq) & \
+                    (batch.refid[order] >= 0) & \
+                    (batch.next_refid[order] >= 0) & \
+                    ((batch.refid[order] != batch.next_refid[order]) |
+                     (np.abs(pos_s - batch.next_pos[order].astype(np.int64))
+                      >= 10000))
+            else:
+                mate_cand_s = np.zeros(batch.n, bool)
 
-                is_indel_keeper = False
-                if not unmapped:
-                    for o, l in zip(al.ops.tolist(), al.lens.tolist()):
-                        if o in (C_I, C_D):
-                            if l >= min_assemble_indel:
-                                is_indel_keeper = True
-                            break
+            interesting = indel_keeper_s | shadow_maybe_s | mate_cand_s | \
+                (semi_keeper_s if semi_keeper_s is not None else semi_maybe_s)
+            capped_at = -1 if len(reads) >= self.MAX_NUM_READS else None
+            cand_rows = [] if capped_at is not None else \
+                np.flatnonzero(interesting).tolist()
+            for k in cand_rows:
+                i = int(order[k])
+                flag = int(flag_s[k])
+                if mate_cand_s[k]:
+                    al = get_alignment(batch, i)
+                    bam_range = self._matchify_ref_range(al)
+                    s_left = search_left_open and not (
+                        bam_range[1] > left_flank[0]
+                        and bam_range[0] < left_flank[1])
+                    s_right = search_right_open and not (
+                        bam_range[1] > right_flank[0]
+                        and bam_range[0] < right_flank[1])
+                    fwd = bool(fwd_s[k])
+                    ok = not ((not s_left and not fwd)
+                              or (not s_right and fwd))
+                    if ok:
+                        remote_reads[bam_index].append(RemoteReadInfo(
+                            qname=batch.name_str(i),
+                            read_no=2 if not (flag & FLAG_READ2) else 1,
+                            tid=int(batch.next_refid[i]),
+                            pos=int(batch.next_pos[i]),
+                            local_pos=int(pos_s[k]),
+                            read_size=batch.read_len(i),
+                            is_local_fwd=fwd))
 
-                is_semi_keeper = False
-                if not unmapped:
-                    if batch_lead is not None:
-                        lead = int(batch_lead[i])
-                        trail = int(batch_trail[i])
-                    else:
+                is_shadow_keeper = False
+                if shadow_maybe_s[k]:
+                    qual = batch.qual_arr(i)
+                    avg_q = int(qual.sum()) // max(1, len(qual))
+                    prev_i = int(order[prev_surv[k]])
+                    if avg_q >= 25 and \
+                            batch.name_str(i) == batch.name_str(prev_i):
+                        is_shadow_keeper = True
+
+                if semi_keeper_s is not None:
+                    is_semi_keeper = bool(semi_keeper_s[k])
+                else:
+                    is_semi_keeper = False
+                    if semi_maybe_s[k]:
                         lead, _, trail, _ = \
                             self.scanner.semi_aligned_lengths(
                                 batch, i, refseq, ref_offset)
-                    if search_right_open and trail >= 4:
-                        is_semi_keeper = True
-                    if search_left_open and lead >= 4:
-                        is_semi_keeper = True
+                        if search_right_open and trail >= 4:
+                            is_semi_keeper = True
+                        if search_left_open and lead >= 4:
+                            is_semi_keeper = True
 
-                # shadow check (reference: ShadowReadFinder::check) --
-                # any read consumes a pending anchor, valid shadow or not
-                is_shadow_keeper = False
-                if shadow_set:
-                    shadow_set = False
-                    if unmapped and not (flag & FLAG_MATE_UNMAPPED):
-                        qual = batch.qual_arr(i)
-                        avg_q = int(qual.sum()) // max(1, len(qual))
-                        if avg_q >= 25 and batch.name_str(i) == shadow_last_qname:
-                            is_shadow_keeper = True
-                if not is_shadow_keeper:
-                    # anchor check
-                    if (flag & FLAG_PAIRED) and not unmapped and \
-                            (flag & FLAG_MATE_UNMAPPED):
-                        fwd = (flag & FLAG_REVERSE) == 0
-                        ok = not ((not search_left_open and not fwd)
-                                  or (not search_right_open and fwd))
-                        if ok and batch.mapq[i] >= \
-                                self.scanner.opt.min_singleton_mapq_candidates:
-                            shadow_last_qname = batch.name_str(i)
-                            shadow_last_mapq = int(batch.mapq[i])
-                            shadow_set = True
-
-                if not (is_indel_keeper or is_semi_keeper or is_shadow_keeper):
+                if not (indel_keeper_s[k] or is_semi_keeper
+                        or is_shadow_keeper):
                     continue
 
                 is_reversed = is_locus_reversed
@@ -235,6 +266,16 @@ class BreakendReadAssembler:
                 key = f"{batch.name_str(i)}_{read_no}_{bam_index}"
                 self._insert_read(key, batch.seq_str(i), batch.qual_arr(i),
                                   is_reversed, read_index, reads)
+                if len(reads) >= self.MAX_NUM_READS:
+                    capped_at = k
+                    break
+            # the scalar loop stops scanning (and flagging remote-depth
+            # triggers) right after the read-cap is reached
+            if capped_at is None:
+                remote_depth_triggered |= bool(remote_trigger_s.any())
+            else:
+                remote_depth_triggered |= \
+                    bool(remote_trigger_s[:capped_at + 1].any())
 
         # remote MAPQ0 mate retrieval
         if search_remote_insertion and not remote_depth_triggered:

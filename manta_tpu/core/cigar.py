@@ -43,6 +43,23 @@ def string_to_arrays(s: str) -> tuple[np.ndarray, np.ndarray]:
     return np.array(ops, np.int32), np.array(lens, np.int32)
 
 
+def first_indel_size_batch(cigar: np.ndarray,
+                           cigar_off: np.ndarray) -> np.ndarray:
+    """Length of the FIRST I/D op of each read's cigar (0 when none),
+    vectorized over a batch's flat cigar blob. Matches the assembler's
+    indel-keeper scan, which only inspects the first indel segment
+    (reference: SVCandidateAssembler.cpp getBreakendReads indel check)."""
+    ops = cigar & 0xF
+    lens = (cigar >> 4).astype(np.int64)
+    out = np.zeros(len(cigar_off) - 1, np.int64)
+    idx = np.flatnonzero((ops == C_I) | (ops == C_D))
+    if idx.size:
+        seg = np.searchsorted(cigar_off, idx, side="right") - 1
+        seg_first, first_pos = np.unique(seg, return_index=True)
+        out[seg_first] = lens[idx[first_pos]]
+    return out
+
+
 def _sum_where(ops, lens, opset) -> int:
     # cigars are tiny (1-10 segments): a scalar loop beats np.isin ~20x
     return sum(int(l) for o, l in zip(ops.tolist(), lens.tolist())
