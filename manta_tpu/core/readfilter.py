@@ -27,8 +27,12 @@ def has_sa_tag(batch: ReadBatch) -> np.ndarray:
     to read indices; candidates are confirmed with a proper tag walk so
     'SAZ' inside another tag's string value cannot cause false positives.
     """
+    cached = getattr(batch, "_sa_mask", None)
+    if cached is not None:
+        return cached
     out = np.zeros(batch.n, dtype=bool)
     if not batch.tags:
+        batch._sa_mask = out
         return out
     blob = batch.tags
     start = 0
@@ -44,6 +48,7 @@ def has_sa_tag(batch: ReadBatch) -> np.ndarray:
     for ridx in cand:
         if _find_tag(blob[batch.tag_off[ridx]:batch.tag_off[ridx + 1]], b"SA") is not None:
             out[ridx] = True
+    batch._sa_mask = out
     return out
 
 

@@ -247,15 +247,10 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
         tm = None
         if survivors.any():
             masks = finder.scanner.sv_evidence_masks(
-                b.subset(survivors), si, finder.refseq, finder.ref_offset,
-                sa=sas[si][survivors])
-            idx = np.flatnonzero(survivors)
-            ev[idx] = masks["evidence"]
-            tm = {}
-            for k in ("anom", "split", "indel", "assm"):
-                full = np.zeros(b.n, dtype=bool)
-                full[idx] = masks[k]
-                tm[k] = full
+                b, si, finder.refseq, finder.ref_offset,
+                sa=sas[si], sel=survivors)
+            ev = masks["evidence"]
+            tm = {k: masks[k] for k in ("anom", "split", "indel", "assm")}
         type_masks.append(tm)
         ev_masks.append(ev)
 

@@ -125,12 +125,55 @@ class ReadBatch:
         blob = self.tags[self.tag_off[i]:self.tag_off[i + 1]]
         return _find_tag(blob, tag)
 
+    def slice_rows(self, lo: int, hi: int) -> "ReadBatch":
+        """Near-zero-copy row-range slice [lo, hi): per-read columns and
+        numpy blobs are views with rebased offsets; derived per-read
+        caches are projected through, so window re-slices of one parsed
+        superwindow share all expensive per-batch computations."""
+        def rag(off, blob):
+            return off[lo:hi + 1] - off[lo], blob[int(off[lo]):int(off[hi])]
+
+        co, cgb = rag(self.cigar_off, self.cigar)
+        so, sq = rag(self.seq_off, self.seq)
+        qo, ql = rag(self.qual_off, self.qual)
+        no, nm = rag(self.name_off, self.name)
+        to, tg = rag(self.tag_off, self.tags)
+        out = ReadBatch(
+            n=hi - lo, refid=self.refid[lo:hi], pos=self.pos[lo:hi],
+            mapq=self.mapq[lo:hi], flag=self.flag[lo:hi],
+            next_refid=self.next_refid[lo:hi], next_pos=self.next_pos[lo:hi],
+            tlen=self.tlen[lo:hi],
+            cigar_off=co, cigar=cgb, seq_off=so, seq=sq,
+            qual_off=qo, qual=ql, name_off=no, name=nm, tag_off=to, tags=tg)
+        if self._aligned_len is not None:
+            out._aligned_len = self._aligned_len[lo:hi]
+        dec = getattr(self, "_cigar_decoded", None)
+        if dec is not None:
+            c0, c1 = int(self.cigar_off[lo]), int(self.cigar_off[hi])
+            out._cigar_decoded = (dec[0][c0:c1], dec[1][c0:c1])
+        om = getattr(self, "_overlap_mask", None)
+        if om is not None:
+            out._overlap_mask = om[lo:hi]
+        sam = getattr(self, "_sa_mask", None)
+        if sam is not None:
+            out._sa_mask = sam[lo:hi]
+        hq = getattr(self, "_hq_pref", None)
+        if hq is not None:
+            # prefix-sum consumers only take differences, so the child can
+            # reuse the parent's prefix as an unrebased view
+            q0 = int(self.qual_off[lo])
+            out._hq_pref = hq[q0:int(self.qual_off[hi]) + 1]
+        return out
+
     def subset(self, idx: np.ndarray) -> "ReadBatch":
         """Gather a sub-batch (keeps ragged payloads; reindexes offsets)."""
         idx = np.asarray(idx)
         if idx.dtype == np.bool_:
             idx = np.flatnonzero(idx)
         n = len(idx)
+        if n and int(idx[-1]) - int(idx[0]) + 1 == n and \
+                bool((np.diff(idx) == 1).all()):
+            return self.slice_rows(int(idx[0]), int(idx[-1]) + 1)
 
         # consecutive kept rows form runs; copying per run replaces the
         # per-byte gather with a few large memcpys when the selection is

@@ -254,29 +254,37 @@ class SVScanner:
         return self.sv_evidence_masks(batch, rg, refseq, ref_offset, sa)["evidence"]
 
     def sv_evidence_masks(self, batch: ReadBatch, rg: int, refseq: np.ndarray,
-                          ref_offset: int, sa: np.ndarray | None = None) -> dict:
+                          ref_offset: int, sa: np.ndarray | None = None,
+                          sel: np.ndarray | None = None) -> dict:
         """isSVEvidence with per-type component masks, for evidence-count
         statistics (SVLocusScanner.cpp:1437-1483). The assm (semi-aligned)
         mask is computed for all reads not already accepted by a cheaper
         test AND all non-split reads, matching the reference's isAssm
-        definition."""
+        definition. `sel` restricts the evaluation (and all returned
+        masks) to the selected rows, letting callers skip a batch
+        subset copy."""
         if sa is None:
             sa = has_sa_tag(batch)
         anom = self.non_compressed_anomalous_mask(batch, rg)
         indel = self.local_indel_mask(batch)
+        semi_sel = ~sa if sel is None else ~sa & sel
         assm = np.zeros(batch.n, dtype=bool)
         if self.opt.is_small_candidates:
             if self.opt.use_overlap_pair_evidence:
                 # rare config needing per-read adapter checks
-                for i in np.flatnonzero(~sa):
+                for i in np.flatnonzero(semi_sel):
                     lead, _, trail, _ = self.semi_aligned_lengths(
                         batch, int(i), refseq, ref_offset)
                     if lead >= self.opt.min_semi_aligned_mismatch_len or \
                             trail >= self.opt.min_semi_aligned_mismatch_len:
                         assm[i] = True
             else:
-                assm = self._semi_aligned_mask_batch(batch, ~sa, refseq,
+                assm = self._semi_aligned_mask_batch(batch, semi_sel, refseq,
                                                      ref_offset)
+        if sel is not None:
+            anom = anom & sel
+            sa = sa & sel
+            indel = indel & sel
         return {
             "evidence": anom | sa | indel | assm,
             "anom": anom, "split": sa, "indel": indel, "assm": assm,
