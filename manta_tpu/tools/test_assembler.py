@@ -63,6 +63,8 @@ def main(argv=None):
                     required=True)
     ap.add_argument("--ref", default=None)
     ap.add_argument("--output-file", required=True)
+    ap.add_argument("--small", action="store_true",
+                    help="use the legacy SmallAssembler algorithm")
     args = ap.parse_args(argv)
     reads = []
     for path in args.bams:
@@ -70,7 +72,15 @@ def main(argv=None):
               file=sys.stderr)
         reads.extend(extract_assembly_reads(path, reference=args.ref))
     print("[INFO] Assembling read input.", file=sys.stderr)
-    contigs, _read_info = run_iterative_assembler(AssemblerOptions(), reads)
+    if args.small:
+        from ..assembly.small_assembler import (
+            SmallAssemblerOptions, run_small_assembler,
+        )
+        _read_info, contigs = run_small_assembler(
+            SmallAssemblerOptions(), reads)
+    else:
+        contigs, _read_info = run_iterative_assembler(
+            AssemblerOptions(), reads)
     print(f"[INFO] Assembly complete. Contig count: {len(contigs)}",
           file=sys.stderr)
     with open(args.output_file, "w") as f:

@@ -66,6 +66,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  is_rescore: bool = False,
                  locus_index: int | None = None,
                  use_device_scoring: bool = False,
+                 edge_bin_strategy: str = "contiguous",
                  verbose: bool = True):
     if n_jobs <= 0:
         # auto-detect (reference: estimateHardware.py core detection)
@@ -368,7 +369,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         tracker, edge_runtime_log = _run_edges_parallel(
             all_edges, locus_set, build_components, run_edges,
             vcf_names, unsorted_dir, n_jobs, generate_evidence_bam,
-            os.path.join(run_dir, "results", "evidence"), bams)
+            os.path.join(run_dir, "results", "evidence"), bams,
+            edge_bin_strategy=edge_bin_strategy)
     else:
         comps = build_components()
         edge_runtime_log = run_edges(comps, all_edges)
@@ -463,15 +465,48 @@ def _partition_edges(locus_set, edges, n_bins: int):
     return [b for b in bins if b]
 
 
+def _partition_edges_jump(locus_set, edges, n_bins: int):
+    """Interleaved observation-balanced edge binning
+    (reference: EdgeRetrieverJumpBin.cpp:35-124): edges round-robin over
+    bins by edge index, jumping past bins already at the average
+    observation load. The reference variant is flagged with an edge
+    repetition/dropout bug because each parallel process only accounts
+    its OWN bin's load (EdgeRetrieverJumpBin.cpp:105-114), so per-process
+    views of bin fullness diverge; computing every bin in one pass here
+    keeps one consistent load table, which removes the bug while
+    preserving the intended assignment rule."""
+    avg = 1 + locus_set.total_observation_count() // n_bins
+    bin_total = [0] * n_bins
+    bins = [[] for _ in range(n_bins)]
+    for edge_index, (li, n1, n2) in enumerate(edges):
+        first = edge_index % n_bins
+        target = first
+        while bin_total[target] >= avg:
+            target = (target + 1) % n_bins
+            if target == first:
+                break
+        locus = locus_set.loci[li]
+        w = locus.nodes[n1].edges.get(n2, 0)
+        if n1 != n2:
+            w += locus.nodes[n2].edges.get(n1, 0)
+        bin_total[target] += w
+        bins[target].append((li, n1, n2))
+    return [b for b in bins if b]
+
+
 def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
                         vcf_names, unsorted_dir, n_jobs,
-                        generate_evidence_bam, evidence_dir, bams):
+                        generate_evidence_bam, evidence_dir, bams,
+                        edge_bin_strategy: str = "contiguous"):
     """Fork-based phase-2 scale-out: observation-weighted edge bins per
     worker, per-bin VCF shards merged in bin order afterwards
     (reference: GenerateSVCandidates thread pool + legacy
     --bin-index/--bin-count multi-process mode)."""
     import multiprocessing as mp
-    bins = _partition_edges(locus_set, all_edges, n_jobs)
+    if edge_bin_strategy == "jump":
+        bins = _partition_edges_jump(locus_set, all_edges, n_jobs)
+    else:
+        bins = _partition_edges(locus_set, all_edges, n_jobs)
     ctx = mp.get_context("fork")
     queue = ctx.SimpleQueue()
 
@@ -661,6 +696,12 @@ def main(argv=None):
     ap.add_argument("--rescore", action="store_true",
                     help="reuse phase-0/1 artifacts, re-run candidate "
                          "generation and scoring only")
+    ap.add_argument("--edge-bin-strategy", default="contiguous",
+                    choices=("contiguous", "jump"),
+                    help="phase-2 edge binning: contiguous "
+                         "observation-weighted spans (default, "
+                         "output-order preserving) or interleaved jump "
+                         "bins (EdgeRetrieverJumpBin semantics)")
     args = ap.parse_args(argv)
     run_workflow(args.normal_bams, args.tumor_bams, args.reference,
                  args.run_dir, regions=args.regions or None,
@@ -670,7 +711,8 @@ def main(argv=None):
                  generate_evidence_bam=args.generate_evidence_bam,
                  n_jobs=args.jobs, is_rescore=args.rescore,
                  locus_index=args.locus_index,
-                 use_device_scoring=args.device_scoring)
+                 use_device_scoring=args.device_scoring,
+                 edge_bin_strategy=args.edge_bin_strategy)
 
 
 if __name__ == "__main__":
