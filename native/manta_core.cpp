@@ -17,6 +17,10 @@
 #include <vector>
 #include <algorithm>
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int32_t BAD = -10000;
@@ -1232,7 +1236,95 @@ extern "C" int mt_mate_ref_len(
 // Inner loop shared with mt_split_read_scan.
 
 namespace {
-inline int split_scan_core(
+
+// One scan position: the reference's per-base float32 accumulation
+// order (SplitReadAlignment.cpp); kept as the scalar tail path.
+inline float split_scan_pos(
+    const uint8_t* query, int32_t nq, const uint8_t* qual,
+    const uint8_t* target, int32_t k,
+    int32_t score_beg, int32_t score_end,
+    const float* lut_match, const float* lut_mism, float ln_random) {
+  float acc = 0.0f;
+  const uint8_t* w = target + k;
+  const int32_t j_lo = (score_beg - k + 1) > 0 ? (score_beg - k + 1) : 0;
+  const int32_t j_hi_excl = (score_end - k + 1) < nq ? (score_end - k + 1) : nq;
+  for (int32_t j = j_lo; j < j_hi_excl; j++) {
+    const uint8_t qb = query[j];
+    const uint8_t tb = w[j];
+    float term;
+    if (qb == 'N' || tb == 'N') term = ln_random;
+    else if (qb != tb) term = lut_mism[qual[j]];
+    else term = lut_match[qual[j]];
+    acc += term;
+  }
+  return acc;
+}
+
+// Lane-parallel scan: 16 consecutive scan positions accumulate
+// simultaneously, each lane in the exact scalar base order. The term
+// for every lane is SELECTED (blended), never recombined
+// arithmetically, and lanes outside their scoring window add +0.0f via
+// the write mask — bit-exact because every real term is a negative
+// log-likelihood, so the accumulator never holds -0.0f. Consecutive
+// scan positions read consecutive target bytes, so the lane load is
+// one unaligned 16-byte load. Runtime-dispatched: AVX-512 when
+// available, exact scalar loop otherwise.
+constexpr int32_t SCAN_W = 16;
+
+#if defined(__x86_64__) || defined(__i386__)
+__attribute__((target("avx512f")))
+void split_scan_block16_avx512(
+    const uint8_t* query, const uint8_t* qual, const uint8_t* target,
+    int32_t nq, int32_t k0, int32_t score_beg, int32_t score_end,
+    const float* lut_match, const float* lut_mism, float ln_random,
+    float* acc_out) {
+  __m512 acc = _mm512_setzero_ps();
+  const __m512 ln_rv = _mm512_set1_ps(ln_random);
+  const __m512i nv = _mm512_set1_epi32('N');
+  int32_t j_lo = score_beg - k0 - (SCAN_W - 1) + 1;
+  if (j_lo < 0) j_lo = 0;
+  int32_t j_hi_excl = score_end - k0 + 1;
+  if (j_hi_excl > nq) j_hi_excl = nq;
+  for (int32_t j = j_lo; j < j_hi_excl; j++) {
+    const uint8_t qb = query[j];
+    const __m512 m = _mm512_set1_ps(lut_match[qual[j]]);
+    const __m512 x = _mm512_set1_ps(lut_mism[qual[j]]);
+    const __m128i tb8 =
+        _mm_loadu_si128((const __m128i*)(target + k0 + j));
+    const __m512i tb = _mm512_cvtepu8_epi32(tb8);
+    const __mmask16 eq =
+        _mm512_cmpeq_epi32_mask(tb, _mm512_set1_epi32(qb));
+    __mmask16 isn = _mm512_cmpeq_epi32_mask(tb, nv);
+    if (qb == 'N') isn = (__mmask16)0xFFFF;
+    __m512 term = _mm512_mask_blend_ps(eq, x, m);
+    term = _mm512_mask_blend_ps(isn, term, ln_rv);
+    // lane l active iff score_beg < k0+l+j <= score_end; p grows with
+    // l, so the active lanes are the contiguous range [lo_l, hi_l)
+    const int32_t p0 = k0 + j;
+    int32_t lo_l = score_beg + 1 - p0;
+    if (lo_l < 0) lo_l = 0;
+    int32_t hi_l = score_end + 1 - p0;
+    if (hi_l > SCAN_W) hi_l = SCAN_W;
+    const uint32_t hi_bits = (hi_l >= SCAN_W) ? 0xFFFFu
+                                              : ((1u << hi_l) - 1u);
+    const uint32_t lo_bits = (1u << lo_l) - 1u;
+    const __mmask16 active = (__mmask16)(hi_bits & ~lo_bits);
+    acc = _mm512_mask_add_ps(acc, active, acc, term);
+  }
+  _mm512_storeu_ps(acc_out, acc);
+}
+#endif
+
+inline bool have_avx512() {
+#if defined(__x86_64__) || defined(__i386__)
+  static const bool ok = __builtin_cpu_supports("avx512f");
+  return ok;
+#else
+  return false;
+#endif
+}
+
+int split_scan_core(
     const uint8_t* query, int32_t nq, const uint8_t* qual,
     const uint8_t* target, int32_t nt,
     int32_t bp_beg, int32_t bp_end, int32_t flank_score_size,
@@ -1250,20 +1342,31 @@ inline int split_scan_core(
   float best = 0.0f;
   int32_t best_k = 0;
   bool init = false;
-  for (int32_t k = scan_start; k <= scan_end; k++) {
-    float acc = 0.0f;
-    const uint8_t* w = target + k;
-    const int32_t j_lo = (score_beg - k + 1) > 0 ? (score_beg - k + 1) : 0;
-    const int32_t j_hi_excl = (score_end - k + 1) < nq ? (score_end - k + 1) : nq;
-    for (int32_t j = j_lo; j < j_hi_excl; j++) {
-      const uint8_t qb = query[j];
-      const uint8_t tb = w[j];
-      float term;
-      if (qb == 'N' || tb == 'N') term = ln_random;
-      else if (qb != tb) term = lut_mism[qual[j]];
-      else term = lut_match[qual[j]];
-      acc += term;
+
+  int32_t k0 = scan_start;
+#if defined(__x86_64__) || defined(__i386__)
+  if (have_avx512()) {
+    // full blocks only: max target index touched is (k0+W-1)+(nq-1)
+    // <= scan_end+nq-1 <= nt-1, so the 16-byte lane loads are in-bounds
+    for (; k0 + SCAN_W - 1 <= scan_end; k0 += SCAN_W) {
+      float acc[SCAN_W];
+      split_scan_block16_avx512(query, qual, target, nq, k0, score_beg,
+                                score_end, lut_match, lut_mism, ln_random,
+                                acc);
+      for (int32_t l = 0; l < SCAN_W; l++) {
+        if (!init || acc[l] > best) {
+          best = acc[l];
+          best_k = k0 + l;
+          init = true;
+        }
+      }
     }
+  }
+#endif
+  for (int32_t k = k0; k <= scan_end; k++) {
+    const float acc = split_scan_pos(query, nq, qual, target, k, score_beg,
+                                     score_end, lut_match, lut_mism,
+                                     ln_random);
     if (!init || acc > best) {
       best = acc;
       best_k = k;
