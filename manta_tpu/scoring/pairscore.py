@@ -149,6 +149,41 @@ class RefPairProcessor(PairProcessorParams):
         ok &= overlap >= self.pair_opt.min_frag_support
         return ok
 
+    def process_batch(self, batch, order, bam_index):
+        """Vectorized process() over survivor_mask survivors: every
+        per-record reject is already applied by the mask, so only the
+        evidence-bank updates remain. The fragment-size cdf is batched;
+        min(p, 1-p) stays in float64 like the scalar path."""
+        if len(order) == 0:
+            return
+        idx = np.asarray(order, np.int64)
+        ts = np.abs(batch.tlen[idx].astype(np.int64))
+        p32 = self.frag_distro.cdf_arr(ts).astype(np.float64)
+        frag_prob = np.minimum(p32, 1.0 - p32)
+        if self.pair_opt.rna:
+            frag_prob = np.maximum(frag_prob, self.pair_opt.min_frag_prob)
+        mapqs = batch.mapq[idx].astype(np.int64)
+        anchored = mapqs >= self.min_mapq
+        tier2 = mapqs >= self.min_tier2_mapq
+        read_lens = (batch.seq_off[idx + 1] - batch.seq_off[idx])
+        is_r1 = (batch.flag[idx] & FLAG_READ1) != 0
+        track = self.evidence_tracks[bam_index]
+        is_bp1 = self.is_bp1
+        for j, i in enumerate(idx):
+            fragment = track.setdefault(batch.name_str(i),
+                                        FragmentEvidence())
+            read = fragment.read1 if is_r1[j] else fragment.read2
+            if not read.is_scanned:
+                read.is_scanned = True
+                read.mapq = int(mapqs[j])
+                read.is_shadow = False
+                read._anchored = bool(anchored[j])
+                read._tier2_anchored = bool(tier2[j])
+                read.size = int(read_lens[j])
+            bp = fragment.ref.bp1 if is_bp1 else fragment.ref.bp2
+            bp.is_fragment_support = True
+            bp.frag_length_prob = float(frag_prob[j])
+
     def process(self, batch, i, bam_index):
         pos = int(batch.pos[i])
         tid, beg, end = self.interval

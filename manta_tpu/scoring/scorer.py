@@ -671,6 +671,9 @@ class SVScorer:
                     keep &= mask
                 order = np.argsort(batch.pos, kind="stable")
                 order = order[keep[order]]
+                if mask is not None and hasattr(proc, "process_batch"):
+                    proc.process_batch(batch, order, bam_index)
+                    continue
                 for oi in order:
                     i = int(oi)
                     if mask is None and proc.is_skip_record(batch, i):
