@@ -77,6 +77,10 @@ def get_lib():
     lib.mt_matchify_ranges.restype = ctypes.c_int
     lib.mt_matchify_ranges.argtypes = [
         ctypes.c_int64, i32p, i64p, u32p, i32p, i32p]
+    lib.mt_depth_pileup.restype = ctypes.c_int
+    lib.mt_depth_pileup.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, u32p,
+        ctypes.c_int64, ctypes.c_int64, i32p]
     lib.mt_split_finalize_multi.restype = ctypes.c_int
     lib.mt_split_finalize_multi.argtypes = [
         ctypes.c_int64, i64p, i64p, u8p,

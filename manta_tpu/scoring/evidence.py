@@ -47,7 +47,7 @@ class QscoreSnp:
         return self._lut256
 
 
-@dataclass
+@dataclass(slots=True)
 class PerReadBp:
     """(reference: SVFragmentEvidenceAlleleBreakendPerRead)."""
     is_split_support: bool = False
@@ -57,7 +57,7 @@ class PerReadBp:
     split_ln_lhood: float = 0.0
 
 
-@dataclass
+@dataclass(slots=True)
 class AlleleBp:
     is_fragment_support: bool = False
     frag_length_prob: float = 0.0
@@ -72,7 +72,7 @@ class AlleleBp:
         self.frag_length_prob = 0.0
 
 
-@dataclass
+@dataclass(slots=True)
 class Allele:
     bp1: AlleleBp = field(default_factory=AlleleBp)
     bp2: AlleleBp = field(default_factory=AlleleBp)
@@ -93,7 +93,7 @@ class Allele:
         self.bp2.clear_pair_support()
 
 
-@dataclass
+@dataclass(slots=True)
 class FragRead:
     is_scanned: bool = False
     is_shadow: bool = False
@@ -109,7 +109,7 @@ class FragRead:
         return self.is_scanned and self.is_anchored(tier2)
 
 
-@dataclass
+@dataclass(slots=True)
 class FragmentEvidence:
     """(reference: SVFragmentEvidence)."""
     read1: FragRead = field(default_factory=FragRead)
@@ -149,7 +149,7 @@ class FragmentEvidence:
         self.alt.clear_pair_support()
 
 
-@dataclass
+@dataclass(slots=True)
 class SampleAlleleInfo:
     """(reference: SVSampleAlleleInfo)."""
     spanning_pair_count: int = 0
@@ -163,13 +163,13 @@ class SampleAlleleInfo:
     confident_split_read_and_pair_count_ref_bp2: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class SampleInfo:
     alt: SampleAlleleInfo = field(default_factory=SampleAlleleInfo)
     ref: SampleAlleleInfo = field(default_factory=SampleAlleleInfo)
 
 
-@dataclass
+@dataclass(slots=True)
 class ScoreInfo:
     """(reference: SVScoreInfo)."""
     samples: list[SampleInfo] = field(default_factory=list)
@@ -195,7 +195,7 @@ def set_read_evidence(min_mapq: int, min_tier2_mapq: int, mapq: int,
 # ---------------------------------------------------------------------------
 # split-read scoring
 
-@dataclass
+@dataclass(slots=True)
 class SRAlignmentInfo:
     align_pos: int = 0
     left_size: int = 0

@@ -541,7 +541,9 @@ class SVScorer:
         end = center + region_size
         if end <= beg:
             return 0, 0.0
-        depth = np.zeros(end - beg, np.int64)
+        from .._native import get_lib, i32p, i64p, u32p
+        lib = get_lib()
+        depth = np.zeros(end - beg, np.int32)
         total_reads = 0
         total_mq0 = 0
         for bam_index, reader in enumerate(self.readers):
@@ -552,30 +554,18 @@ class SVScorer:
                 continue
             sa = has_sa_tag(batch)
             bad = is_read_unmapped_or_filtered_core(batch, sa)
-            order = np.argsort(batch.pos, kind="stable")
-            for oi in order:
-                i = int(oi)
-                pos = int(batch.pos[i])
-                if pos >= end:
-                    break
-                if bad[i]:
-                    continue
-                # add align-match segments to depth
-                al = get_alignment(batch, i)
-                ref_pos = pos
-                for o, l in zip(al.ops.tolist(), al.lens.tolist()):
-                    if ref_pos >= end:
-                        break
-                    if o in cg.MATCH_OPS:
-                        s = max(ref_pos, beg) - beg
-                        e = min(ref_pos + l, end) - beg
-                        if e > s:
-                            depth[s:e] += 1
-                    if o in cg.REF_LEN_OPS:
-                        ref_pos += l
-                total_reads += 1
-                if batch.mapq[i] == 0:
-                    total_mq0 += 1
+            keep = ~bad & (batch.pos < end)
+            sel = np.flatnonzero(keep).astype(np.int64)
+            total_reads += len(sel)
+            total_mq0 += int((batch.mapq[sel] == 0).sum())
+            # add align-match segments to depth (native pileup)
+            rc = lib.mt_depth_pileup(
+                len(sel), sel.ctypes.data_as(i64p),
+                batch.pos.ctypes.data_as(i32p),
+                batch.cigar_off.ctypes.data_as(i64p),
+                batch.cigar.ctypes.data_as(u32p),
+                beg, end, depth.ctypes.data_as(i32p))
+            assert rc == 0, f"mt_depth_pileup failed: {rc}"
         max_depth = int(depth.max()) if len(depth) else 0
         mq0_frac = 0.0
         if total_reads >= 10:

@@ -1623,6 +1623,35 @@ extern "C" int mt_matchify_ranges(
   return 0;
 }
 
+// Depth pileup over a window for selected reads: accumulates the
+// M/=/X segments of each read's alignment into a per-position counter
+// (reference: GenerateSVCandidates/SVScorer.cpp
+// addReadToDepthEst/getBreakendMaxMappedDepthAndMQ0:76-143).
+extern "C" int mt_depth_pileup(
+    int64_t n_sel, const int64_t* sel, const int32_t* pos,
+    const int64_t* cigar_off, const uint32_t* cigar,
+    int64_t win_beg, int64_t win_end, int32_t* depth) {
+  for (int64_t r = 0; r < n_sel; r++) {
+    const int64_t i = sel[r];
+    int64_t ref_pos = pos[i];
+    const int64_t c0 = cigar_off[i];
+    const int64_t c1 = cigar_off[i + 1];
+    for (int64_t k = c0; k < c1; k++) {
+      if (ref_pos >= win_end) break;
+      const uint32_t op = cigar[k] & 0xF;
+      const int64_t l = cigar[k] >> 4;
+      if (op == 0 || op == 7 || op == 8) {  // M/=/X
+        int64_t s = ref_pos > win_beg ? ref_pos : win_beg;
+        int64_t e = (ref_pos + l) < win_end ? (ref_pos + l) : win_end;
+        for (int64_t p = s; p < e; p++) depth[p - win_beg]++;
+      }
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)  // M/D/N/=/X
+        ref_pos += l;
+    }
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Batched split-alignment mismatch accounting at the winning scan
 // position (reference: SplitReadAlignment.cpp calculateAlignScore):
