@@ -18,6 +18,21 @@ u16p = ctypes.POINTER(ctypes.c_uint16)
 u32p = ctypes.POINTER(ctypes.c_uint32)
 
 
+class MtAsmResult(ctypes.Structure):
+    """Mirror of the native assembler result struct (manta_core.cpp)."""
+    _fields_ = [
+        ("n_contigs", ctypes.c_int32),
+        ("seq_off", i64p),
+        ("seq_blob", u8p),
+        ("cons_beg", i32p),
+        ("cons_end", i32p),
+        ("sup_off", i64p),
+        ("sup_idx", i32p),
+        ("final_read_count", ctypes.c_int32),
+        ("pseudo_start", ctypes.c_int32),
+    ]
+
+
 def get_lib():
     global _LIB
     if _LIB is not None:
@@ -81,6 +96,14 @@ def get_lib():
     lib.mt_depth_pileup.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p,
         ctypes.c_int64, ctypes.c_int64, i32p]
+    lib.mt_assemble.restype = ctypes.c_int
+    lib.mt_assemble.argtypes = [
+        ctypes.c_int64, i64p, u8p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(MtAsmResult))]
+    lib.mt_assemble_free.restype = None
+    lib.mt_assemble_free.argtypes = [ctypes.POINTER(MtAsmResult)]
     lib.mt_split_finalize_multi.restype = ctypes.c_int
     lib.mt_split_finalize_multi.argtypes = [
         ctypes.c_int64, i64p, i64p, u8p,

@@ -318,8 +318,13 @@ def _select_contigs(opt: AssemblerOptions, read_info: list[AssemblyReadInfo],
         max_length = 0
         for ci, contig in enumerate(candidates):
             new_support = contig.support_reads - used_reads
+            # an index beyond read_info is a pseudo read erased by a
+            # later iteration's rollover (only pseudo reads are erased;
+            # the reference indexes readInfo out of bounds here,
+            # IterativeAssembler.cpp:776-778)
             new_normal = sum(1 for rd in new_support
-                             if not read_info[rd].is_pseudo)
+                             if rd < len(read_info)
+                             and not read_info[rd].is_pseudo)
             if new_normal < opt.min_support_reads:
                 to_remove.add(ci)
                 continue
@@ -338,6 +343,9 @@ def _select_contigs(opt: AssemblerOptions, read_info: list[AssemblyReadInfo],
             candidates.pop(ci)
         for rd in selected.support_reads:
             used_reads.add(rd)
+            if rd >= len(read_info):  # stale (erased pseudo) index
+                used_pseudo.add(rd)
+                continue
             rinfo = read_info[rd]
             rinfo.is_used = True
             rinfo.contig_ids.append(len(final) - 1)
@@ -346,9 +354,72 @@ def _select_contigs(opt: AssemblerOptions, read_info: list[AssemblyReadInfo],
     return final
 
 
+def _run_native_assembler(opt: AssemblerOptions, reads: list[str]):
+    """Native mt_assemble path: identical algorithm in C++ (bitset read
+    sets); reconstructs contigs and read_info from the flat result."""
+    import ctypes
+
+    import numpy as np
+
+    from .._native import MtAsmResult, get_lib, i64p, u8p
+    lib = get_lib()
+    blob = "".join(reads).encode()
+    off = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=off[1:])
+    barr = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    out = ctypes.POINTER(MtAsmResult)()
+    rc = lib.mt_assemble(
+        len(reads), off.ctypes.data_as(i64p), barr.ctypes.data_as(u8p),
+        opt.min_word_length, opt.max_word_length, opt.word_step_size,
+        opt.min_coverage, opt.min_conservative_coverage,
+        opt.min_unused_reads, opt.min_support_reads,
+        opt.max_assembly_count, ctypes.byref(out))
+    assert rc == 0, f"mt_assemble failed: {rc}"
+    try:
+        r = out.contents
+        n = int(r.n_contigs)
+        final_count = int(r.final_read_count)
+        pseudo_start = int(r.pseudo_start)
+        read_info = [AssemblyReadInfo() for _ in range(final_count)]
+        for ri in range(pseudo_start, final_count):
+            read_info[ri].is_pseudo = True
+        contigs = []
+        for t in range(n):
+            s0, s1 = r.seq_off[t], r.seq_off[t + 1]
+            seq = bytes(bytearray(r.seq_blob[s0:s1])).decode()
+            p0, p1 = r.sup_off[t], r.sup_off[t + 1]
+            sup = [int(r.sup_idx[k]) for k in range(p0, p1)]
+            contigs.append(AssembledContig(
+                seq=seq, support_reads=set(sup),
+                conservative_beg=int(r.cons_beg[t]),
+                conservative_end=int(r.cons_end[t])))
+            for rd in sup:
+                if rd >= final_count:  # stale (erased pseudo) index
+                    continue
+                read_info[rd].is_used = True
+                read_info[rd].contig_ids.append(t)
+        return contigs, read_info
+    finally:
+        lib.mt_assemble_free(out)
+
+
 def run_iterative_assembler(opt: AssemblerOptions, reads: list[str]):
     """Assemble reads; returns (contigs, read_info). `reads` may be
-    extended with pseudo reads during iteration (as in the reference)."""
+    extended with pseudo reads during iteration (as in the reference).
+
+    Routes to the native core (mt_assemble) unless
+    MANTA_TPU_PY_ASSEMBLER=1 or a non-default alphabet is configured;
+    the Python implementation below is the behavioral source of truth
+    and the native port is held to it by tests/test_assembler_native.py.
+    """
+    import os
+    if opt.alphabet == "ACGT" and \
+            os.environ.get("MANTA_TPU_PY_ASSEMBLER") != "1":
+        return _run_native_assembler(opt, reads)
+    return _run_python_assembler(opt, reads)
+
+
+def _run_python_assembler(opt: AssemblerOptions, reads: list[str]):
     normal_read_count = len(reads)
     read_info = [AssemblyReadInfo() for _ in reads]
     iterative_contigs: list[AssembledContig] = []

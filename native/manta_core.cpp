@@ -1700,3 +1700,571 @@ extern "C" int mt_split_finalize_multi(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Iterative greedy de-Bruijn assembler, native port of
+// manta_tpu/assembly/assembler.py (reference:
+// src/c++/lib/assembly/IterativeAssembler.cpp): k-mer counting with
+// pseudo-read weighting, Tarjan SCC repeat detection with the
+// small-circle threshold, greedy bidirectional contig extension with
+// supporting/rejecting read tracking, word-size iteration with
+// pseudo-read rollover, and greedy contig selection. Deterministic
+// orders follow the Python module: sorted word order for repeat-search
+// roots and seed selection, alphabet order for successors/branches.
+// Read sets are bitsets (all set operations here are
+// order-independent), so results match the Python set semantics
+// exactly.
+
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <map>
+#include <cstdlib>
+
+namespace asmx {
+
+struct Bits {
+  std::vector<uint64_t> w;
+  explicit Bits(size_t n = 0) : w((n + 63) / 64, 0) {}
+  void resize_bits(size_t n) { w.assign((n + 63) / 64, 0); }
+  void set(size_t i) { w[i >> 6] |= (1ull << (i & 63)); }
+  bool test(size_t i) const {
+    return (w[i >> 6] >> (i & 63)) & 1ull;
+  }
+  void ior(const Bits& o) {
+    for (size_t i = 0; i < w.size(); i++) w[i] |= o.w[i];
+  }
+  void andnot_eq(const Bits& o) {  // this &= ~o
+    for (size_t i = 0; i < w.size(); i++) w[i] &= ~o.w[i];
+  }
+  static Bits and_(const Bits& a, const Bits& b) {
+    Bits r;
+    r.w.resize(a.w.size());
+    for (size_t i = 0; i < a.w.size(); i++) r.w[i] = a.w[i] & b.w[i];
+    return r;
+  }
+  static Bits andnot(const Bits& a, const Bits& b) {  // a & ~b
+    Bits r;
+    r.w.resize(a.w.size());
+    for (size_t i = 0; i < a.w.size(); i++) r.w[i] = a.w[i] & ~b.w[i];
+    return r;
+  }
+  void or_andnot(const Bits& a, const Bits& b) {  // this |= a & ~b
+    for (size_t i = 0; i < w.size(); i++) w[i] |= a.w[i] & ~b.w[i];
+  }
+  bool any() const {
+    for (uint64_t x : w)
+      if (x) return true;
+    return false;
+  }
+  int64_t count() const {
+    int64_t c = 0;
+    for (uint64_t x : w) c += __builtin_popcountll(x);
+    return c;
+  }
+  bool operator==(const Bits& o) const { return w == o.w; }
+};
+
+struct Contig {
+  std::string seq;
+  Bits support;
+  Bits reject;
+  int32_t cons_beg = 0;
+  int32_t cons_end = 0;
+};
+
+struct WordInfo {
+  int32_t count = 0;
+  Bits reads;
+};
+
+struct Options {
+  int32_t min_word, max_word, word_step;
+  int32_t min_coverage, min_cons_coverage;
+  int32_t min_unused_reads, min_support_reads, max_assembly_count;
+};
+
+typedef std::unordered_map<std::string, WordInfo> WordMap;
+
+static const char ALPHABET[4] = {'A', 'C', 'G', 'T'};
+
+// assembler.py _get_kmer_maps
+static void get_kmer_maps(const Options& opt,
+                          const std::vector<std::string>& reads,
+                          const std::vector<bool>& is_pseudo,
+                          int32_t word_length, size_t capacity,
+                          WordMap& words) {
+  const size_t n_reads = reads.size();
+  std::unordered_set<std::string> read_words;
+  for (size_t ri = 0; ri < n_reads; ri++) {
+    const std::string& seq = reads[ri];
+    const int64_t read_len = (int64_t)seq.size();
+    if (read_len < word_length) continue;
+    read_words.clear();
+    for (int64_t j = 0; j + word_length <= read_len; j++) {
+      const char* p = seq.data() + j;
+      bool has_n = false;
+      for (int64_t t = 0; t < word_length; t++)
+        if (p[t] == 'N') { has_n = true; break; }
+      if (has_n) continue;
+      read_words.emplace(p, word_length);
+    }
+    const int32_t add = is_pseudo[ri] ? opt.min_coverage : 1;
+    for (const std::string& word : read_words) {
+      WordInfo& wi = words[word];
+      if (wi.reads.w.empty()) wi.reads.resize_bits(capacity);
+      wi.count += add;
+      wi.reads.set(ri);
+    }
+  }
+}
+
+// assembler.py _get_repeat_kmers: iterative Tarjan SCC, sorted roots,
+// alphabet-order successors; non-singleton SCCs with DFS-index span
+// <= 50 are repeats, plus homopolymer self-loops.
+static void get_repeat_kmers(const WordMap& words,
+                             const std::vector<const std::string*>& sorted_words,
+                             std::unordered_set<std::string>& repeat_words) {
+  std::unordered_map<std::string, int32_t> index_of, lowlink;
+  std::unordered_set<std::string> on_stack;
+  std::vector<std::string> stack;
+  int32_t next_index = 1;
+
+  struct Frame {
+    std::string word;
+    int8_t next_symbol;  // next alphabet successor to examine (0..4)
+  };
+
+  auto successors_of = [&](const std::string& word,
+                           std::vector<std::string>& out) {
+    out.clear();
+    const std::string tail = word.substr(1);
+    for (char symbol : ALPHABET) {
+      std::string nxt = tail + symbol;
+      if (nxt == word) {
+        repeat_words.insert(word);
+        continue;
+      }
+      if (words.count(nxt)) out.push_back(std::move(nxt));
+    }
+  };
+
+  // per-frame successor lists (mirrors the Python generator state)
+  std::vector<std::pair<std::string, std::pair<std::vector<std::string>,
+                                               size_t>>> work;
+  std::vector<std::string> succ;
+
+  for (const std::string* startp : sorted_words) {
+    const std::string& start = *startp;
+    if (index_of.count(start)) continue;
+    successors_of(start, succ);
+    work.clear();
+    work.push_back({start, {succ, 0}});
+    index_of[start] = lowlink[start] = next_index++;
+    stack.push_back(start);
+    on_stack.insert(start);
+    while (!work.empty()) {
+      auto& top = work.back();
+      const std::string word = top.first;
+      bool advanced = false;
+      while (top.second.second < top.second.first.size()) {
+        const std::string& nxt = top.second.first[top.second.second++];
+        if (!index_of.count(nxt)) {
+          index_of[nxt] = lowlink[nxt] = next_index++;
+          stack.push_back(nxt);
+          on_stack.insert(nxt);
+          successors_of(nxt, succ);
+          work.push_back({nxt, {succ, 0}});
+          advanced = true;
+          break;
+        } else if (on_stack.count(nxt)) {
+          if (index_of[nxt] < lowlink[word]) lowlink[word] = index_of[nxt];
+        }
+      }
+      if (advanced) continue;
+      work.pop_back();
+      if (!work.empty()) {
+        const std::string& parent = work.back().first;
+        if (lowlink[word] < lowlink[parent]) lowlink[parent] = lowlink[word];
+      }
+      if (lowlink[word] == index_of[word]) {
+        const std::string& last = stack.back();
+        if (last == word) {
+          stack.pop_back();
+          on_stack.erase(word);
+        } else {
+          const bool small = (index_of[last] - index_of[word]) <= 50;
+          while (true) {
+            std::string w = stack.back();
+            stack.pop_back();
+            on_stack.erase(w);
+            const bool done = (w == word);
+            if (small) repeat_words.insert(std::move(w));
+            if (done) break;
+          }
+        }
+      }
+    }
+  }
+}
+
+// assembler.py _walk
+static bool walk(const Options& opt, const std::string& seed,
+                 int32_t word_length, const WordMap& words,
+                 const std::unordered_set<std::string>& repeat_words,
+                 std::unordered_set<std::string>& unused_words,
+                 size_t capacity, Contig& contig) {
+  const WordInfo& seed_info = words.at(seed);
+  contig.support = seed_info.reads;
+  contig.reject.resize_bits(capacity);
+  contig.seq = seed;
+  unused_words.erase(seed);
+
+  if (repeat_words.count(seed)) {
+    contig.cons_beg = 0;
+    contig.cons_end = word_length;
+    return true;
+  }
+
+  std::unordered_set<std::string> words_in_contig;
+  words_in_contig.insert(seed);
+
+  {
+    const std::string tmp_trunk = seed.substr(0, word_length - 1);
+    for (char symbol : ALPHABET) {
+      if (symbol == seed[word_length - 1]) continue;
+      auto it = words.find(tmp_trunk + symbol);
+      if (it != words.end()) contig.reject.ior(it->second.reads);
+    }
+  }
+
+  bool is_repeat_found = false;
+  int32_t cons_right = 0, cons_left = 0;
+
+  for (int mode = 0; mode < 2; mode++) {
+    const bool is_end = (mode == 0);
+    int32_t cons_offset = 0;
+    while (true) {
+      const std::string previous_word =
+          is_end ? contig.seq.substr(contig.seq.size() - word_length)
+                 : contig.seq.substr(0, word_length);
+      const std::string trunk =
+          is_end ? contig.seq.substr(contig.seq.size() - (word_length - 1))
+                 : contig.seq.substr(0, word_length - 1);
+
+      int32_t max_base_count = 0;
+      int64_t max_contig_word_read_count = 0;
+      std::string max_word;
+      char max_base = ALPHABET[0];
+      Bits max_word_reads(capacity);
+      Bits max_contig_word_reads(capacity);
+      Bits support_remove(capacity);
+      Bits reject_add(capacity);
+      bool have_max = false;
+
+      for (char symbol : ALPHABET) {
+        const std::string new_key =
+            is_end ? (trunk + symbol) : (symbol + trunk);
+        auto it = words.find(new_key);
+        if (it == words.end()) continue;
+        const int32_t curr_word_count = it->second.count;
+        const Bits& curr_word_reads = it->second.reads;
+        Bits contig_word_reads = Bits::and_(contig.support, curr_word_reads);
+        Bits shared_reads = Bits::and_(max_contig_word_reads,
+                                       curr_word_reads);
+        if (!contig_word_reads.any()) continue;
+        const int64_t cwr = contig_word_reads.count();
+        if (cwr > max_contig_word_read_count) {
+          if (have_max) {
+            support_remove.or_andnot(max_contig_word_reads, shared_reads);
+            reject_add.or_andnot(max_word_reads, shared_reads);
+          }
+          max_word_reads = curr_word_reads;
+          max_contig_word_read_count = cwr;
+          max_contig_word_reads = std::move(contig_word_reads);
+          max_base_count = curr_word_count;
+          max_base = symbol;
+          max_word = new_key;
+          have_max = true;
+        } else {
+          support_remove.or_andnot(contig_word_reads, shared_reads);
+          reject_add.or_andnot(curr_word_reads, shared_reads);
+        }
+      }
+
+      if (max_base_count < opt.min_coverage) break;
+      if (words_in_contig.count(max_word)) {
+        is_repeat_found = true;
+        break;
+      }
+
+      if (is_end)
+        contig.seq.push_back(max_base);
+      else
+        contig.seq.insert(contig.seq.begin(), max_base);
+
+      if (cons_offset != 0 || max_base_count < opt.min_cons_coverage)
+        cons_offset += 1;
+
+      // branch-point backward check (previous_word_reads is freshly
+      // empty each step in the source, so the guard always fires when
+      // a branch was selected)
+      {
+        const char tmp_symbol =
+            is_end ? previous_word[0] : previous_word[word_length - 1];
+        for (char symbol : ALPHABET) {
+          if (symbol == tmp_symbol) continue;
+          const std::string back_key =
+              is_end ? (symbol + trunk) : (trunk + symbol);
+          if (back_key == max_word) continue;
+          auto it = words.find(back_key);
+          if (it == words.end()) continue;
+          const Bits& back_reads = it->second.reads;
+          // to_update = back_reads - (max_contig_word_reads & back_reads)
+          Bits to_update = Bits::andnot(back_reads, max_contig_word_reads);
+          if (to_update.any()) {
+            reject_add.ior(to_update);
+            support_remove.ior(to_update);
+          }
+        }
+      }
+
+      contig.reject.ior(reject_add);
+      contig.support.or_andnot(max_word_reads, contig.reject);
+      contig.support.andnot_eq(support_remove);
+
+      unused_words.erase(max_word);
+      words_in_contig.insert(std::move(max_word));
+    }
+    if (mode == 0)
+      cons_right = cons_offset;
+    else
+      cons_left = cons_offset;
+  }
+
+  contig.cons_beg = cons_left;
+  contig.cons_end = (int32_t)contig.seq.size() - cons_right;
+  return is_repeat_found;
+}
+
+// assembler.py _build_contigs
+static bool build_contigs(const Options& opt,
+                          const std::vector<std::string>& reads,
+                          const std::vector<bool>& is_pseudo,
+                          int32_t word_length, size_t capacity,
+                          std::vector<Contig>& contigs) {
+  WordMap words;
+  get_kmer_maps(opt, reads, is_pseudo, word_length, capacity, words);
+
+  std::vector<const std::string*> sorted_words;
+  sorted_words.reserve(words.size());
+  for (const auto& kv : words) sorted_words.push_back(&kv.first);
+  std::sort(sorted_words.begin(), sorted_words.end(),
+            [](const std::string* a, const std::string* b) {
+              return *a < *b;
+            });
+
+  std::unordered_set<std::string> repeat_words;
+  get_repeat_kmers(words, sorted_words, repeat_words);
+
+  std::unordered_set<std::string> unused_words;
+  for (const auto& kv : words)
+    if (kv.second.count >= opt.min_coverage) unused_words.insert(kv.first);
+
+  bool is_success = true;
+  while (!unused_words.empty() &&
+         (int64_t)contigs.size() < 2 * (int64_t)opt.max_assembly_count) {
+    // max-count word, smallest in sorted order among ties (the Python
+    // scans sorted(unused_words) keeping strictly-greater counts)
+    const std::string* max_word = nullptr;
+    int32_t max_word_count = 0;
+    for (const std::string* w : sorted_words) {
+      if (!unused_words.count(*w)) continue;
+      const int32_t c = words.at(*w).count;
+      if (c > max_word_count) {
+        max_word = w;
+        max_word_count = c;
+      }
+    }
+    if (!max_word) break;  // unreachable: unused_words implies a max
+    contigs.emplace_back();
+    const bool is_repeat = walk(opt, *max_word, word_length, words,
+                                repeat_words, unused_words, capacity,
+                                contigs.back());
+    if (is_repeat) is_success = false;
+  }
+  return is_success;
+}
+
+}  // namespace asmx
+
+struct MtAsmResult {
+  int32_t n_contigs;
+  int64_t* seq_off;
+  uint8_t* seq_blob;
+  int32_t* cons_beg;
+  int32_t* cons_end;
+  int64_t* sup_off;
+  int32_t* sup_idx;
+  int32_t final_read_count;
+  int32_t pseudo_start;
+};
+
+extern "C" void mt_assemble_free(MtAsmResult* r) {
+  if (!r) return;
+  free(r->seq_off);
+  free(r->seq_blob);
+  free(r->cons_beg);
+  free(r->cons_end);
+  free(r->sup_off);
+  free(r->sup_idx);
+  free(r);
+}
+
+// assembler.py run_iterative_assembler + _select_contigs. Returns the
+// selected contigs plus per-contig support read lists so the caller
+// can reconstruct read_info (is_used/contig_ids) identically.
+extern "C" int mt_assemble(
+    int64_t n_reads, const int64_t* read_off, const uint8_t* read_blob,
+    int32_t min_word, int32_t max_word, int32_t word_step,
+    int32_t min_coverage, int32_t min_cons_coverage,
+    int32_t min_unused_reads, int32_t min_support_reads,
+    int32_t max_assembly_count, MtAsmResult** out) {
+  asmx::Options opt{min_word, max_word, word_step, min_coverage,
+                    min_cons_coverage, min_unused_reads,
+                    min_support_reads, max_assembly_count};
+
+  std::vector<std::string> reads;
+  reads.reserve(n_reads);
+  for (int64_t i = 0; i < n_reads; i++)
+    reads.emplace_back((const char*)read_blob + read_off[i],
+                       (size_t)(read_off[i + 1] - read_off[i]));
+  std::vector<bool> is_pseudo(reads.size(), false);
+  const int64_t normal_read_count = n_reads;
+
+  // fixed bitset capacity: pseudo reads per iteration are bounded by
+  // the contig cap (2 * max_assembly_count)
+  const size_t capacity =
+      (size_t)n_reads + 2 * (size_t)max_assembly_count + 1;
+  std::vector<asmx::Contig> iterative_contigs;
+  int32_t word_length = opt.min_word;
+  while (word_length <= opt.max_word) {
+    iterative_contigs.clear();
+    const bool ok = asmx::build_contigs(opt, reads, is_pseudo, word_length,
+                                        capacity, iterative_contigs);
+    if (ok) break;
+    // drop pseudo reads from the previous iteration (always a suffix)
+    for (size_t ri = 0; ri < reads.size(); ri++) {
+      if (is_pseudo[ri]) {
+        reads.resize(ri);
+        is_pseudo.resize(ri);
+        break;
+      }
+    }
+    for (const asmx::Contig& c : iterative_contigs) {
+      if ((int64_t)c.seq.size() > word_length + opt.word_step) {
+        reads.push_back(c.seq);
+        is_pseudo.push_back(true);
+      }
+    }
+    word_length += opt.word_step;
+  }
+
+  // _select_contigs — note contig bitsets were sized for the read count
+  // of their build iteration; align by re-checking indexes < that size
+  const size_t final_reads = reads.size();
+  asmx::Bits used_reads(capacity), used_pseudo(capacity);
+  std::vector<asmx::Contig*> candidates;
+  for (asmx::Contig& c : iterative_contigs) candidates.push_back(&c);
+  std::vector<const asmx::Contig*> final_contigs;
+
+  // indices >= final_reads are stale (erased pseudo) — pseudo reads
+  // are always a suffix starting at the same base, so any index at or
+  // beyond the first pseudo slot is pseudo
+  asmx::Bits pseudo_mask(capacity);
+  size_t first_pseudo = final_reads;
+  for (size_t ri = 0; ri < final_reads; ri++)
+    if (is_pseudo[ri]) { first_pseudo = ri; break; }
+  for (size_t ri = first_pseudo; ri < capacity; ri++) pseudo_mask.set(ri);
+
+  while (!candidates.empty() &&
+         (int64_t)final_contigs.size() < opt.max_assembly_count) {
+    const int64_t used_normal = used_reads.count() - used_pseudo.count();
+    const int64_t unused_normal = normal_read_count - used_normal;
+    if (unused_normal < opt.min_unused_reads) break;
+    std::vector<size_t> to_remove;
+    const asmx::Contig* selected = nullptr;
+    size_t selected_index = 0;
+    int64_t max_support = 0;
+    int64_t max_length = 0;
+    for (size_t ci = 0; ci < candidates.size(); ci++) {
+      const asmx::Contig* c = candidates[ci];
+      asmx::Bits new_support = asmx::Bits::andnot(c->support, used_reads);
+      const int64_t new_total = new_support.count();
+      const int64_t new_normal =
+          new_total - asmx::Bits::and_(new_support, pseudo_mask).count();
+      if (new_normal < opt.min_support_reads) {
+        to_remove.push_back(ci);
+        continue;
+      }
+      if (new_total > max_support ||
+          (new_total == max_support &&
+           (int64_t)c->seq.size() > max_length)) {
+        selected = c;
+        selected_index = ci;
+        max_support = new_total;
+        max_length = (int64_t)c->seq.size();
+      }
+    }
+    if (max_support == 0) break;
+    final_contigs.push_back(selected);
+    to_remove.push_back(selected_index);
+    std::sort(to_remove.begin(), to_remove.end());
+    for (size_t k = to_remove.size(); k-- > 0;)
+      candidates.erase(candidates.begin() + to_remove[k]);
+    used_reads.ior(selected->support);
+    used_pseudo.ior(asmx::Bits::and_(selected->support, pseudo_mask));
+  }
+
+  // pack the result
+  MtAsmResult* r = (MtAsmResult*)calloc(1, sizeof(MtAsmResult));
+  const int32_t nc = (int32_t)final_contigs.size();
+  r->n_contigs = nc;
+  r->final_read_count = (int32_t)final_reads;
+  int32_t pseudo_start = (int32_t)final_reads;
+  for (size_t ri = 0; ri < final_reads; ri++) {
+    if (is_pseudo[ri]) {
+      pseudo_start = (int32_t)ri;
+      break;
+    }
+  }
+  r->pseudo_start = pseudo_start;
+  r->seq_off = (int64_t*)malloc(sizeof(int64_t) * (nc + 1));
+  r->sup_off = (int64_t*)malloc(sizeof(int64_t) * (nc + 1));
+  r->cons_beg = (int32_t*)malloc(sizeof(int32_t) * (nc > 0 ? nc : 1));
+  r->cons_end = (int32_t*)malloc(sizeof(int32_t) * (nc > 0 ? nc : 1));
+  int64_t seq_total = 0, sup_total = 0;
+  r->seq_off[0] = 0;
+  r->sup_off[0] = 0;
+  for (int32_t t = 0; t < nc; t++) {
+    seq_total += (int64_t)final_contigs[t]->seq.size();
+    sup_total += final_contigs[t]->support.count();
+    r->seq_off[t + 1] = seq_total;
+    r->sup_off[t + 1] = sup_total;
+    r->cons_beg[t] = final_contigs[t]->cons_beg;
+    r->cons_end[t] = final_contigs[t]->cons_end;
+  }
+  r->seq_blob = (uint8_t*)malloc(seq_total > 0 ? seq_total : 1);
+  r->sup_idx = (int32_t*)malloc(sizeof(int32_t) *
+                                (sup_total > 0 ? sup_total : 1));
+  int64_t sp = 0;
+  for (int32_t t = 0; t < nc; t++) {
+    const asmx::Contig* c = final_contigs[t];
+    memcpy(r->seq_blob + r->seq_off[t], c->seq.data(), c->seq.size());
+    const size_t nb = c->support.w.size() * 64;
+    for (size_t ri = 0; ri < nb; ri++)
+      if (c->support.test(ri)) r->sup_idx[sp++] = (int32_t)ri;
+  }
+  *out = r;
+  return 0;
+}
