@@ -21,6 +21,61 @@ from ..io.bam import open_alignment_reader
 from ..io.fasta import FastaReader
 
 
+# ini key -> (advanced-dict key, parser); mirrors the reference's
+# advanced-option tier (reference: configManta.py.ini, configureUtil.py)
+_INI_BOOL = lambda v: v.strip() not in ("0", "", "false", "False")
+_INI_KEYS = {
+    "rnaMinCandidateVariantSize": ("rna_min_candidate_variant_size", int),
+    "graphNodeMaxEdgeCount": ("graph_node_max_edge_count", int),
+    "minCandidateSpanningCount": ("min_candidate_spanning_count", int),
+    "minScoredVariantSize": ("min_scored_variant_size", int),
+    "minDiploidVariantScore": ("min_diploid_variant_score", int),
+    "minPassDiploidVariantScore": ("min_pass_diploid_variant_score", int),
+    "minPassDiploidGTScore": ("min_pass_diploid_gt_score", int),
+    "minSomaticScore": ("min_somatic_score", int),
+    "minPassSomaticScore": ("min_pass_somatic_score", int),
+    "enableRemoteReadRetrievalForInsertionsInGermlineCallingModes":
+        ("enable_remote_read_retrieval_germline", _INI_BOOL),
+    "enableRemoteReadRetrievalForInsertionsInCancerCallingModes":
+        ("enable_remote_read_retrieval_cancer", _INI_BOOL),
+    "useOverlapPairEvidence": ("use_overlap_pair_evidence", _INI_BOOL),
+    "enableEvidenceSignalFilter": ("enable_evidence_signal_filter",
+                                   _INI_BOOL),
+}
+
+
+def load_ini(path: str | None):
+    """Parse the [manta] section of an advanced-options ini. Returns
+    (advanced_dict, top_level_dict) where top_level carries the two
+    keys that are also first-class CLI flags."""
+    import configparser
+    cp = configparser.ConfigParser()
+    defaults = os.path.join(os.path.dirname(__file__),
+                            "config_defaults.ini")
+    read = cp.read([defaults] + ([path] if path else []))
+    if path and os.path.abspath(path) not in [os.path.abspath(p)
+                                              for p in read]:
+        raise ValueError(f"can't read config file: {path}")
+    section = cp["manta"]
+    advanced = {}
+    top = {}
+    for key, raw in section.items():
+        # ConfigParser lower-cases keys
+        match = next((k for k in _INI_KEYS if k.lower() == key), None)
+        if match is not None:
+            name, conv = _INI_KEYS[match]
+            advanced[name] = conv(raw)
+        elif key == "mincandidatevariantsize":
+            top["min_candidate_variant_size"] = int(raw)
+        elif key == "minedgeobservations":
+            top["min_edge_observations"] = int(raw)
+        elif key == "referencefasta":
+            pass  # informational in the reference ini
+        else:
+            raise ValueError(f"unknown advanced option in ini: {key}")
+    return advanced, top
+
+
 def check_chrom_set(fasta_path: str, bam_paths: list[str]):
     """(reference: lib/checkChromSet.py) — every BAM's chromosome
     names/lengths must match the fasta index entries in order."""
@@ -111,6 +166,7 @@ def configure(args) -> str:
         raise ValueError(f"call regions not found: {args.call_regions}")
     if args.exome and args.rna:
         raise ValueError("--exome and --rna are mutually exclusive")
+    advanced, ini_top = load_ini(getattr(args, "config", None))
     if args.rna and (tumor_bams or len(normal_bams) != 1):
         raise ValueError(
             "RNA mode requires exactly one normal sample (--bam)")
@@ -128,8 +184,15 @@ def configure(args) -> str:
         "regions": args.regions or None,
         "is_exome": bool(args.exome),
         "is_rna": bool(args.rna),
-        "min_candidate_variant_size": args.min_candidate_variant_size,
-        "min_edge_observations": args.min_edge_observations,
+        "min_candidate_variant_size": (
+            args.min_candidate_variant_size
+            if args.min_candidate_variant_size is not None
+            else ini_top.get("min_candidate_variant_size", 8)),
+        "min_edge_observations": (
+            args.min_edge_observations
+            if args.min_edge_observations is not None
+            else ini_top.get("min_edge_observations", 3)),
+        "advanced": advanced,
         "generate_evidence_bam": bool(args.generate_evidence_bam),
         "call_regions": (os.path.abspath(args.call_regions)
                          if args.call_regions else None),
@@ -177,9 +240,14 @@ def main(argv=None):
     ap.add_argument("--retainTempFiles", dest="retain_temp_files",
                     action="store_true")
     ap.add_argument("--minCandidateVariantSize",
-                    dest="min_candidate_variant_size", type=int, default=8)
+                    dest="min_candidate_variant_size", type=int,
+                    default=None)
     ap.add_argument("--minEdgeObservations", dest="min_edge_observations",
-                    type=int, default=3)
+                    type=int, default=None)
+    ap.add_argument("--config", dest="config", default=None,
+                    help="advanced-options ini overriding "
+                         "config_defaults.ini (reference: "
+                         "configManta.py.ini)")
     args = ap.parse_args(argv)
     try:
         script = configure(args)

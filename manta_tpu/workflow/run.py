@@ -34,6 +34,23 @@ from ..format.vcfwriter import (
 PROG_NAME = "GenerateSVCandidates"
 PROG_VERSION = "manta-tpu-0.1.0"
 
+# advanced-option defaults (reference: configManta.py.ini:1-62)
+ADVANCED_DEFAULTS = {
+    "rna_min_candidate_variant_size": 1000,
+    "graph_node_max_edge_count": 10,
+    "min_candidate_spanning_count": 3,
+    "min_scored_variant_size": 50,
+    "min_diploid_variant_score": 10,
+    "min_pass_diploid_variant_score": 20,
+    "min_pass_diploid_gt_score": 15,
+    "min_somatic_score": 10,
+    "min_pass_somatic_score": 30,
+    "enable_remote_read_retrieval_germline": True,
+    "enable_remote_read_retrieval_cancer": False,
+    "use_overlap_pair_evidence": False,
+    "enable_evidence_signal_filter": True,
+}
+
 
 def parse_region(r: str, name_to_tid):
     chrom, _, span = r.partition(":")
@@ -67,7 +84,20 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  locus_index: int | None = None,
                  use_device_scoring: bool = False,
                  edge_bin_strategy: str = "contiguous",
+                 advanced: dict | None = None,
                  verbose: bool = True):
+    # advanced defaults tier (reference: configManta.py.ini values
+    # parsed by configureUtil.py; see workflow/config_defaults.ini)
+    adv = dict(ADVANCED_DEFAULTS)
+    if advanced:
+        unknown = set(advanced) - set(adv)
+        if unknown:
+            raise ValueError(f"unknown advanced options: {sorted(unknown)}")
+        adv.update(advanced)
+    if is_rna:
+        # (reference: mantaWorkflow.py:761 — RNA mode replaces the
+        # candidate size floor with the RNA-specific value)
+        min_candidate_variant_size = adv["rna_min_candidate_variant_size"]
     if n_jobs <= 0:
         # auto-detect (reference: estimateHardware.py core detection)
         n_jobs = os.cpu_count() or 1
@@ -121,7 +151,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
 
     scan_opt = ScannerOptions(
         min_candidate_variant_size=min_candidate_variant_size,
-        is_ignore_anom_proper_pair=is_rna)
+        is_ignore_anom_proper_pair=is_rna,
+        use_overlap_pair_evidence=adv["use_overlap_pair_evidence"])
     scanner = SVScanner(
         scan_opt, [s.frag_stats for s in stats_list],
         header.ref_lengths, header.ref_names, is_rna=is_rna,
@@ -208,7 +239,15 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     sample_names = [get_sample_name(r, f"SAMPLE{i + 1}")
                     for i, r in enumerate(readers)]
     proc_opt = ProcessorOptions(
-        min_candidate_variant_size=min_candidate_variant_size, is_rna=is_rna)
+        min_candidate_variant_size=min_candidate_variant_size, is_rna=is_rna,
+        min_candidate_spanning_count=adv["min_candidate_spanning_count"],
+        min_scored_variant_size=adv["min_scored_variant_size"])
+    # remote-read retrieval defaults differ by calling mode
+    # (reference: mantaWorkflow.py:535-543, configManta.py.ini:44-52)
+    is_cancer_mode = is_somatic or is_tumor_only
+    enable_remote_retrieval = (
+        adv["enable_remote_read_retrieval_cancer"] if is_cancer_mode
+        else adv["enable_remote_read_retrieval_germline"])
 
     vcf_names = ["candidateSV.vcf"]
     if is_rna:
@@ -227,16 +266,28 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         comp_fasta = FastaReader(reference)
         finder = SVFinder(scanner, bams, is_tumor, locus_set.sample_counts,
                           comp_fasta, chrom_depths=chrom_depths,
-                          is_rna=is_rna)
+                          is_rna=is_rna,
+                          skip_evidence_signal_filter=(
+                              not adv["enable_evidence_signal_filter"]))
         refiner = SVCandidateAssemblyRefiner(
             scanner, finder.readers, is_tumor, comp_fasta,
             chrom_depths=chrom_depths,
             min_candidate_variant_size=min_candidate_variant_size,
             is_output_contig=is_output_contig, is_rna=is_rna,
-            is_unstranded_rna=is_unstranded_rna)
-        scorer = SVScorer(scanner, finder.readers, is_tumor, comp_fasta,
-                          chrom_depths=chrom_depths, is_rna=is_rna,
-                          use_device_scoring=use_device_scoring)
+            is_unstranded_rna=is_unstranded_rna,
+            enable_remote_read_retrieval=enable_remote_retrieval)
+        from ..scoring.scorer import CallOptionsDiploid, CallOptionsSomatic
+        scorer = SVScorer(
+            scanner, finder.readers, is_tumor, comp_fasta,
+            chrom_depths=chrom_depths, is_rna=is_rna,
+            use_device_scoring=use_device_scoring,
+            diploid_opt=CallOptionsDiploid(
+                min_output_alt_score=adv["min_diploid_variant_score"],
+                min_pass_alt_score=adv["min_pass_diploid_variant_score"],
+                min_pass_gt_score=adv["min_pass_diploid_gt_score"]),
+            somatic_opt=CallOptionsSomatic(
+                min_output_somatic_score=adv["min_somatic_score"],
+                min_pass_somatic_score=adv["min_pass_somatic_score"]))
 
         def vpath(name):
             return os.path.join(unsorted_dir, name + bin_suffix)
@@ -360,7 +411,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                     f"\t0\t{processor.scoring_time.wall:.4g}\n")
         return edge_runtime_log
 
-    all_edges = list(iterate_edges(locus_set))
+    all_edges = list(iterate_edges(
+        locus_set,
+        graph_node_max_edge_count=adv["graph_node_max_edge_count"]))
     if locus_index is not None:
         # single-locus debug mode (reference: EdgeRetrieverLocus,
         # GSC --locus-index)
