@@ -114,7 +114,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     readers = [open_alignment_reader(p, reference) for p in bams]
     header = readers[0].header
 
-    log_path = os.path.join(run_dir, "workspace", "workflow_log.txt")
+    workspace_dir = os.path.join(run_dir, "workspace")
+    log_path = os.path.join(workspace_dir, "workflow_log.txt")
     log_fp = open(log_path, "a")
 
     def log(msg):
@@ -125,11 +126,30 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         if verbose:
             print(f"[manta-tpu] {msg}", file=sys.stderr, flush=True)
 
+    # persistent task state: re-running on the same run directory
+    # resumes at the last completed task (reference: pyflow completed-
+    # task records + runWorkflow.py re-execution semantics,
+    # docs/userGuide/README.md:631-633)
+    from .tasks import TaskTracker, content_digest
+    tracker_sig = {
+        "bams": bams, "is_tumor": is_tumor, "reference": reference,
+        "regions": regions, "is_exome": is_exome, "is_rna": is_rna,
+        "min_candidate_variant_size": min_candidate_variant_size,
+        "min_edge_observations": min_edge_observations,
+        "generate_evidence_bam": generate_evidence_bam,
+        "call_regions": call_regions, "scan_size_mb": scan_size_mb,
+        "is_output_contig": is_output_contig,
+        "is_unstranded_rna": is_unstranded_rna,
+        "locus_index": locus_index, "advanced": adv,
+    }
+    tasks = TaskTracker(workspace_dir, tracker_sig)
+
     # phase 0: alignment stats (reusable checkpoint; reference:
     # pyflow task resume + --rescore, mantaWorkflow.py)
     stats_path = os.path.join(run_dir, "workspace", "alignmentStats.json")
-    if is_rescore and os.path.exists(stats_path):
-        log("rescore: reusing fragment-size statistics")
+    if tasks.is_done("alignmentStats") or \
+            (is_rescore and os.path.exists(stats_path)):
+        log("resume: reusing fragment-size statistics")
         stats_set = ReadGroupStatsSet.load(stats_path)
         stats_list = [stats_set.get_stats(p) for p in bams]
     else:
@@ -141,6 +161,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             stats_set.set_stats(p, s)
             stats_list.append(s)
         stats_set.save(stats_path)
+        tasks.mark_done("alignmentStats", [stats_path])
     from .stats import (
         CpuTimes, EdgeStatsTracker, TimeBlock,
         write_alignment_stats_summary, write_graph_stats,
@@ -166,8 +187,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             estimate_chrom_depths, parse_chrom_depth, write_chrom_depth,
         )
         depth_path = os.path.join(run_dir, "workspace", "chromDepth.txt")
-        if is_rescore and os.path.exists(depth_path):
-            log("rescore: reusing chromosome depth")
+        if tasks.is_done("chromDepth") or \
+                (is_rescore and os.path.exists(depth_path)):
+            log("resume: reusing chromosome depth")
             chrom_depths = parse_chrom_depth(depth_path)
         else:
             log("estimating chromosome depth")
@@ -175,6 +197,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             chrom_depths = estimate_chrom_depths(
                 depth_bams, reference=reference)
             write_chrom_depth(depth_path, chrom_depths)
+            tasks.mark_done("chromDepth", [depth_path])
 
     # regions: user regions and/or callable-region BED restriction, then
     # segmentation into <= scanSizeMb pieces (reference:
@@ -204,8 +227,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     graph_opt = SVLocusSetOptions(
         observation_weight=3,
         min_merge_edge_observations=min_edge_observations)
-    if is_rescore and os.path.exists(graph_path):
-        log("rescore: reusing breakend graph")
+    graph_stats_path = os.path.join(stats_dir, "svLocusGraphStats.tsv")
+    if tasks.is_done("graph") or \
+            (is_rescore and os.path.exists(graph_path)):
+        log("resume: reusing breakend graph")
     else:
         log("building breakend graph")
         build_tb = TimeBlock()
@@ -213,7 +238,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             if n_jobs > 1 and len(region_list) > 1:
                 locus_set = _estimate_sv_loci_parallel(
                     bams, is_tumor, scanner, graph_opt, region_list,
-                    reference, chrom_depths, n_jobs)
+                    reference, chrom_depths, n_jobs,
+                    tasks=tasks, workspace_dir=workspace_dir, log=log)
             else:
                 locus_set = estimate_sv_loci(
                     bams, is_tumor, scanner, graph_opt, region_list, fasta,
@@ -222,9 +248,11 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         with merge_tb:
             locus_set.finalize()
         write_graph_stats(
-            locus_set, os.path.join(stats_dir, "svLocusGraphStats.tsv"),
+            locus_set, graph_stats_path,
             build_time=build_tb.times, merge_time=merge_tb.times)
         locus_set.save(graph_path)
+        tasks.clear("graph.part.")
+        tasks.mark_done("graph", [graph_path, graph_stats_path])
     # reload for phase 2: serialization round-trip compacts empty locus
     # slots, matching the reference's save/load locus renumbering
     from ..graph.locusgraph import SVLocusSet
@@ -418,33 +446,48 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         # single-locus debug mode (reference: EdgeRetrieverLocus,
         # GSC --locus-index)
         all_edges = [e for e in all_edges if e[0] == locus_index]
-    if n_jobs > 1 and len(all_edges) > 1:
-        tracker, edge_runtime_log = _run_edges_parallel(
-            all_edges, locus_set, build_components, run_edges,
-            vcf_names, unsorted_dir, n_jobs, generate_evidence_bam,
-            os.path.join(run_dir, "results", "evidence"), bams,
-            edge_bin_strategy=edge_bin_strategy)
+    if is_rescore:
+        # --rescore always re-runs candidate generation and scoring
+        # (reference: mantaWorkflow.py rescore path)
+        tasks.clear("hygen")
+    hygen_artifacts = [os.path.join(unsorted_dir, n) for n in vcf_names]
+    hygen_artifacts += [
+        os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
+        os.path.join(stats_dir, "svCandidateGenerationStats.tsv"),
+        os.path.join(stats_dir, "svCandidateGenerationStats.xml")]
+    if tasks.is_done("hygen"):
+        log("resume: reusing candidate generation and scoring results")
     else:
-        comps = build_components()
-        edge_runtime_log = run_edges(comps, all_edges)
-        tracker = comps["tracker"]
-        for w in comps["writers"]:
-            w.stream.close()
-        if comps["evidence_writer"] is not None:
-            comps["evidence_writer"].close()
-    edge_count = len(all_edges)
-    log(f"processed {edge_count} graph edges")
-    # (reference: libexec/sortEdgeLogs.py — slowest edges first)
-    edge_runtime_log.sort(
-        key=lambda l: float(l.split("\t", 2)[1]), reverse=True)
-    with open(os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
-              "w") as f:
-        f.writelines(edge_runtime_log)
-    with open(os.path.join(stats_dir, "svCandidateGenerationStats.tsv"),
-              "w") as f:
-        f.writelines(tracker.report())
-    tracker.save_xml(
-        os.path.join(stats_dir, "svCandidateGenerationStats.xml"))
+        if n_jobs > 1 and len(all_edges) > 1:
+            tracker, edge_runtime_log = _run_edges_parallel(
+                all_edges, locus_set, build_components, run_edges,
+                vcf_names, unsorted_dir, n_jobs, generate_evidence_bam,
+                os.path.join(run_dir, "results", "evidence"), bams,
+                edge_bin_strategy=edge_bin_strategy,
+                tasks=tasks, log=log)
+        else:
+            comps = build_components()
+            edge_runtime_log = run_edges(comps, all_edges)
+            tracker = comps["tracker"]
+            for w in comps["writers"]:
+                w.stream.close()
+            if comps["evidence_writer"] is not None:
+                comps["evidence_writer"].close()
+        edge_count = len(all_edges)
+        log(f"processed {edge_count} graph edges")
+        # (reference: libexec/sortEdgeLogs.py — slowest edges first)
+        edge_runtime_log.sort(
+            key=lambda l: float(l.split("\t", 2)[1]), reverse=True)
+        with open(os.path.join(run_dir, "workspace", "edgeRuntimeLog.txt"),
+                  "w") as f:
+            f.writelines(edge_runtime_log)
+        with open(os.path.join(stats_dir, "svCandidateGenerationStats.tsv"),
+                  "w") as f:
+            f.writelines(tracker.report())
+        tracker.save_xml(
+            os.path.join(stats_dir, "svCandidateGenerationStats.xml"))
+        tasks.clear("hygen.bin.")
+        tasks.mark_done("hygen", hygen_artifacts)
 
     # final output stage (reference: mantaWorkflow.py sortAllVcfs):
     # sort + dedup, ploidy-filter diploid, extract small indels, then
@@ -550,18 +593,35 @@ def _partition_edges_jump(locus_set, edges, n_bins: int):
 def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
                         vcf_names, unsorted_dir, n_jobs,
                         generate_evidence_bam, evidence_dir, bams,
-                        edge_bin_strategy: str = "contiguous"):
+                        edge_bin_strategy: str = "contiguous",
+                        tasks=None, log=None):
     """Fork-based phase-2 scale-out: observation-weighted edge bins per
     worker, per-bin VCF shards merged in bin order afterwards
     (reference: GenerateSVCandidates thread pool + legacy
-    --bin-index/--bin-count multi-process mode)."""
+    --bin-index/--bin-count multi-process mode). With a task tracker,
+    each completed bin's shards + runtime stats persist in the workspace
+    and are reused on resume (reference: pyflow per-task records)."""
     import multiprocessing as mp
+    import pickle
+    from .tasks import content_digest
     if edge_bin_strategy == "jump":
         bins = _partition_edges_jump(locus_set, all_edges, n_jobs)
     else:
         bins = _partition_edges(locus_set, all_edges, n_jobs)
     ctx = mp.get_context("fork")
     queue = ctx.SimpleQueue()
+
+    def bin_artifacts(bi):
+        paths = [os.path.join(unsorted_dir, f"{name}.{bi:04d}")
+                 for name in vcf_names]
+        if generate_evidence_bam:
+            for smp, bam_path in enumerate(bams):
+                prefix = os.path.splitext(os.path.basename(bam_path))[0]
+                paths.append(os.path.join(
+                    evidence_dir,
+                    f"evidence_{smp}.{prefix}.{bi:04d}.bam"))
+        paths.append(os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl"))
+        return paths
 
     def worker(bi, edges):
         comps = build_components(f".{bi:04d}")
@@ -570,18 +630,47 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
             w.stream.close()
         if comps["evidence_writer"] is not None:
             comps["evidence_writer"].close()
-        queue.put((bi, log_lines, comps["tracker"]))
+        # persist the bin's runtime log + edge stats so a resumed run
+        # can reuse this bin without recomputing it
+        pkl = os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl")
+        with open(pkl + ".tmp", "wb") as f:
+            pickle.dump((log_lines, comps["tracker"]), f)
+        os.replace(pkl + ".tmp", pkl)
+        queue.put(bi)
 
+    task_names = [f"hygen.bin.{bi:04d}.{content_digest(edges)}"
+                  for bi, edges in enumerate(bins)]
+    pending = []
+    n_reused = 0
+    for bi, edges in enumerate(bins):
+        if tasks is not None and tasks.is_done(task_names[bi]):
+            n_reused += 1
+        else:
+            pending.append((bi, edges))
+    if n_reused and log is not None:
+        log(f"resume: reusing {n_reused}/{len(bins)} candidate-"
+            "generation bins")
     procs = [ctx.Process(target=worker, args=(bi, edges))
-             for bi, edges in enumerate(bins)]
+             for bi, edges in pending]
     for pr in procs:
         pr.start()
-    results = [queue.get() for _ in procs]
+    for _ in procs:
+        bi = queue.get()
+        if tasks is not None:
+            tasks.mark_done(task_names[bi], bin_artifacts(bi))
     for pr in procs:
         pr.join()
-    results.sort(key=lambda r: r[0])
+    results = []
+    for bi in range(len(bins)):
+        pkl = os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl")
+        with open(pkl, "rb") as f:
+            log_lines, bin_tracker = pickle.load(f)
+        results.append((bi, log_lines, bin_tracker))
 
-    # merge per-bin vcf shards in bin order (header from shard 0)
+    # merge per-bin vcf shards in bin order (header from shard 0);
+    # shards are cleaned up only after every merge step succeeds so a
+    # crash mid-merge resumes from the per-bin artifacts
+    cleanup = []
     for name in vcf_names:
         out_lines = []
         for bi in range(len(bins)):
@@ -595,7 +684,7 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
                             out_lines.append(line)
                     else:
                         out_lines.append(line)
-            os.remove(shard)
+            cleanup.append(shard)
         with open(os.path.join(unsorted_dir, name), "w") as f:
             f.writelines(out_lines)
 
@@ -620,9 +709,9 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
                 batch = rd.read_all()
                 for i in range(batch.n):
                     merged.add_record(batch, i)
-                os.remove(shard)
+                cleanup.append(shard)
                 if os.path.exists(shard + ".bai"):
-                    os.remove(shard + ".bai")
+                    cleanup.append(shard + ".bai")
             if merged is not None:
                 merged.close()
 
@@ -633,17 +722,27 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
         log_lines.extend(lines)
         tracker.self_edges.merge(tr.self_edges)
         tracker.remote_edges.merge(tr.remote_edges)
+    for bi in range(len(bins)):
+        cleanup.append(os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl"))
+    for path in cleanup:
+        if os.path.exists(path):
+            os.remove(path)
     return tracker, log_lines
 
 
 def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
                                region_list, reference, chrom_depths,
-                               n_jobs):
+                               n_jobs, tasks=None, workspace_dir=None,
+                               log=None):
     """Fork-based phase-1 scale-out: independent per-group graphs merged
     in submission order (reference: per-segment EstimateSVLoci tasks +
-    sequential MergeSVLoci, mantaWorkflow.py:252-299)."""
+    sequential MergeSVLoci, mantaWorkflow.py:252-299). When a task
+    tracker is supplied, each group's partial graph persists in the run
+    workspace and completed groups are skipped on resume (reference:
+    pyflow per-task completion records)."""
     import multiprocessing as mp
     import tempfile
+    from .tasks import content_digest
     from ..graph.locusgraph import SVLocusSet
     n_groups = min(n_jobs * 4, len(region_list))
     # keep each group contiguous in genome order for merge determinism
@@ -653,23 +752,40 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         groups.append(region_list[i:i + per])
     ctx = mp.get_context("fork")
     queue = ctx.SimpleQueue()
-    tmpdir = tempfile.mkdtemp(prefix="svgraph_")
+    if workspace_dir is not None:
+        tmpdir = os.path.join(workspace_dir, "graphParts")
+        os.makedirs(tmpdir, exist_ok=True)
+    else:
+        tmpdir = tempfile.mkdtemp(prefix="svgraph_")
+    # key each group task by its region content so a changed work plan
+    # (different -j / segmentation) never reuses a stale part file
+    task_names = [f"graph.part.{gi:04d}.{content_digest(regions)}"
+                  for gi, regions in enumerate(groups)]
+    part_paths = [os.path.join(tmpdir, f"part_{gi:04d}.npz")
+                  for gi in range(len(groups))]
 
     def worker(gi, regions):
         fasta = FastaReader(reference)
         part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
                                 regions, fasta, chrom_depths=chrom_depths)
-        path = os.path.join(tmpdir, f"part_{gi:04d}.npz")
-        part.save(path)
-        queue.put((gi, path))
+        part.save(part_paths[gi])
+        queue.put((gi, part_paths[gi]))
 
     procs = []
     running = []
     results = {}
-    jobs = list(enumerate(groups))
+    jobs = []
+    for gi, regions in enumerate(groups):
+        if tasks is not None and tasks.is_done(task_names[gi]):
+            results[gi] = part_paths[gi]
+        else:
+            jobs.append((gi, regions))
+    if results and log is not None:
+        log(f"resume: reusing {len(results)}/{len(groups)} graph segments")
     max_live = n_jobs
     ji = 0
-    while len(results) < len(jobs):
+    n_total = len(results) + len(jobs)
+    while len(results) < n_total:
         while ji < len(jobs) and len(running) < max_live:
             gi, regions = jobs[ji]
             pr = ctx.Process(target=worker, args=(gi, regions))
@@ -679,6 +795,8 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
             ji += 1
         gi, path = queue.get()
         results[gi] = path
+        if tasks is not None:
+            tasks.mark_done(task_names[gi], [path])
         running = [pr for pr in running if pr.is_alive()]
     for pr in procs:
         pr.join()
@@ -700,6 +818,9 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
                         tgt[k] = v or tgt.get(k, "")
                     else:
                         tgt[k] = tgt.get(k, 0) + v
+    # parts are removed only after the whole merge succeeds so an
+    # interrupted merge can resume from the persisted segments
+    for gi in sorted(results):
         os.remove(results[gi])
     os.rmdir(tmpdir)
     return merged
