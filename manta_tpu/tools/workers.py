@@ -44,6 +44,42 @@ def cmd_summarize_stats(args):
     return 0
 
 
+def cmd_get_chrom_depth(args):
+    """(reference: GetChromDepth.cpp:32-54) — per-chromosome median
+    depth for one alignment file, optionally restricted to a chromosome
+    subset (the workflow fans chromosome chunks over tasks,
+    mantaWorkflow.py:221 + sharedWorkflow.py)."""
+    from ..core.chromdepth import read_chrom_depth, write_chrom_depth
+    from ..io.bam import open_alignment_reader
+    reader = open_alignment_reader(args.align_file, args.ref)
+    wanted = set(args.chroms) if args.chroms else None
+    depths = {}
+    for tid, (name, size) in enumerate(zip(reader.header.ref_names,
+                                           reader.header.ref_lengths)):
+        if wanted is not None and name not in wanted:
+            continue
+        depths[name] = read_chrom_depth(reader, tid, size)
+    write_chrom_depth(args.output_file, depths)
+    return 0
+
+
+def cmd_merge_chrom_depth(args):
+    """(reference: libexec/mergeChromDepth.py) — sum per-chromosome
+    depth across per-task depth files; every input must cover the same
+    chromosome set."""
+    from ..core.chromdepth import parse_chrom_depth, write_chrom_depth
+    totals: dict[str, float] = {}
+    for index, path in enumerate(args.in_files):
+        part = parse_chrom_depth(path)
+        if index != 0 and set(part) != set(totals):
+            raise SystemExit(
+                f"chromosome set mismatch in depth file: {path}")
+        for name, d in part.items():
+            totals[name] = totals.get(name, 0.0) + d
+    write_chrom_depth(args.output_file, totals)
+    return 0
+
+
 def cmd_estimate_loci(args):
     """(reference: EstimateSVLoci.cpp:25-46) — build a partial graph
     for one genome region set."""
@@ -128,6 +164,18 @@ def main(argv=None):
     p.add_argument("--stats-file", required=True)
     p.add_argument("--output-file", required=True)
     p.set_defaults(fn=cmd_summarize_stats)
+
+    p = sub.add_parser("get-chrom-depth")
+    p.add_argument("--align-file", required=True)
+    p.add_argument("--ref", default=None)
+    p.add_argument("--chrom", dest="chroms", action="append", default=[])
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_get_chrom_depth)
+
+    p = sub.add_parser("merge-chrom-depth")
+    p.add_argument("--in", dest="in_files", action="append", required=True)
+    p.add_argument("--output-file", required=True)
+    p.set_defaults(fn=cmd_merge_chrom_depth)
 
     p = sub.add_parser("estimate-loci")
     p.add_argument("--align-file", dest="align_files", action="append",

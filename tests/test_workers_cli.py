@@ -79,3 +79,31 @@ def test_workers_scatter_gather_parity(tmp_path, demo_fasta, normal_bam,
     from manta_tpu.graph.locusgraph import SVLocusSet
     g = SVLocusSet.load(str(d / "scatter.npz"))
     assert sum(len(l.nodes) for l in g.loci) > 0
+
+
+def test_chrom_depth_scatter_gather(tmp_path, demo_fasta, tumor_bam):
+    """get-chrom-depth per-chromosome fan-out + merge-chrom-depth must
+    reproduce the one-shot estimate (reference: GetChromDepth chunks +
+    libexec/mergeChromDepth.py)."""
+    from manta_tpu.core.chromdepth import (
+        estimate_chrom_depths, parse_chrom_depth,
+    )
+    d = tmp_path
+    _worker("get-chrom-depth", "--align-file", tumor_bam,
+            "--ref", demo_fasta, "--chrom", "8",
+            "--output-file", str(d / "d8.txt"))
+    _worker("get-chrom-depth", "--align-file", tumor_bam,
+            "--ref", demo_fasta, "--chrom", "11",
+            "--output-file", str(d / "d11.txt"))
+    _worker("merge-chrom-depth", "--in", str(d / "d8.txt"),
+            "--output-file", str(d / "merged8.txt"))
+    merged = dict(parse_chrom_depth(str(d / "d8.txt")))
+    merged.update(parse_chrom_depth(str(d / "d11.txt")))
+    oneshot = estimate_chrom_depths([tumor_bam], reference=demo_fasta)
+    for name in ("8", "11"):
+        assert abs(merged[name] - oneshot[name]) < 1e-3, name
+    # merging two copies doubles the depth (per-sample summation rule)
+    _worker("merge-chrom-depth", "--in", str(d / "d8.txt"),
+            "--in", str(d / "d8.txt"), "--output-file", str(d / "dbl.txt"))
+    dbl = parse_chrom_depth(str(d / "dbl.txt"))
+    assert abs(dbl["8"] - 2 * merged["8"]) < 1e-3
