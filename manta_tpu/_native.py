@@ -111,6 +111,12 @@ def get_lib():
     lib.mt_rans_uncompress.restype = ctypes.c_int
     lib.mt_rans_uncompress.argtypes = [
         u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.mt_bam_encode.restype = ctypes.c_int
+    lib.mt_bam_encode.argtypes = [
+        ctypes.c_int64, i64p,
+        i32p, i32p, u8p, u16p, i32p, i32p, i32p,
+        i64p, u8p, i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p,
+        i64p, u8p, i64p, u8p, i32p]
     lib.mt_semi_aligned_batch_idx.restype = ctypes.c_int
     lib.mt_semi_aligned_batch_idx.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,

@@ -12,6 +12,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libmanta_core.so manta_core.cpp
 
+#include <cctype>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -899,6 +900,101 @@ extern "C" int mt_bam_fill(
     k++;
   }
   return (int)(k == n ? 0 : -1);
+}
+
+// Batch BAM record encoding: the inverse of mt_bam_fill. Emits one
+// contiguous buffer of raw alignment blocks (each with its leading
+// block_size) from struct-of-arrays ReadBatch fields at precomputed
+// output offsets, plus per-record reference end positions for BAI
+// linear-index construction (reference semantics: htslib bam_write1;
+// consumer: htsapi/bam_dumper.hpp-equivalent io/bamwriter.py).
+
+namespace {
+inline int bam_reg2bin(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (int)(beg >> 14);
+  if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (int)(beg >> 17);
+  if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (int)(beg >> 20);
+  if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (int)(beg >> 23);
+  if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (int)(beg >> 26);
+  return 0;
+}
+}  // namespace
+
+extern "C" int mt_bam_encode(
+    int64_t n, const int64_t* idx,
+    const int32_t* refid, const int32_t* pos, const uint8_t* mapq,
+    const uint16_t* flag, const int32_t* nrefid, const int32_t* npos,
+    const int32_t* tlen,
+    const int64_t* name_off, const uint8_t* name,
+    const int64_t* cigar_off, const uint32_t* cigar,
+    const int64_t* seq_off, const uint8_t* seq,
+    const int64_t* qual_off, const uint8_t* qual,
+    const int64_t* tag_off, const uint8_t* tags,
+    const int64_t* extra_off, const uint8_t* extra,
+    const int64_t* out_off, uint8_t* out, int32_t* out_end) {
+  uint8_t nib[256];
+  std::memset(nib, 15, sizeof(nib));
+  for (int b = 0; b < 16; b++) {
+    nib[(uint8_t)SEQ16[b]] = (uint8_t)b;
+    nib[(uint8_t)std::tolower(SEQ16[b])] = (uint8_t)b;
+  }
+  for (int64_t k = 0; k < n; k++) {
+    const int64_t i = idx ? idx[k] : k;
+    const int64_t lname = name_off[i + 1] - name_off[i];
+    const int64_t ncig = cigar_off[i + 1] - cigar_off[i];
+    const int64_t lseq = seq_off[i + 1] - seq_off[i];
+    const int64_t ltag = tag_off[i + 1] - tag_off[i];
+    const int64_t lextra = extra_off ? extra_off[k + 1] - extra_off[k] : 0;
+    const uint32_t bs = (uint32_t)(32 + lname + 1 + 4 * ncig +
+                                   (lseq + 1) / 2 + lseq + ltag + lextra);
+    uint8_t* p = out + out_off[k];
+    std::memcpy(p, &bs, 4);
+    p += 4;
+    int64_t ref_len = 0;
+    // ref-consuming ops M/D/N/=/X (0,2,3,7,8)
+    const uint32_t ref_ops = (1u << 0) | (1u << 2) | (1u << 3) |
+                             (1u << 7) | (1u << 8);
+    for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++)
+      if (ref_ops & (1u << (cigar[c] & 0xF))) ref_len += cigar[c] >> 4;
+    const int64_t end = pos[i] + (ref_len > 1 ? ref_len : 1);
+    out_end[k] = (int32_t)end;
+    const int32_t rid = refid[i], pp = pos[i];
+    std::memcpy(p, &rid, 4);
+    std::memcpy(p + 4, &pp, 4);
+    p[8] = (uint8_t)(lname + 1);
+    p[9] = mapq[i];
+    const uint16_t bin = (uint16_t)bam_reg2bin(pp, end);
+    std::memcpy(p + 10, &bin, 2);
+    const uint16_t nc16 = (uint16_t)ncig;
+    std::memcpy(p + 12, &nc16, 2);
+    std::memcpy(p + 14, &flag[i], 2);
+    const int32_t ls32 = (int32_t)lseq;
+    std::memcpy(p + 16, &ls32, 4);
+    std::memcpy(p + 20, &nrefid[i], 4);
+    std::memcpy(p + 24, &npos[i], 4);
+    std::memcpy(p + 28, &tlen[i], 4);
+    p += 32;
+    std::memcpy(p, name + name_off[i], lname);
+    p[lname] = 0;
+    p += lname + 1;
+    std::memcpy(p, cigar + cigar_off[i], 4 * ncig);
+    p += 4 * ncig;
+    const uint8_t* s = seq + seq_off[i];
+    for (int64_t b = 0; b + 1 < lseq; b += 2)
+      *p++ = (uint8_t)((nib[s[b]] << 4) | nib[s[b + 1]]);
+    if (lseq & 1) *p++ = (uint8_t)(nib[s[lseq - 1]] << 4);
+    std::memcpy(p, qual + qual_off[i], lseq);
+    p += lseq;
+    std::memcpy(p, tags + tag_off[i], ltag);
+    p += ltag;
+    if (lextra > 0) {
+      std::memcpy(p, extra + extra_off[k], lextra);
+      p += lextra;
+    }
+    if (p != out + out_off[k + 1]) return -1;
+  }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

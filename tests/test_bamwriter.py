@@ -43,3 +43,24 @@ def test_bam_roundtrip(tmp_path, tumor_bam):
     sub = rd.fetch(tid, 107653000, 107653500)
     assert sub.n > 0
     assert all(int(sub.refid[i]) == tid for i in range(sub.n))
+
+
+def test_native_encode_parity(tumor_bam):
+    """Native mt_bam_encode must byte-match the pure-Python encoder."""
+    from manta_tpu.io.bamwriter import _encode_group, encode_record
+    import struct
+
+    src = BamReader(tumor_bam)
+    tid = src.header.name_to_tid["8"]
+    batch = src.fetch(tid, 107650000, 107655000)
+    assert batch.n > 50
+    idx = list(range(0, batch.n, 3))
+    extras = [b"" if k % 2 else b"ZMZsv%d|SR\x00" % k
+              for k in range(len(idx))]
+    blob, out_off, out_end = _encode_group(batch, idx, extras)
+    raw = blob.tobytes()
+    for k, i in enumerate(idx):
+        want = encode_record(batch, i, extras[k])
+        got = raw[out_off[k]:out_off[k + 1]]
+        assert struct.unpack_from("<I", got)[0] == len(want)
+        assert got[4:] == want
