@@ -121,6 +121,7 @@ def get_lib():
     lib.mt_semi_aligned_batch_idx.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        i32p, i32p, i32p, i32p]
+        i64p, u8p, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, i32p, i32p]
     _LIB = lib
     return lib

@@ -157,12 +157,6 @@ class ReadBatch:
         sam = getattr(self, "_sa_mask", None)
         if sam is not None:
             out._sa_mask = sam[lo:hi]
-        hq = getattr(self, "_hq_pref", None)
-        if hq is not None:
-            # prefix-sum consumers only take differences, so the child can
-            # reuse the parent's prefix as an unrebased view
-            q0 = int(self.qual_off[lo])
-            out._hq_pref = hq[q0:int(self.qual_off[hi]) + 1]
         return out
 
     def subset(self, idx: np.ndarray) -> "ReadBatch":

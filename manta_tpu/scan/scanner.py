@@ -349,6 +349,8 @@ class SVScanner:
         lead_ref = np.empty(m, np.int32)
         trail = np.empty(m, np.int32)
         trail_ref = np.empty(m, np.int32)
+        lead_hq = np.empty(m, np.int32)
+        trail_hq = np.empty(m, np.int32)
         if not refseq.flags["C_CONTIGUOUS"]:
             refseq = np.ascontiguousarray(refseq)
         lib.mt_semi_aligned_batch_idx(
@@ -359,25 +361,17 @@ class SVScanner:
             batch.seq_off.ctypes.data_as(i64p),
             batch.seq.ctypes.data_as(u8p),
             refseq.ctypes.data_as(u8p), len(refseq), ref_offset, 5,
+            batch.qual_off.ctypes.data_as(i64p),
+            batch.qual.ctypes.data_as(u8p), min_bq,
             lead.ctypes.data_as(i32p), lead_ref.ctypes.data_as(i32p),
-            trail.ctypes.data_as(i32p), trail_ref.ctypes.data_as(i32p))
+            trail.ctypes.data_as(i32p), trail_ref.ctypes.data_as(i32p),
+            lead_hq.ctypes.data_as(i32p), trail_hq.ctypes.data_as(i32p))
 
         read_len = (batch.seq_off[idx + 1] - batch.seq_off[idx]).astype(
             np.int64)
         degenerate = (lead.astype(np.int64) + trail) >= read_len
         # high-quality base fraction gates over lead/trail windows
-        # (int32 cumsum is ~9x faster than an int64 out-array here)
-        hq_pref = getattr(batch, "_hq_pref", None)
-        if hq_pref is None:
-            hq_pref = np.concatenate([
-                np.zeros(1, np.int32),
-                np.cumsum((batch.qual >= min_bq).astype(np.int32),
-                          dtype=np.int32)])
-            batch._hq_pref = hq_pref
-        q0 = batch.qual_off[idx]
-        q1 = batch.qual_off[idx + 1]
-        lead_hq = hq_pref[q0 + lead] - hq_pref[q0]
-        trail_hq = hq_pref[q1] - hq_pref[q1 - trail]
+        # (counted natively in the same pass as the edge scan)
         lead_ok = (lead > 0) & (lead_hq >= min_hq_frac * lead)
         trail_ok = (trail > 0) & (trail_hq >= min_hq_frac * trail)
         keep = ~degenerate

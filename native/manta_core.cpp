@@ -1056,8 +1056,10 @@ extern "C" int mt_semi_aligned_batch_idx(
     const int64_t* seq_off, const uint8_t* seq,
     const uint8_t* refseq, int64_t ref_len, int64_t ref_offset,
     int32_t contiguous,
+    const int64_t* qual_off, const uint8_t* qual, int32_t min_bq,
     int32_t* out_lead_len, int32_t* out_lead_ref,
-    int32_t* out_trail_len, int32_t* out_trail_ref) {
+    int32_t* out_trail_len, int32_t* out_trail_ref,
+    int32_t* out_lead_hq, int32_t* out_trail_hq) {
   std::vector<uint8_t> ops;
   std::vector<int32_t> lens;
   for (int64_t k = 0; k < n_idx; k++) {
@@ -1067,6 +1069,17 @@ extern "C" int mt_semi_aligned_batch_idx(
                      refseq, ref_len, ref_offset, contiguous, ops, lens,
                      out_lead_len + k, out_lead_ref + k,
                      out_trail_len + k, out_trail_ref + k);
+    // high-quality base counts over the lead/trail windows, so the
+    // caller's basecall-quality gate needs no whole-batch prefix sums
+    const uint8_t* q = qual + qual_off[r];
+    const int64_t lq = qual_off[r + 1] - qual_off[r];
+    int32_t lhq = 0, thq = 0;
+    const int32_t ll = out_lead_len[k] < lq ? out_lead_len[k] : (int32_t)lq;
+    for (int32_t b = 0; b < ll; b++) lhq += (q[b] >= min_bq);
+    const int32_t tl = out_trail_len[k] < lq ? out_trail_len[k] : (int32_t)lq;
+    for (int32_t b = 0; b < tl; b++) thq += (q[lq - 1 - b] >= min_bq);
+    out_lead_hq[k] = lhq;
+    out_trail_hq[k] = thq;
   }
   return 0;
 }
