@@ -409,6 +409,40 @@ def split_finalize_multi(batch, read_idx, targets: list, bp_ranges: list,
     return out
 
 
+def finalize_split_evidence_multi(nq, best_pos, bp_ranges: list, mm):
+    """Vectorized finalize_split_alignment evidence summary over the
+    (reads x targets) scan winners: the flank/homology sizing and
+    evidence checks of finalize_split_alignment_counts + _set_evidence,
+    restricted to the fields the scorer consumes downstream. All float
+    expressions match the scalar path operation-for-operation so the
+    results are bit-identical.
+
+    nq: (n,) read lengths; best_pos: (n, t) winning positions;
+    bp_ranges: t (beg, end) pairs; mm: (n, t, 3) mismatch counts.
+    Returns (is_evidence, is_tier2_evidence, evidence) of shape (n, t).
+    """
+    bp_beg = np.array([b for (b, _e) in bp_ranges], np.int64)
+    bp_end = np.array([e for (_b, e) in bp_ranges], np.int64)
+    nq = np.asarray(nq, np.int64)[:, None]
+    pos = best_pos.astype(np.int64)
+    left = np.maximum((bp_beg + 1) - pos, 0)
+    hom = np.minimum(nq - left, ((bp_end + 1) - pos) - left)
+    right = np.maximum(nq - (left + hom), 0)
+    mm = mm.astype(np.int64)
+    score = (nq - mm.sum(-1)).astype(np.float64)
+    left_f = left.astype(np.float64)
+    right_f = right.astype(np.float64)
+    size = left_f + right_f
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac_ok = (mm[..., 0] / left_f < 0.25) & \
+            (mm[..., 2] / right_f < 0.25) & (score / size >= 0.9)
+        is_ev = (left >= 16) & (right >= 16) & frac_ok
+        is_t2 = (left >= 8) & (right >= 8) & frac_ok
+        evd = np.where(is_ev | is_t2,
+                       2 * np.minimum(left, right) / size, 0.0)
+    return is_ev, is_t2, np.where(np.isfinite(evd), evd, 0.0)
+
+
 def finalize_split_alignment_counts(a: SRAlignmentInfo, best: float,
                                     best_pos: int, nq: int, bp_beg: int,
                                     bp_end: int, mm) -> SRAlignmentInfo:

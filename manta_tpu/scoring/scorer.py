@@ -801,30 +801,38 @@ class SVScorer:
                                 alt_targets, alt_ranges)
         ref_lnl, ref_pos = scan(flank_score_size, batch, idx, self.ref_q,
                                 ref_targets, ref_ranges)
-        # winner-position mismatch accounting, batched natively
+        # winner-position mismatch accounting + evidence summary,
+        # batched natively / vectorized over (reads x targets)
+        from .evidence import finalize_split_evidence_multi
         alt_mm = split_finalize_multi(batch, idx, alt_targets, alt_ranges,
                                       alt_pos)
         ref_mm = split_finalize_multi(batch, idx, ref_targets, ref_ranges,
                                       ref_pos)
+        nq_arr = batch.seq_off[idx + 1] - batch.seq_off[idx]
+        alt_ev = finalize_split_evidence_multi(nq_arr, alt_pos, alt_ranges,
+                                               alt_mm)
+        ref_ev = finalize_split_evidence_multi(nq_arr, ref_pos, ref_ranges,
+                                               ref_mm)
         for r, (i, fragev, is_read1) in enumerate(cand):
             self._finish_read_split_score(
-                flank_score_size, batch, i, align_info, min_mapq,
-                min_tier2, fragev, is_read1, sample,
-                (float(alt_lnl[r, 0]), int(alt_pos[r, 0]), alt_mm[r, 0]),
-                (float(alt_lnl[r, 1]), int(alt_pos[r, 1]), alt_mm[r, 1]),
-                (float(ref_lnl[r, 0]), int(ref_pos[r, 0]), ref_mm[r, 0]),
-                (float(ref_lnl[r, 1]), int(ref_pos[r, 1]), ref_mm[r, 1]),
+                batch, i, min_mapq, min_tier2, fragev, is_read1, sample,
+                (float(alt_lnl[r, 0]), bool(alt_ev[0][r, 0]),
+                 bool(alt_ev[1][r, 0]), float(alt_ev[2][r, 0])),
+                (float(alt_lnl[r, 1]), bool(alt_ev[0][r, 1]),
+                 bool(alt_ev[1][r, 1]), float(alt_ev[2][r, 1])),
+                (float(ref_lnl[r, 0]), bool(ref_ev[0][r, 0]),
+                 bool(ref_ev[1][r, 0]), float(ref_ev[2][r, 0])),
+                (float(ref_lnl[r, 1]), bool(ref_ev[0][r, 1]),
+                 bool(ref_ev[1][r, 1]), float(ref_ev[2][r, 1])),
                 bam_index=bam_index, sv_id=sv_id, support=support)
 
-    def _finish_read_split_score(self, flank_score_size, batch, i,
-                                 align_info, min_mapq, min_tier2,
+    def _finish_read_split_score(self, batch, i, min_mapq, min_tier2,
                                  fragev, is_read1, sample,
-                                 alt1_scan, alt2_scan, ref1_scan, ref2_scan,
+                                 alt1_sr, alt2_sr, ref1_sr, ref2_sr,
                                  bam_index=0, sv_id=None, support=None):
         """(reference: getReadSplitScore:104-229) — evidence update from
-        pre-computed scan winners; each *_scan carries (lnlhood, pos,
-        left/hom/right mismatch counts)."""
-        from .evidence import SRAlignmentInfo, finalize_split_alignment_counts
+        pre-computed scan winners; each *_sr carries (align_ln_lhood,
+        is_evidence, is_tier2_evidence, evidence)."""
         alt_bp1 = fragev.alt.bp1.get_read(is_read1)
         ref_bp1 = fragev.ref.bp1.get_read(is_read1)
         alt_bp2 = fragev.alt.bp2.get_read(is_read1)
@@ -838,52 +846,40 @@ class SVScorer:
         set_read_evidence(min_mapq, min_tier2, int(batch.mapq[i]),
                           nq, False, fragev.get_read(is_read1))
 
-        def fin(scan, bp_rng):
-            return finalize_split_alignment_counts(
-                SRAlignmentInfo(), scan[0], scan[1], nq,
-                bp_rng[0], bp_rng[1], scan[2])
+        ref_bp1.split_ln_lhood = ref1_sr[0]
+        ref_bp2.split_ln_lhood = ref2_sr[0]
+        alt_bp1.split_ln_lhood = alt1_sr[0]
+        alt_bp2.split_ln_lhood = alt2_sr[0]
 
-        alt_bp1_sr = fin(alt1_scan, align_info.bp1_contig_offset)
-        alt_bp2_sr = fin(alt2_scan, align_info.bp2_contig_offset)
-        ref_bp1_sr = fin(ref1_scan, align_info.bp1_ref_offset)
-        ref_bp2_sr = fin(ref2_scan, align_info.bp2_ref_offset)
-
-        ref_bp1.split_ln_lhood = ref_bp1_sr.align_ln_lhood
-        ref_bp2.split_ln_lhood = ref_bp2_sr.align_ln_lhood
-        alt_bp1.split_ln_lhood = alt_bp1_sr.align_ln_lhood
-        alt_bp2.split_ln_lhood = alt_bp2_sr.align_ln_lhood
-
-        ref_llh = max(ref_bp1_sr.align_ln_lhood, ref_bp2_sr.align_ln_lhood)
-        alt_llh = max(alt_bp1_sr.align_ln_lhood, alt_bp2_sr.align_ln_lhood)
+        ref_llh = max(ref1_sr[0], ref2_sr[0])
+        alt_llh = max(alt1_sr[0], alt2_sr[0])
         read_mapq = int(batch.mapq[i])
 
         def increment(bp1_sr, bp2_sr, evidence, allele, bp1_support,
                       bp2_support):
-            if bp1_sr.is_evidence:
+            if bp1_sr[1]:
                 bp1_support.is_split_support = True
-                bp1_support.split_evidence = bp1_sr.evidence
-            if bp1_sr.is_tier2_evidence:
+                bp1_support.split_evidence = bp1_sr[3]
+            if bp1_sr[2]:
                 bp1_support.is_tier2_split_support = True
-            if bp2_sr.is_evidence:
+            if bp2_sr[1]:
                 bp2_support.is_split_support = True
-                bp2_support.split_evidence = bp2_sr.evidence
-            if bp2_sr.is_tier2_evidence:
+                bp2_support.split_evidence = bp2_sr[3]
+            if bp2_sr[2]:
                 bp2_support.is_tier2_split_support = True
-            if bp1_sr.is_evidence or bp2_sr.is_evidence:
+            if bp1_sr[1] or bp2_sr[1]:
                 allele.split_read_count += 1
                 allele.split_read_evidence += evidence
                 allele.split_read_mapq += read_mapq * read_mapq
 
         if self.is_rna or ref_llh > alt_llh:
-            ev = max(ref_bp1_sr.evidence if ref_bp1_sr.is_evidence else 0,
-                     ref_bp2_sr.evidence if ref_bp2_sr.is_evidence else 0)
-            increment(ref_bp1_sr, ref_bp2_sr, ev, sample.ref, ref_bp1,
-                      ref_bp2)
+            ev = max(ref1_sr[3] if ref1_sr[1] else 0,
+                     ref2_sr[3] if ref2_sr[1] else 0)
+            increment(ref1_sr, ref2_sr, ev, sample.ref, ref_bp1, ref_bp2)
         if self.is_rna or alt_llh > ref_llh:
-            ev = max(alt_bp1_sr.evidence if alt_bp1_sr.is_evidence else 0,
-                     alt_bp2_sr.evidence if alt_bp2_sr.is_evidence else 0)
-            increment(alt_bp1_sr, alt_bp2_sr, ev, sample.alt, alt_bp1,
-                      alt_bp2)
+            ev = max(alt1_sr[3] if alt1_sr[1] else 0,
+                     alt2_sr[3] if alt2_sr[1] else 0)
+            increment(alt1_sr, alt2_sr, ev, sample.alt, alt_bp1, alt_bp2)
         if support is not None and sv_id is not None and \
                 (alt_bp1.is_split_support or alt_bp2.is_split_support):
             # (reference: SVScorerSplit.cpp:254-256)
