@@ -117,6 +117,17 @@ def get_lib():
         i32p, i32p, u8p, u16p, i32p, i32p, i32p,
         i64p, u8p, i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p,
         i64p, u8p, i64p, u8p, i32p]
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.mt_frag_new.restype = ctypes.c_void_p
+    lib.mt_frag_new.argtypes = []
+    lib.mt_frag_free.restype = None
+    lib.mt_frag_free.argtypes = [ctypes.c_void_p]
+    lib.mt_frag_scan.restype = ctypes.c_int
+    lib.mt_frag_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, u8p, u8p, i8p, i32p, i64p, u8p,
+        ctypes.c_int32, ctypes.c_int64,
+        i8p, i32p, i64p, i64p]
     lib.mt_semi_aligned_batch_idx.restype = ctypes.c_int
     lib.mt_semi_aligned_batch_idx.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,

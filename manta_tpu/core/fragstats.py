@@ -303,18 +303,31 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
     buffers cause a chromSize/100 skip; stop when the distribution
     converges (deciles stable over 100k observations) or 5M observations.
     """
+    import ctypes
+
+    from .._native import get_lib, i32p, i64p, u8p
+    i8p = ctypes.POINTER(ctypes.c_int8)
+
     reader = open_alignment_reader(bam_path, reference)
     chrom_count = len(reader.header.ref_names)
     chrom_size = list(reader.header.ref_lengths)
     highest = [-1] * chrom_count
 
     tracker = _Tracker()
-    # ReadPairDepthFilter state
-    good_mates: set[tuple[bytes, int]] = set()
-    last_tid = 0
-    last_pos = 0
-    pos_count = 0
+    # ReadPairDepthFilter state lives in the native scan handle
+    lib = get_lib()
+    frag_state = lib.mt_frag_new()
+    try:
+        return _extract_loop(bam_path, reader, chrom_count, chrom_size,
+                             highest, tracker, lib, frag_state, chunk_size,
+                             i8p, i32p, i64p, u8p, ctypes)
+    finally:
+        lib.mt_frag_free(frag_state)
 
+
+def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
+                  tracker, lib, frag_state, chunk_size,
+                  i8p, i32p, i64p, u8p, ctypes):
     stop = False
     active = True
     while active and not stop:
@@ -353,94 +366,81 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
                     skip_len = _refskip_lens(batch)
                     align_ok = _align_shape_ok(batch)
                     is_paired = (batch.flag & FLAG_PAIRED) != 0
-                    is_first = (batch.flag & FLAG_READ1) != 0
 
-                    for i in range(batch.n):
-                        pos = int(batch.pos[i])
-                        highest[ci] = pos
-                        active = True
-                        tracker.stats.counter.total += 1
-                        if is_paired[i]:
-                            tracker.stats.counter.paired += 1
-                            if batch.mapq[i] == 0:
-                                tracker.stats.counter.paired_low_mapq += 1
-                        else:
-                            tracker.stats.counter.unpaired += 1
-
-                        # core filter chain (CoreInsertStatsReadFilter)
-                        if core_bad[i] or nss[i] or not chrom_pair[i]:
-                            continue
-                        if batch.mapq[i] == 0 or sa[i] or not align_ok[i]:
-                            continue
-
-                        # ReadPairDepthFilter
-                        tid = int(batch.refid[i])
-                        if tid != last_tid:
-                            good_mates.clear()
-                            last_tid = tid
-                            pos_count = 0
-                            last_pos = pos
-                        elif pos != last_pos:
-                            pos_count = 0
-                            last_pos = pos
-                        tl = int(batch.tlen[i])
-                        if tl == 0:
-                            continue
-                        mpos = int(batch.next_pos[i])
-                        readno = 1 if is_first[i] else 2
-                        name = bytes(
-                            batch.name[batch.name_off[i]:batch.name_off[i + 1]]
-                        )
-                        keep_read = False
-                        if pos > mpos or pos == mpos:
-                            mate_key = (name, 2 if readno == 1 else 1)
-                            if mate_key in good_mates:
-                                good_mates.discard(mate_key)
-                                keep_read = True
-                            elif pos > mpos:
-                                continue
-                        if not keep_read:
-                            if pos_count >= 1:
-                                continue
-                            pos_count += 1
-                            if len(good_mates) > 100000:
-                                good_mates.clear()
-                            if skip_len[i] > 0:
-                                continue
-                            good_mates.add((name, readno))
-                            continue
-
-                        # observation for the kept (downstream) read
-                        if tracker.converged:
-                            continue
-                        ori = int(orient[i])
-                        frag = 0
-                        if ori == ORIENT_RP:
-                            raw = abs(tl) - int(skip_len[i])
-                            if abs(tl) == 0:
-                                frag = 0
-                            elif raw <= 0:
-                                raise RuntimeError(
-                                    f"Unexpected fragment size ({raw}) in {bam_path}"
-                                )
-                            else:
-                                frag = simplified_frag_size(raw)
-                        normal = tracker.add_observation(ori, frag)
-                        if not normal:
-                            highest[ci] = pos + max(1, chrom_size[ci] // 100)
+                    # native scan inputs (CoreInsertStatsReadFilter mask
+                    # + depth-filter fields); the sequential mate-bank
+                    # walk runs in C (mt_frag_scan), returning at each
+                    # tracker buffer boundary so commit/convergence
+                    # decisions happen at the exact scalar read
+                    skip_mask = np.ascontiguousarray(
+                        core_bad | nss | ~chrom_pair | (batch.mapq == 0) |
+                        sa | ~align_ok, dtype=np.uint8)
+                    orient8 = np.ascontiguousarray(orient, np.int8)
+                    skip32 = np.ascontiguousarray(skip_len, np.int32)
+                    first8 = np.ascontiguousarray(
+                        (batch.flag & FLAG_READ1) != 0, dtype=np.uint8)
+                    obs_ori = np.empty(batch.n, np.int8)
+                    obs_frag = np.empty(batch.n, np.int32)
+                    c_nobs = ctypes.c_int64()
+                    c_inext = ctypes.c_int64()
+                    i0 = 0
+                    while i0 < batch.n:
+                        rc = lib.mt_frag_scan(
+                            frag_state, i0, batch.n,
+                            batch.refid.ctypes.data_as(i32p),
+                            batch.pos.ctypes.data_as(i32p),
+                            batch.tlen.ctypes.data_as(i32p),
+                            batch.next_pos.ctypes.data_as(i32p),
+                            first8.ctypes.data_as(u8p),
+                            skip_mask.ctypes.data_as(u8p),
+                            orient8.ctypes.data_as(i8p),
+                            skip32.ctypes.data_as(i32p),
+                            batch.name_off.ctypes.data_as(i64p),
+                            batch.name.ctypes.data_as(u8p),
+                            0 if tracker.converged else 1,
+                            1000 - tracker.buf_rp,
+                            obs_ori.ctypes.data_as(i8p),
+                            obs_frag.ctypes.data_as(i32p),
+                            ctypes.byref(c_nobs), ctypes.byref(c_inext))
+                        k = int(c_inext.value)
+                        if k > i0:
+                            active = True
+                            highest[ci] = int(batch.pos[k - 1])
+                            cnt = tracker.stats.counter
+                            pr = is_paired[i0:k]
+                            n_pr = int(pr.sum())
+                            cnt.total += k - i0
+                            cnt.paired += n_pr
+                            cnt.unpaired += (k - i0) - n_pr
+                            cnt.paired_low_mapq += int(
+                                (pr & (batch.mapq[i0:k] == 0)).sum())
+                        if rc != 0:
+                            raw = abs(int(batch.tlen[k])) - int(skip32[k])
+                            raise RuntimeError(
+                                f"Unexpected fragment size ({raw}) in "
+                                f"{bam_path}")
+                        last_normal = True
+                        for j in range(int(c_nobs.value)):
+                            last_normal = tracker.add_observation(
+                                int(obs_ori[j]), int(obs_frag[j]))
+                        # only the boundary (last) observation can flag
+                        # an abnormal buffer or arm a convergence check
+                        if not last_normal:
+                            highest[ci] = int(batch.pos[k - 1]) + \
+                                max(1, chrom_size[ci] // 100)
                             break_slice = True
                             break
-                        if not tracker.checked:
-                            continue
-                        tracker.update_convergence()
-                        tracker.checked = False
-                        finished_slice = True
-                        stop = tracker.converged or (
-                            tracker.stats.frag_stats.total_observations
-                            > tracker.MAX_RECORDS
-                        )
-                        break_slice = True
-                        break
+                        if tracker.checked:
+                            tracker.update_convergence()
+                            tracker.checked = False
+                            finished_slice = True
+                            stop = tracker.converged or (
+                                tracker.stats.frag_stats.total_observations
+                                > tracker.MAX_RECORDS
+                            )
+                            break_slice = True
+                            break
+                        i0 = k
                     chunk_beg = chunk_end
                 if not got_any and not break_slice:
                     highest[ci] = start + max(1, chrom_size[ci] // 100) - 1

@@ -2377,3 +2377,98 @@ extern "C" int mt_assemble(
   *out = r;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Phase-0 fragment-stats read-pair scan: the sequential
+// ReadPairDepthFilter + observation emission inner loop (reference:
+// ReadGroupStatsUtil.cpp readPairDepthFilter/TrackerFilter usage in
+// extractReadGroupStatsFromAlignmentFile :833-947). The caller passes
+// precomputed per-read masks; this walks reads in order, maintains the
+// mate-pair bank across calls via an opaque state handle, and stops
+// after emitting max_rp proper-pair observations (the tracker's buffer
+// boundary) so the Python tracker can commit/convergence-check with
+// the exact scalar semantics.
+
+struct MtFragState {
+  std::unordered_set<std::string> good_mates;
+  int32_t last_tid = 0;
+  int32_t last_pos = 0;
+  int32_t pos_count = 0;
+};
+
+extern "C" void* mt_frag_new() { return new MtFragState(); }
+extern "C" void mt_frag_free(void* h) { delete (MtFragState*)h; }
+
+extern "C" int mt_frag_scan(
+    void* h, int64_t i0, int64_t n,
+    const int32_t* refid, const int32_t* pos, const int32_t* tlen,
+    const int32_t* next_pos, const uint8_t* is_first,
+    const uint8_t* skip_mask, const int8_t* orient, const int32_t* skip_len,
+    const int64_t* name_off, const uint8_t* name,
+    int32_t want_obs, int64_t max_rp,
+    int8_t* obs_ori, int32_t* obs_frag,
+    int64_t* n_obs_out, int64_t* i_next_out) {
+  MtFragState& st = *(MtFragState*)h;
+  int64_t n_obs = 0, rp = 0;
+  std::string key;
+  int64_t i = i0;
+  for (; i < n; i++) {
+    if (skip_mask[i]) continue;
+    const int32_t p = pos[i];
+    if (refid[i] != st.last_tid) {
+      st.good_mates.clear();
+      st.last_tid = refid[i];
+      st.pos_count = 0;
+      st.last_pos = p;
+    } else if (p != st.last_pos) {
+      st.pos_count = 0;
+      st.last_pos = p;
+    }
+    const int32_t tl = tlen[i];
+    if (tl == 0) continue;
+    const int32_t mpos = next_pos[i];
+    const int readno = is_first[i] ? 1 : 2;
+    key.assign((const char*)(name + name_off[i]),
+               (size_t)(name_off[i + 1] - name_off[i]));
+    bool keep = false;
+    if (p >= mpos) {
+      key.push_back((char)('0' + (3 - readno)));
+      if (st.good_mates.erase(key)) {
+        keep = true;
+      } else if (p > mpos) {
+        continue;
+      }
+      key.pop_back();
+    }
+    if (!keep) {
+      if (st.pos_count >= 1) continue;
+      st.pos_count++;
+      if (st.good_mates.size() > 100000) st.good_mates.clear();
+      if (skip_len[i] > 0) continue;
+      key.push_back((char)('0' + readno));
+      st.good_mates.insert(key);
+      continue;
+    }
+    if (!want_obs) continue;
+    const int8_t ori = orient[i];
+    int32_t frag = 0;
+    if (ori == 4) {  // ORIENT_RP
+      const int64_t raw = (tl < 0 ? -(int64_t)tl : tl) - skip_len[i];
+      if (raw <= 0) {
+        *n_obs_out = n_obs;
+        *i_next_out = i;
+        return -1;
+      }
+      int64_t s = raw, mul = 1;
+      while (s > 1000) { s /= 10; mul *= 10; }
+      frag = (int32_t)(s * mul);
+    }
+    obs_ori[n_obs] = ori;
+    obs_frag[n_obs] = frag;
+    n_obs++;
+    if (ori == 4 && ++rp >= max_rp) { i++; break; }
+  }
+  *n_obs_out = n_obs;
+  *i_next_out = i;
+  return 0;
+}
