@@ -118,6 +118,32 @@ def get_lib():
         i64p, u8p, i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p,
         i64p, u8p, i64p, u8p, i32p]
     i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.mt_graph_new.restype = ctypes.c_void_p
+    lib.mt_graph_new.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int32]
+    lib.mt_graph_free.restype = None
+    lib.mt_graph_free.argtypes = [ctypes.c_void_p]
+    lib.mt_graph_insert_read.restype = ctypes.c_int
+    lib.mt_graph_insert_read.argtypes = [ctypes.c_void_p] + \
+        [ctypes.c_int32] * 11
+    lib.mt_graph_clean_region.restype = ctypes.c_int
+    lib.mt_graph_clean_region.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.mt_graph_merge_graph.restype = ctypes.c_int
+    lib.mt_graph_merge_graph.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.mt_graph_load.restype = ctypes.c_int
+    lib.mt_graph_load.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p]
+    lib.mt_graph_set_stats.restype = None
+    lib.mt_graph_set_stats.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.mt_graph_counts.restype = None
+    lib.mt_graph_counts.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
+    lib.mt_graph_export.restype = ctypes.c_int
+    lib.mt_graph_export.argtypes = [
+        ctypes.c_void_p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.POINTER(ctypes.c_double), i32p, i32p]
     lib.mt_frag_new.restype = ctypes.c_void_p
     lib.mt_frag_new.argtypes = []
     lib.mt_frag_free.restype = None

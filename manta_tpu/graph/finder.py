@@ -169,12 +169,16 @@ def merge_sorted_batches(batches: list[ReadBatch]) -> list[tuple[int, int]]:
     """K-way position-merge across per-sample batches: yields
     (sample_index, read_index) in position order (reference:
     input_stream_handler, blt_util/input_stream_handler.hpp:105)."""
-    order = []
-    for si, b in enumerate(batches):
-        for i in range(b.n):
-            order.append((int(b.pos[i]), si, i))
-    order.sort(key=lambda t: (t[0], t[1]))
-    return [(si, i) for (_pos, si, i) in order]
+    if not batches:
+        return []
+    pos = np.concatenate([b.pos for b in batches])
+    si = np.concatenate([np.full(b.n, k, np.int32)
+                         for k, b in enumerate(batches)])
+    ri = np.concatenate([np.arange(b.n, dtype=np.int64) for b in batches])
+    # stable sort by (pos, sample); within ties read order is ascending
+    # because the per-sample segments are appended in read order
+    order = np.lexsort((si, pos))
+    return list(zip(si[order].tolist(), ri[order].tolist()))
 
 
 def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
@@ -190,10 +194,12 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
     reduce (reference: EstimateSVLociRunner.cpp:53-110,
     MergeSVLoci.cpp, mantaWorkflow.py:252-299). This keeps serial and
     process-parallel execution bit-identical."""
+    from .native_set import NativeLocusSet
     readers = [open_alignment_reader(p, fasta) for p in bam_paths]
     names = readers[0].header.ref_names
     lengths = readers[0].header.ref_lengths
-    master = SVLocusSet(graph_opt, names, lengths, len(bam_paths))
+    master = NativeLocusSet(graph_opt, len(names))
+    sample_counts: list[dict] = [{} for _ in bam_paths]
 
     for (tid, beg, end) in regions:
         chrom = names[tid]
@@ -202,7 +208,7 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
         max_depth = None
         if chrom_depths is not None and chrom in chrom_depths:
             max_depth = chrom_depths[chrom] * max_depth_factor
-        part = SVLocusSet(graph_opt, names, lengths, len(bam_paths))
+        part = NativeLocusSet(graph_opt, len(names))
         finder = SVLocusSetFinder(
             scanner, part, tid, beg, end, is_tumor,
             max_depth=max_depth, refseq=refseq, ref_offset=ref_off)
@@ -216,9 +222,10 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
         # interleave samples by position (the reference's k-way merge order)
         _run_merged(finder, batches, merge_sorted_batches(batches))
         finder.flush()
-        master.merge_set(part)
+        master.merge_native(part)
+        part.free()
         for si, c in enumerate(finder.counts):
-            merged = master.sample_counts[si]
+            merged = sample_counts[si]
             for k, v in c.to_dict().items():
                 if isinstance(v, list):
                     prev = merged.get(k, [0] * len(v))
@@ -228,7 +235,10 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                 else:
                     merged[k] = merged.get(k, 0) + v
             merged["source"] = bam_paths[si]
-    return master
+    out = master.to_locus_set(names, lengths, len(bam_paths))
+    master.free()
+    out.sample_counts = sample_counts
+    return out
 
 
 def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
@@ -310,6 +320,20 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
                     bp1.get_any_non_pair_count() == 0 and \
                     bp1.get_local_pair_count() != 0:
                 counts.close_count += 1
+            ls = finder.locus_set
+            if hasattr(ls, "insert_read_locus"):  # native engine
+                if is_complex:
+                    ls.insert_read_locus(
+                        bp1.interval.tid, bp1.interval.beg,
+                        bp1.interval.end, ev_range[0], ev_range[1], w1,
+                        True)
+                else:
+                    ls.insert_read_locus(
+                        bp1.interval.tid, bp1.interval.beg,
+                        bp1.interval.end, ev_range[0], ev_range[1], w1,
+                        False, bp2.interval.tid, bp2.interval.beg,
+                        bp2.interval.end, w2)
+                continue
             locus = SVLocus()
             n1 = locus.add_node(bp1.interval.tid, bp1.interval.beg,
                                 bp1.interval.end)

@@ -118,24 +118,8 @@ def cmd_estimate_loci(args):
 def cmd_merge_loci(args):
     """(reference: MergeSVLoci.cpp) — sequential merge of partial
     graphs in argument order, then final noise-edge cleaning."""
-    from ..graph.locusgraph import SVLocusSet
-    merged = None
-    for path in args.graph_files:
-        part = SVLocusSet.load(path)
-        if merged is None:
-            merged = part
-            continue
-        merged.merge_set(part)
-        for si, counts in enumerate(part.sample_counts):
-            tgt = merged.sample_counts[si]
-            for k, v in counts.items():
-                if isinstance(v, list):
-                    prev = tgt.get(k, [0] * len(v))
-                    tgt[k] = [a + b for a, b in zip(prev, v)]
-                elif isinstance(v, str):
-                    tgt[k] = v or tgt.get(k, "")
-                else:
-                    tgt[k] = tgt.get(k, 0) + v
+    from ..workflow.run import merge_saved_graphs
+    merged = merge_saved_graphs(list(args.graph_files))
     if merged is None:
         raise SystemExit("no input graphs")
     merged.finalize()

@@ -801,29 +801,64 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
     for pr in procs:
         pr.join()
 
-    merged = None
-    for gi in sorted(results):
-        part = SVLocusSet.load(results[gi], skip_index=False)
-        if merged is None:
-            merged = part
-        else:
-            merged.merge_set(part)
-            for si, counts in enumerate(part.sample_counts):
-                tgt = merged.sample_counts[si]
-                for k, v in counts.items():
-                    if isinstance(v, list):
-                        prev = tgt.get(k, [0] * len(v))
-                        tgt[k] = [a + b for a, b in zip(prev, v)]
-                    elif isinstance(v, str):
-                        tgt[k] = v or tgt.get(k, "")
-                    else:
-                        tgt[k] = tgt.get(k, 0) + v
+    merged = merge_saved_graphs([results[gi] for gi in sorted(results)])
     # parts are removed only after the whole merge succeeds so an
     # interrupted merge can resume from the persisted segments
     for gi in sorted(results):
         os.remove(results[gi])
     os.rmdir(tmpdir)
     return merged
+
+
+def merge_saved_graphs(paths):
+    """Sequential merge of saved partial graphs through the native
+    engine (reference: MergeSVLoci.cpp); byte-identical to loading each
+    part and running SVLocusSet.merge_set in order."""
+    import json as _json
+
+    import numpy as np
+
+    from ..graph.locusgraph import SVLocusSet
+    from ..graph.native_set import NativeLocusSet
+    merged = None
+    nat = None
+    for path in paths:
+        if merged is None:
+            merged = SVLocusSet.load(path, skip_index=True)
+            nat = NativeLocusSet.from_locus_set(merged,
+                                                len(merged.chrom_names))
+            continue
+        data = np.load(path)
+        meta = _json.loads(data["meta"].tobytes().decode())
+        assert meta["opt"]["observation_weight"] * \
+            meta["opt"]["min_merge_edge_observations"] == \
+            merged.min_merge_edge_count
+        src = NativeLocusSet(merged.opt, len(merged.chrom_names))
+        src.load_flat(
+            data["locus_sizes"], data["nodes"], data["edges"],
+            meta["total_cleaned"], meta["highest_search_count"],
+            meta["highest_search_density"], meta["is_max_search_count"],
+            meta["is_max_search_density"])
+        nat.merge_native(src)
+        src.free()
+        for si, counts in enumerate(meta["sample_counts"]):
+            tgt = merged.sample_counts[si]
+            for k, v in counts.items():
+                if isinstance(v, list):
+                    prev = tgt.get(k, [0] * len(v))
+                    tgt[k] = [a + b for a, b in zip(prev, v)]
+                elif isinstance(v, str):
+                    tgt[k] = v or tgt.get(k, "")
+                else:
+                    tgt[k] = tgt.get(k, 0) + v
+    if merged is None:
+        return None
+    out = nat.to_locus_set(merged.chrom_names, merged.chrom_lengths,
+                           merged.sample_count)
+    nat.free()
+    out.sample_counts = merged.sample_counts
+    out.is_finalized = merged.is_finalized
+    return out
 
 
 def segment_regions(region_list, segment_size: int):

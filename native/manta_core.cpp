@@ -1828,6 +1828,8 @@ extern "C" int mt_split_finalize_multi(
 #include <unordered_map>
 #include <unordered_set>
 #include <map>
+#include <set>
+#include <array>
 #include <cstdlib>
 
 namespace asmx {
@@ -2470,5 +2472,837 @@ extern "C" int mt_frag_scan(
   }
   *n_obs_out = n_obs;
   *i_next_out = i;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Breakend-graph merge engine (reference: svgraph/SVLocus.{hpp,cpp},
+// SVLocusSet.{hpp,cpp}; behavioral map: manta_tpu/graph/locusgraph.py,
+// which this replicates operation-for-operation so phase-1 builds are
+// bit-identical between the host and native engines). Exposed as an
+// opaque handle driven by graph/native_set.py during phase-1 graph
+// construction; the Python SVLocusSet remains the interchange/query
+// structure for phase 2.
+
+namespace svg {
+
+struct Node {
+  int32_t tid = 0, beg = 0, end = 0, ev_beg = 0, ev_end = 0;
+  std::map<int32_t, int32_t> edges;
+
+  bool is_out_count() const {
+    for (const auto& kv : edges)
+      if (kv.second > 0) return true;
+    return false;
+  }
+  bool intersects(int32_t t, int32_t b, int32_t e) const {
+    return tid == t && beg < e && b < end;
+  }
+  bool is_intersect(const Node& o) const {
+    return intersects(o.tid, o.beg, o.end);
+  }
+};
+
+struct Locus {
+  std::vector<Node> nodes;
+};
+
+struct Entry {
+  int32_t tid, beg, end, li, ni;
+  bool operator<(const Entry& o) const {
+    if (tid != o.tid) return tid < o.tid;
+    if (beg != o.beg) return beg < o.beg;
+    if (end != o.end) return end < o.end;
+    if (li != o.li) return li < o.li;
+    return ni < o.ni;
+  }
+  bool operator==(const Entry& o) const {
+    return tid == o.tid && beg == o.beg && end == o.end && li == o.li &&
+           ni == o.ni;
+  }
+};
+
+typedef std::pair<int32_t, int32_t> Addr;
+
+// peak interval-sum (reference: blt_util/RegionSum.hpp)
+struct RegionSum {
+  std::vector<std::pair<std::pair<int32_t, int32_t>, int32_t>> events;
+  void clear() { events.clear(); }
+  void add(int32_t beg, int32_t end, int32_t val) {
+    events.push_back({{beg, 0}, val});
+    events.push_back({{end, 0}, -val});
+  }
+  int64_t max_val() {
+    if (events.empty()) return 0;
+    // python sorts (pos, delta) pairs: ties ordered by delta
+    for (auto& e : events) e.first.second = e.second;
+    std::sort(events.begin(), events.end(),
+              [](const auto& a, const auto& b) {
+                if (a.first.first != b.first.first)
+                  return a.first.first < b.first.first;
+                return a.second < b.second;
+              });
+    int64_t best = 0, cur = 0;
+    for (const auto& e : events) {
+      cur += e.second;
+      if (cur > best) best = cur;
+    }
+    return best;
+  }
+};
+
+struct GraphSet {
+  int32_t min_merge_edge_count = 3;
+  int32_t max_search_count = 500;
+  double max_search_density = 0.5;
+  bool is_finalized = false;
+  int64_t total_cleaned = 0;
+  int64_t highest_search_count = 0;
+  double highest_search_density = 0.0;
+  bool is_max_search_count = false, is_max_search_density = false;
+  std::vector<Locus> loci;
+  std::set<int32_t> empty_loci;
+  std::set<Entry> inodes;
+  std::vector<int32_t> max_region_size;  // per tid
+  RegionSum merge_regions[4];
+  int err = 0;  // first invariant violation (assert parity)
+
+  Entry entry(int32_t li, int32_t ni) const {
+    const Node& n = loci[li].nodes[ni];
+    return Entry{n.tid, n.beg, n.end, li, ni};
+  }
+  void index_add(int32_t li, int32_t ni) {
+    const Node& n = loci[li].nodes[ni];
+    inodes.insert(Entry{n.tid, n.beg, n.end, li, ni});
+    const int32_t size = n.end - n.beg;
+    if (n.tid >= 0 && n.tid < (int32_t)max_region_size.size() &&
+        size > max_region_size[n.tid])
+      max_region_size[n.tid] = size;
+  }
+  void index_del(int32_t li, int32_t ni) {
+    const Node& n = loci[li].nodes[ni];
+    inodes.erase(Entry{n.tid, n.beg, n.end, li, ni});
+  }
+
+  // ---- locus-level ops on indexed loci (observer notifications live)
+
+  void merge_node(int32_t li, int32_t from_idx, int32_t to_idx) {
+    Locus& locus = loci[li];
+    Node& fnode = locus.nodes[from_idx];
+    Node& tnode = locus.nodes[to_idx];
+    if (fnode.tid != tnode.tid) { err = 1; return; }
+    index_del(li, to_idx);
+    tnode.beg = std::min(tnode.beg, fnode.beg);
+    tnode.end = std::max(tnode.end, fnode.end);
+    const bool t_has = tnode.is_out_count(), f_has = fnode.is_out_count();
+    if (!t_has && f_has) {
+      tnode.ev_beg = fnode.ev_beg;
+      tnode.ev_end = fnode.ev_end;
+    } else if (!(f_has && !t_has) && !(!f_has && t_has)) {
+      tnode.ev_beg = std::min(tnode.ev_beg, fnode.ev_beg);
+      tnode.ev_end = std::max(tnode.ev_end, fnode.ev_end);
+    }
+    index_add(li, to_idx);
+
+    const std::vector<std::pair<int32_t, int32_t>> fedges(
+        fnode.edges.begin(), fnode.edges.end());
+    for (const auto& kv : fedges) {
+      const int32_t edge_idx = kv.first;
+      const int32_t edge_count = kv.second;
+      if (edge_idx == from_idx) {
+        tnode.edges[to_idx] += edge_count;
+        continue;
+      }
+      const bool is_from_to_edge = (edge_idx == to_idx);
+      int32_t merge_count = 0;
+      if (is_from_to_edge) {
+        const int32_t from_count = edge_count;
+        int32_t to_count = 0;
+        auto it = tnode.edges.find(from_idx);
+        if (it != tnode.edges.end()) to_count = it->second;
+        auto it2 = tnode.edges.find(to_idx);
+        merge_count = (it2 != tnode.edges.end() ? it2->second : 0) +
+                      std::max(from_count, to_count);
+      }
+      tnode.edges[edge_idx] += edge_count;
+      if (is_from_to_edge) {
+        tnode.edges[to_idx] = merge_count;
+        tnode.edges[from_idx] = 0;
+      }
+      Node& remote = locus.nodes[edge_idx];
+      auto rit = remote.edges.find(from_idx);
+      if (rit == remote.edges.end()) { err = 2; return; }
+      remote.edges[to_idx] += rit->second;
+    }
+    clear_node_edges(li, from_idx);
+  }
+
+  void clear_node_edges(int32_t li, int32_t i) {
+    Locus& locus = loci[li];
+    Node& node = locus.nodes[i];
+    for (const auto& kv : node.edges) {
+      if (kv.first == i) continue;
+      locus.nodes[kv.first].edges.erase(i);
+    }
+    node.edges.clear();
+  }
+
+  void erase_node(int32_t li, int32_t i) {
+    Locus& locus = loci[li];
+    if (i >= (int32_t)locus.nodes.size()) return;
+    clear_node_edges(li, i);
+    const int32_t last = (int32_t)locus.nodes.size() - 1;
+    if (last != i) {
+      Node& lnode = locus.nodes[last];
+      bool handle_self = false;
+      const std::vector<int32_t> ekeys = [&] {
+        std::vector<int32_t> k;
+        for (const auto& kv : lnode.edges) k.push_back(kv.first);
+        return k;
+      }();
+      for (const int32_t j : ekeys) {
+        if (j == last) {
+          handle_self = true;
+          continue;
+        }
+        Node& remote = locus.nodes[j];
+        remote.edges[i] = remote.edges[last];
+        remote.edges.erase(last);
+      }
+      if (handle_self) {
+        lnode.edges[i] = lnode.edges[last];
+        lnode.edges.erase(last);
+      }
+      index_del(li, i);
+      locus.nodes[i] = std::move(locus.nodes[last]);
+      index_add(li, i);
+    }
+    index_del(li, last);
+    locus.nodes.pop_back();
+  }
+
+  void clear_locus(int32_t idx) {
+    Locus& locus = loci[idx];
+    for (int32_t i = 0; i < (int32_t)locus.nodes.size(); i++)
+      index_del(idx, i);
+    locus.nodes.clear();
+    empty_loci.insert(idx);
+  }
+
+  int32_t insert_locus(const Locus& src) {
+    int32_t idx;
+    if (!empty_loci.empty()) {
+      idx = *empty_loci.begin();
+      empty_loci.erase(empty_loci.begin());
+    } else {
+      idx = (int32_t)loci.size();
+      loci.emplace_back();
+    }
+    copy_from(idx, src);
+    return idx;
+  }
+
+  void copy_from(int32_t to_idx, const Locus& other) {
+    Locus& target = loci[to_idx];
+    const int32_t offset = (int32_t)target.nodes.size();
+    for (const Node& node : other.nodes) {
+      Node n;
+      n.tid = node.tid; n.beg = node.beg; n.end = node.end;
+      n.ev_beg = node.ev_beg; n.ev_end = node.ev_end;
+      for (const auto& kv : node.edges)
+        n.edges[kv.first + offset] = kv.second;
+      target.nodes.push_back(std::move(n));
+      index_add(to_idx, (int32_t)target.nodes.size() - 1);
+    }
+  }
+
+  bool is_noise_node(const Addr& a) const {
+    const Locus& locus = loci[a.first];
+    const Node& node = locus.nodes[a.second];
+    for (const auto& kv : node.edges) {
+      if (kv.second >= min_merge_edge_count) return false;
+      auto it = locus.nodes[kv.first].edges.find(a.second);
+      if (it != locus.nodes[kv.first].edges.end() &&
+          it->second >= min_merge_edge_count)
+        return false;
+    }
+    return true;
+  }
+
+  int64_t clean_node_core(int32_t li, int32_t i, std::set<int32_t>& empty) {
+    int64_t total = 0;
+    Locus& locus = loci[li];
+    Node& node = locus.nodes[i];
+    std::vector<int32_t> keys;
+    for (const auto& kv : node.edges) keys.push_back(kv.first);
+    std::vector<int32_t> erase_edges;
+    for (const int32_t j : keys) {
+      int32_t c = node.edges[j];
+      if (c != 0 && c < min_merge_edge_count) {
+        total += c;
+        node.edges[j] = 0;
+        c = 0;
+      }
+      if (c == 0) {
+        auto it = locus.nodes[j].edges.find(i);
+        const int32_t back = (it != locus.nodes[j].edges.end())
+                                 ? it->second : 0;
+        if (back == 0) {
+          erase_edges.push_back(j);
+          const Node& remote = locus.nodes[j];
+          if (!remote.is_out_count() && remote.edges.size() == 1)
+            empty.insert(j);
+        }
+      }
+    }
+    for (const int32_t j : erase_edges) {
+      node.edges.erase(j);
+      if (j != i) locus.nodes[j].edges.erase(i);
+    }
+    if (node.edges.empty() && !node.is_out_count()) empty.insert(i);
+    return total;
+  }
+
+  void erase_nodes(int32_t li, const std::set<int32_t>& idxs) {
+    if (idxs.empty()) return;
+    Locus& locus = loci[li];
+    if (idxs.size() == locus.nodes.size()) {
+      for (int32_t i = 0; i < (int32_t)locus.nodes.size(); i++)
+        index_del(li, i);
+      locus.nodes.clear();
+      return;
+    }
+    for (auto it = idxs.rbegin(); it != idxs.rend(); ++it)
+      erase_node(li, *it);
+  }
+
+  int64_t clean_node(int32_t li, int32_t i) {
+    std::set<int32_t> empty;
+    const int64_t total = clean_node_core(li, i, empty);
+    erase_nodes(li, empty);
+    return total;
+  }
+};
+
+}  // namespace svg
+
+namespace svg {
+
+// getIntersectingNodeAddressesCore (locusgraph.py _intersecting_core)
+static bool intersecting_core(GraphSet& g, const Addr& query,
+                              const std::set<Entry>& search,
+                              int32_t filter_locus, bool is_test_usability,
+                              std::set<Addr>& out) {
+  const Node& qnode = g.loci[query.first].nodes[query.second];
+  const Entry q_entry{qnode.tid, qnode.beg, qnode.end, query.first,
+                      query.second};
+  auto start = search.lower_bound(q_entry);
+  const int32_t max_region =
+      (qnode.tid >= 0 && qnode.tid < (int32_t)g.max_region_size.size())
+          ? g.max_region_size[qnode.tid] : 0;
+  bool usable = true;
+  int64_t search_count = 0;
+
+  for (auto it = start; it != search.end(); ++it) {
+    if (is_test_usability) {
+      search_count++;
+      if (search_count > g.max_search_count) {
+        usable = false;
+        g.is_max_search_count = true;
+        break;
+      }
+    }
+    if (it->li == filter_locus) continue;
+    if (!qnode.intersects(it->tid, it->beg, it->end)) break;
+    out.insert(Addr(it->li, it->ni));
+  }
+
+  auto it = start;
+  while (it != search.begin()) {
+    --it;
+    if (is_test_usability) {
+      if (!usable) break;
+      search_count++;
+      if (search_count > g.max_search_count) {
+        usable = false;
+        g.is_max_search_count = true;
+        break;
+      }
+    }
+    if (it->li == filter_locus) continue;
+    if (!qnode.intersects(it->tid, it->beg, it->end)) {
+      if (g.is_finalized) break;  // overlap not allowed once finalized
+      if (qnode.tid != it->tid) break;
+      if ((int64_t)it->beg + max_region < qnode.beg) break;
+      continue;
+    }
+    out.insert(Addr(it->li, it->ni));
+  }
+
+  if (!is_test_usability) return true;
+
+  if (search_count > g.highest_search_count)
+    g.highest_search_count = search_count;
+  int64_t search_size =
+      qnode.end - std::max((int64_t)0, (int64_t)qnode.beg - max_region);
+  if (search_size != 0) {
+    if (search_size < 40) search_size = 40;
+    const double density = (double)search_count / (double)search_size;
+    if (density > g.highest_search_density)
+      g.highest_search_density = density;
+    if (density > g.max_search_density) {
+      usable = false;
+      g.is_max_search_density = true;
+    }
+  }
+  return usable;
+}
+
+// getMergeableIntersectingNodeAddresses (locusgraph.py _get_mergeable)
+static void get_mergeable(GraphSet& g, int32_t query_locus,
+                          int32_t query_node, bool is_query_duplicated,
+                          std::set<Addr>& out) {
+  const Addr query_addr(query_locus, query_node);
+  std::set<Addr> intersecting;
+  intersecting_core(g, query_addr, g.inodes, query_locus, false,
+                    intersecting);
+
+  std::set<Entry> remote_search;
+  std::map<Addr, std::vector<int32_t>> remote_to_local;
+  for (const Addr& addr : intersecting) {
+    const Node& inode = g.loci[addr.first].nodes[addr.second];
+    for (const auto& kv : inode.edges) {
+      const Addr conn(addr.first, kv.first);
+      auto it = remote_to_local.find(conn);
+      if (it == remote_to_local.end()) {
+        it = remote_to_local.emplace(conn, std::vector<int32_t>()).first;
+        const Node& cn = g.loci[conn.first].nodes[conn.second];
+        remote_search.insert(
+            Entry{cn.tid, cn.beg, cn.end, conn.first, conn.second});
+      }
+      it->second.push_back(addr.second);
+    }
+  }
+
+  std::set<Addr> signal_nodes;
+  for (const Addr& addr : intersecting)
+    if (!g.is_noise_node(addr)) signal_nodes.insert(addr);
+
+  const Node& qn = g.loci[query_locus].nodes[query_node];
+  // iterate a snapshot of the query node's out-edges
+  std::vector<int32_t> q_edges;
+  for (const auto& kv : qn.edges) q_edges.push_back(kv.first);
+
+  for (const int32_t remote_node_idx : q_edges) {
+    // getIntersectingEdges
+    std::set<Addr> hits;
+    intersecting_core(g, Addr(query_locus, remote_node_idx), remote_search,
+                      query_locus, false, hits);
+    std::vector<std::pair<Addr, int32_t>> edges;  // (local addr, remote ni)
+    for (const Addr& addr : hits)
+      for (const int32_t local_node : remote_to_local[addr])
+        edges.push_back({Addr(addr.first, local_node), addr.second});
+
+    int64_t edge_count = (int64_t)edges.size();
+    if (!is_query_duplicated) edge_count++;
+    const bool is_region_check = edge_count > 2;
+    if (is_region_check)
+      for (auto& rs : g.merge_regions) rs.clear();
+    int64_t out_ev = 0, in_ev = 0;
+
+    auto add_edge_evidence = [&](int32_t li, int32_t from_node,
+                                 int32_t to_node) {
+      Locus& locus = g.loci[li];
+      const int32_t inc = locus.nodes[to_node].edges[from_node];
+      const int32_t outc = locus.nodes[from_node].edges[to_node];
+      if (is_region_check) {
+        const Node& ln = locus.nodes[from_node];
+        const Node& rn = locus.nodes[to_node];
+        g.merge_regions[0].add(ln.beg, ln.end, outc);
+        g.merge_regions[1].add(ln.beg, ln.end, inc);
+        g.merge_regions[2].add(rn.beg, rn.end, inc);
+        g.merge_regions[3].add(rn.beg, rn.end, outc);
+      } else {
+        out_ev += outc;
+        in_ev += inc;
+      }
+    };
+
+    for (const auto& e : edges)
+      add_edge_evidence(e.first.first, e.first.second, e.second);
+    if (!is_query_duplicated)
+      add_edge_evidence(query_locus, query_node, remote_node_idx);
+
+    if (is_region_check) {
+      out_ev = std::min(g.merge_regions[0].max_val(),
+                        g.merge_regions[3].max_val());
+      in_ev = std::min(g.merge_regions[1].max_val(),
+                       g.merge_regions[2].max_val());
+    }
+    if (out_ev < g.min_merge_edge_count && in_ev < g.min_merge_edge_count)
+      continue;
+
+    // type1 nodes
+    for (const auto& e : edges) out.insert(e.first);
+
+    std::set<Addr> remote_addrs;
+    for (const auto& e : edges)
+      remote_addrs.insert(Addr(e.first.first, e.second));
+
+    // getIntersectingSignalNodeAddresses
+    auto get_signal = [&](const Addr& target) {
+      std::set<Addr> shits;
+      intersecting_core(g, target, g.inodes, query_locus, false, shits);
+      bool intersects_target = false;
+      for (const Addr& addr : shits) {
+        if (!g.is_noise_node(addr))
+          signal_nodes.insert(addr);
+        else if (remote_addrs.count(addr))
+          intersects_target = true;
+      }
+      return intersects_target;
+    };
+
+    bool intersect_remotes = get_signal(query_addr);
+    for (const auto& e : edges) intersect_remotes |= get_signal(e.first);
+    if (intersect_remotes) {
+      for (const Addr& raddr : remote_addrs) {
+        out.insert(raddr);
+        get_signal(raddr);
+      }
+    }
+    // type2 nodes
+    for (const Addr& s : signal_nodes) out.insert(s);
+  }
+}
+
+static void combine_loci(GraphSet& g, int32_t from_idx, int32_t to_idx,
+                         bool clear_source) {
+  if (from_idx == to_idx || from_idx >= (int32_t)g.loci.size()) return;
+  Locus& from_locus = g.loci[from_idx];
+  if (from_locus.nodes.empty()) return;
+  // copy_from may reallocate loci? no: vector indices stable, but the
+  // source reference stays valid because copy_from only mutates the
+  // target locus and the index
+  g.copy_from(to_idx, from_locus);
+  if (clear_source) g.clear_locus(from_idx);
+}
+
+static int32_t move_to_lowest_locus(GraphSet& g,
+                                    const std::set<Addr>& mergeable,
+                                    int32_t start_locus_idx,
+                                    int32_t head_locus_idx) {
+  const int32_t input_head = head_locus_idx;
+  int32_t new_head = mergeable.begin()->first;
+  for (const Addr& a : mergeable) new_head = std::min(new_head, a.first);
+  const bool clear_source = start_locus_idx != input_head;
+  combine_loci(g, input_head, new_head, clear_source);
+  for (const Addr& addr : mergeable)  // std::set iterates ascending
+    combine_loci(g, addr.first, new_head, true);
+  return new_head;
+}
+
+// merge(SVLocus) (locusgraph.py merge_locus)
+static int merge_locus(GraphSet& g, const Locus& input_locus) {
+  if (g.is_finalized || input_locus.nodes.empty()) return -10;
+  const int32_t start_locus_idx = g.insert_locus(input_locus);
+  int32_t head_locus_idx = start_locus_idx;
+  bool is_duplicated = false;
+  bool is_abort = false;
+
+  // order nodes by interval; identical intervals keep the first node
+  std::map<std::array<int32_t, 3>, int32_t> interval_map;
+  {
+    const Locus& sl = g.loci[start_locus_idx];
+    for (int32_t i = 0; i < (int32_t)sl.nodes.size(); i++) {
+      const Node& nd = sl.nodes[i];
+      interval_map.emplace(std::array<int32_t, 3>{nd.tid, nd.beg, nd.end},
+                           i);
+    }
+  }
+  std::vector<int32_t> node_order;
+  for (const auto& kv : interval_map) node_order.push_back(kv.second);
+
+  const bool is_test_usability = input_locus.nodes.size() <= 2;
+  for (const int32_t node_idx : node_order) {
+    std::set<Addr> tmp;
+    const bool usable =
+        intersecting_core(g, Addr(start_locus_idx, node_idx), g.inodes,
+                          start_locus_idx, is_test_usability, tmp);
+    if (!usable) {
+      is_abort = true;
+      break;
+    }
+  }
+
+  for (const int32_t node_idx : node_order) {
+    if (is_abort) break;
+    std::set<Addr> mergeable;
+    get_mergeable(g, start_locus_idx, node_idx, is_duplicated, mergeable);
+    if (mergeable.empty()) continue;
+    if (is_duplicated && mergeable.size() < 2) continue;
+
+    auto all_head = [&] {
+      for (const Addr& a : mergeable)
+        if (a.first != head_locus_idx) return false;
+      return true;
+    };
+    while (!all_head()) {
+      head_locus_idx =
+          move_to_lowest_locus(g, mergeable, start_locus_idx,
+                               head_locus_idx);
+      if (!is_duplicated)
+        is_duplicated = head_locus_idx != start_locus_idx;
+      mergeable.clear();
+      get_mergeable(g, start_locus_idx, node_idx, is_duplicated, mergeable);
+      if (mergeable.empty()) return -11;
+    }
+
+    // superset node of the start node, in entry order
+    const Node& snode = g.loci[start_locus_idx].nodes[node_idx];
+    std::vector<std::pair<Entry, Addr>> ordered;
+    for (const Addr& a : mergeable)
+      ordered.push_back({g.entry(a.first, a.second), a});
+    std::sort(ordered.begin(), ordered.end(),
+              [](const auto& x, const auto& y) { return x.first < y.first; });
+    bool have_superset = false;
+    Addr superset_addr(0, 0);
+    for (const auto& ea : ordered) {
+      const Node& cand = g.loci[ea.second.first].nodes[ea.second.second];
+      if (cand.beg <= snode.beg && cand.end >= snode.end) {
+        superset_addr = ea.second;
+        have_superset = true;
+        break;
+      }
+    }
+    if (!have_superset) return -12;
+
+    Addr target_addr = superset_addr;
+    std::map<int32_t, int32_t> remap;
+    auto resolve = [&](Addr a) {
+      int32_t i = a.second;
+      auto it = remap.find(i);
+      while (it != remap.end()) {
+        i = it->second;
+        it = remap.find(i);
+      }
+      return Addr(a.first, i);
+    };
+    for (auto it = ordered.rbegin(); it != ordered.rend(); ++it) {
+      const Addr addr = it->second;
+      if (addr == superset_addr) continue;
+      Addr a = resolve(addr);
+      Addr t = resolve(target_addr);
+      if (a == t) continue;
+      if (a < t) std::swap(a, t);
+      if (a.first != t.first) return -13;
+      const int32_t last = (int32_t)g.loci[a.first].nodes.size() - 1;
+      g.merge_node(a.first, a.second, t.second);
+      if (g.err) return -14;
+      g.erase_node(a.first, a.second);
+      if (last != a.second) remap[last] = a.second;
+      target_addr = t;
+    }
+  }
+
+  if (is_abort || is_duplicated) g.clear_locus(start_locus_idx);
+  return 0;
+}
+
+}  // namespace svg
+
+extern "C" void* mt_graph_new(int32_t min_merge_edge_count,
+                              int32_t max_search_count,
+                              double max_search_density, int32_t n_tids) {
+  svg::GraphSet* g = new svg::GraphSet();
+  g->min_merge_edge_count = min_merge_edge_count;
+  g->max_search_count = max_search_count;
+  g->max_search_density = max_search_density;
+  g->max_region_size.assign(n_tids, 0);
+  return g;
+}
+
+extern "C" void mt_graph_free(void* h) { delete (svg::GraphSet*)h; }
+
+extern "C" int mt_graph_insert_read(void* h, int32_t tid1, int32_t beg1,
+                                    int32_t end1, int32_t ev_beg,
+                                    int32_t ev_end, int32_t w1,
+                                    int32_t is_complex, int32_t tid2,
+                                    int32_t beg2, int32_t end2, int32_t w2) {
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  svg::Locus locus;
+  svg::Node n1;
+  n1.tid = tid1; n1.beg = beg1; n1.end = end1;
+  n1.ev_beg = ev_beg; n1.ev_end = ev_end;
+  locus.nodes.push_back(n1);
+  if (is_complex) {
+    locus.nodes[0].edges[0] = w1;  // self-edge (from_count + to_count=0)
+  } else {
+    svg::Node n2;
+    n2.tid = tid2; n2.beg = beg2; n2.end = end2;
+    n2.ev_beg = beg2; n2.ev_end = end2;
+    locus.nodes.push_back(n2);
+    locus.nodes[0].edges[1] = w1;
+    locus.nodes[1].edges[0] = w2;
+    // merge_self_overlap for the 2-node case (standalone, no index)
+    if (locus.nodes[1].is_intersect(locus.nodes[0])) {
+      // merge_node(1 -> 0) on the standalone pair, then erase node 1
+      svg::Node& f = locus.nodes[1];
+      svg::Node& t = locus.nodes[0];
+      t.beg = std::min(t.beg, f.beg);
+      t.end = std::max(t.end, f.end);
+      const bool t_has = t.is_out_count(), f_has = f.is_out_count();
+      if (!t_has && f_has) {
+        t.ev_beg = f.ev_beg; t.ev_end = f.ev_end;
+      } else if ((t_has && f_has) || (!t_has && !f_has)) {
+        t.ev_beg = std::min(t.ev_beg, f.ev_beg);
+        t.ev_end = std::max(t.ev_end, f.ev_end);
+      }
+      // f's only edge is 1->0 (the from->to edge): apply the chimera
+      // max-count rule with the return edge, landing on a 0->0 self
+      // edge of max(w1... the from-edge is f.edges[0]=w2? note: from
+      // node is index1 whose edge to index0 carries w2
+      const int32_t from_count = f.edges[0];
+      const int32_t to_count = t.edges.count(1) ? t.edges[1] : 0;
+      t.edges[0] = std::max(from_count, to_count);
+      t.edges.erase(1);
+      locus.nodes.pop_back();
+    }
+  }
+  return svg::merge_locus(g, locus);
+}
+
+extern "C" int mt_graph_clean_region(void* h, int32_t tid, int32_t beg,
+                                     int32_t end) {
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  // probe locus insertion mirrors get_region_intersect exactly
+  // (including its max_region_size side effect)
+  svg::Locus probe;
+  svg::Node pn;
+  pn.tid = tid; pn.beg = beg; pn.end = end;
+  pn.ev_beg = beg; pn.ev_end = end;
+  probe.nodes.push_back(pn);
+  const int32_t idx = g.insert_locus(probe);
+  std::set<svg::Addr> hits;
+  svg::intersecting_core(g, svg::Addr(idx, 0), g.inodes, idx, false, hits);
+  g.clear_locus(idx);
+  for (auto it = hits.rbegin(); it != hits.rend(); ++it) {
+    svg::Locus& locus = g.loci[it->first];
+    if (locus.nodes.empty()) continue;
+    g.total_cleaned += g.clean_node(it->first, it->second);
+    if (locus.nodes.empty()) g.empty_loci.insert(it->first);
+  }
+  return 0;
+}
+
+extern "C" int mt_graph_merge_graph(void* dst, void* src) {
+  svg::GraphSet& d = *(svg::GraphSet*)dst;
+  svg::GraphSet& s = *(svg::GraphSet*)src;
+  if (d.min_merge_edge_count != s.min_merge_edge_count) return -1;
+  for (const svg::Locus& locus : s.loci) {
+    if (locus.nodes.empty()) continue;
+    const int rc = svg::merge_locus(d, locus);
+    if (rc != 0) return rc;
+  }
+  d.total_cleaned += s.total_cleaned;
+  d.highest_search_count =
+      std::max(d.highest_search_count, s.highest_search_count);
+  d.is_max_search_count |= s.is_max_search_count;
+  d.highest_search_density =
+      std::max(d.highest_search_density, s.highest_search_density);
+  d.is_max_search_density |= s.is_max_search_density;
+  return 0;
+}
+
+extern "C" int mt_graph_load(void* h, int64_t n_loci,
+                             const int64_t* locus_sizes,
+                             const int64_t* nodes6, const int64_t* edges2) {
+  // reconstruct a saved graph (locusgraph.py load + reconstruct_index)
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  int64_t ni = 0, ei = 0;
+  for (int64_t li = 0; li < n_loci; li++) {
+    g.loci.emplace_back();
+    svg::Locus& locus = g.loci.back();
+    for (int64_t k = 0; k < locus_sizes[li]; k++, ni++) {
+      svg::Node n;
+      n.tid = (int32_t)nodes6[ni * 6 + 0];
+      n.beg = (int32_t)nodes6[ni * 6 + 1];
+      n.end = (int32_t)nodes6[ni * 6 + 2];
+      n.ev_beg = (int32_t)nodes6[ni * 6 + 3];
+      n.ev_end = (int32_t)nodes6[ni * 6 + 4];
+      const int64_t n_edges = nodes6[ni * 6 + 5];
+      for (int64_t e = 0; e < n_edges; e++, ei++)
+        n.edges[(int32_t)edges2[ei * 2 + 0]] = (int32_t)edges2[ei * 2 + 1];
+      locus.nodes.push_back(std::move(n));
+      g.index_add((int32_t)li, (int32_t)k);
+    }
+    if (locus.nodes.empty()) g.empty_loci.insert((int32_t)li);
+  }
+  return 0;
+}
+
+extern "C" void mt_graph_set_stats(void* h, int64_t total_cleaned,
+                                   int64_t highest_count,
+                                   double highest_density,
+                                   int32_t is_max_count,
+                                   int32_t is_max_density) {
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  g.total_cleaned = total_cleaned;
+  g.highest_search_count = highest_count;
+  g.highest_search_density = highest_density;
+  g.is_max_search_count = is_max_count != 0;
+  g.is_max_search_density = is_max_density != 0;
+}
+
+extern "C" void mt_graph_counts(void* h, int64_t* n_loci, int64_t* n_nodes,
+                                int64_t* n_edges) {
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  int64_t nl = 0, nn = 0, ne = 0;
+  for (const svg::Locus& locus : g.loci) {
+    if (locus.nodes.empty()) continue;
+    nl++;
+    nn += (int64_t)locus.nodes.size();
+    for (const svg::Node& node : locus.nodes)
+      ne += (int64_t)node.edges.size();
+  }
+  *n_loci = nl;
+  *n_nodes = nn;
+  *n_edges = ne;
+}
+
+extern "C" int mt_graph_export(void* h, int64_t* locus_sizes,
+                               int64_t* nodes6, int64_t* edges2,
+                               int64_t* total_cleaned,
+                               int64_t* highest_count,
+                               double* highest_density,
+                               int32_t* is_max_count,
+                               int32_t* is_max_density) {
+  // same iteration order as locusgraph.py save(): loci in slot order
+  // (empties skipped), nodes in storage order, edges sorted by key
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  int64_t li = 0, ni = 0, ei = 0;
+  for (const svg::Locus& locus : g.loci) {
+    if (locus.nodes.empty()) continue;
+    locus_sizes[li++] = (int64_t)locus.nodes.size();
+    for (const svg::Node& node : locus.nodes) {
+      nodes6[ni * 6 + 0] = node.tid;
+      nodes6[ni * 6 + 1] = node.beg;
+      nodes6[ni * 6 + 2] = node.end;
+      nodes6[ni * 6 + 3] = node.ev_beg;
+      nodes6[ni * 6 + 4] = node.ev_end;
+      nodes6[ni * 6 + 5] = (int64_t)node.edges.size();
+      ni++;
+      for (const auto& kv : node.edges) {  // std::map: ascending keys
+        edges2[ei * 2 + 0] = kv.first;
+        edges2[ei * 2 + 1] = kv.second;
+        ei++;
+      }
+    }
+  }
+  *total_cleaned = g.total_cleaned;
+  *highest_count = g.highest_search_count;
+  *highest_density = g.highest_search_density;
+  *is_max_count = g.is_max_search_count ? 1 : 0;
+  *is_max_density = g.is_max_search_density ? 1 : 0;
   return 0;
 }
