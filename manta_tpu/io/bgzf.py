@@ -103,27 +103,58 @@ class BgzfWriter:
         self._f.flush()
 
 
+# process-wide shared state: multiple readers over the same alignment
+# file (phase-0 stats, phase-1 scan, phase-2 edge/score/evidence
+# fetches) share one mapping of the compressed bytes and one
+# decompressed-block LRU, keyed by file identity so a rewritten path
+# never serves stale blocks
+_FILE_DATA: dict[tuple, "mmap.mmap"] = {}
+_BLOCK_CACHE: dict[tuple, tuple[bytes, int]] = {}
+_CACHE_BLOCKS = 3072  # x ~64KB uncompressed = ~192 MB cap
+
+
+def _shared_file_data(path: str):
+    import mmap
+    import os
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    data = _FILE_DATA.get(key)
+    if data is None:
+        # drop mappings (and cached blocks) of older versions of the path
+        stale = [k for k in _FILE_DATA if k[0] == key[0]]
+        for k in stale:
+            del _FILE_DATA[k]
+        if stale:
+            for bk in [bk for bk in _BLOCK_CACHE if bk[0] in stale]:
+                del _BLOCK_CACHE[bk]
+        with open(path, "rb") as f:
+            if st.st_size == 0:
+                data = b""
+            else:
+                data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        _FILE_DATA[key] = data
+    return key, data
+
+
 class BgzfReader:
     """Random-access BGZF reader with virtual-offset support.
 
-    Reads whole blocks on demand and caches the most recently used block,
-    which is the access pattern of index-driven region queries.
+    Reads whole blocks on demand; the compressed file mapping and the
+    decompressed-block LRU are shared process-wide across readers of
+    the same file (phase-2 region queries revisit the same breakend
+    neighborhoods many times across edges and scoring passes).
     """
-
-    # per-reader LRU of decompressed blocks: region queries in phase 2
-    # revisit the same breakend neighborhoods many times across edges
-    _CACHE_BLOCKS = 512  # x ~64KB uncompressed = ~32 MB cap
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            self._data = f.read()
-        self._cache: dict[int, tuple[bytes, int]] = {}
+        self._key, self._data = _shared_file_data(path)
 
     def block_at(self, coffset: int) -> tuple[bytes, int]:
         """Decompress block starting at compressed offset; return (payload, next_coffset)."""
-        hit = self._cache.get(coffset)
+        ck = (self._key, coffset)
+        hit = _BLOCK_CACHE.pop(ck, None)
         if hit is not None:
+            _BLOCK_CACHE[ck] = hit  # move-to-end: eviction drops true LRU
             return hit
         try:
             payload_off, bsize = _parse_block_header(self._data, coffset)
@@ -133,12 +164,12 @@ class BgzfReader:
             raise ValueError(
                 f"{self.path}: corrupt or truncated BGZF block at "
                 f"offset {coffset}: {e}") from e
-        if len(self._cache) >= self._CACHE_BLOCKS:
+        if len(_BLOCK_CACHE) >= _CACHE_BLOCKS:
             # drop the oldest inserted half (dicts preserve order)
-            for k in list(self._cache)[:self._CACHE_BLOCKS // 2]:
-                del self._cache[k]
+            for k in list(_BLOCK_CACHE)[:_CACHE_BLOCKS // 2]:
+                del _BLOCK_CACHE[k]
         out = (payload, coffset + bsize)
-        self._cache[coffset] = out
+        _BLOCK_CACHE[ck] = out
         return out
 
     def read_range(self, vstart: int, vend: int) -> bytes:
