@@ -90,6 +90,24 @@ def is_mate_insertion_evidence_candidate(batch: ReadBatch, i: int,
     return abs(int(batch.pos[i]) - int(batch.next_pos[i])) >= 10000
 
 
+def mate_insertion_candidates_mask(batch: ReadBatch, sa: np.ndarray,
+                                   min_mapq: int) -> np.ndarray:
+    """Vectorized is_mate_insertion_evidence_candidate over a batch
+    (sa = has_sa_tag(batch))."""
+    f = batch.flag.astype(np.int64)
+    return (
+        ((f & FLAG_PAIRED) != 0)
+        & ((f & FLAG_SUPPLEMENTARY) == 0)
+        & ~(((f & FLAG_SECONDARY) != 0) & sa)
+        & ((f & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED)) == 0)
+        & (batch.mapq >= min_mapq)
+        & (batch.refid >= 0) & (batch.next_refid >= 0)
+        & ((batch.refid != batch.next_refid)
+           | (np.abs(batch.pos.astype(np.int64)
+                     - batch.next_pos) >= 10000))
+    )
+
+
 def is_mapped_pair(batch: ReadBatch) -> np.ndarray:
     f = batch.flag
     return (

@@ -159,18 +159,19 @@ class SVLocusSetFinder:
         """Feed a position-sorted batch of one sample's reads."""
         if batch.n == 0:
             return
-        order = [(sample_index, i) for i in range(batch.n)]
+        order = (np.full(batch.n, sample_index, np.int32),
+                 np.arange(batch.n, dtype=np.int64))
         batches = [ReadBatch.concat([]) for _ in self.is_tumor]
         batches[sample_index] = batch
         _run_merged(self, batches, order)
 
 
-def merge_sorted_batches(batches: list[ReadBatch]) -> list[tuple[int, int]]:
-    """K-way position-merge across per-sample batches: yields
-    (sample_index, read_index) in position order (reference:
+def merge_sorted_batches(batches: list[ReadBatch]):
+    """K-way position-merge across per-sample batches: returns
+    (sample_index, read_index) arrays in position order (reference:
     input_stream_handler, blt_util/input_stream_handler.hpp:105)."""
     if not batches:
-        return []
+        return (np.zeros(0, np.int32), np.zeros(0, np.int64))
     pos = np.concatenate([b.pos for b in batches])
     si = np.concatenate([np.full(b.n, k, np.int32)
                          for k, b in enumerate(batches)])
@@ -178,7 +179,7 @@ def merge_sorted_batches(batches: list[ReadBatch]) -> list[tuple[int, int]]:
     # stable sort by (pos, sample); within ties read order is ascending
     # because the per-sample segments are appended in read order
     order = np.lexsort((si, pos))
-    return list(zip(si[order].tolist(), ri[order].tolist()))
+    return (si[order], ri[order])
 
 
 def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
@@ -267,46 +268,89 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
     supplementary = [
         ((b.flag & 0x800) != 0) | (((b.flag & 0x100) != 0) & sas[si])
         for si, b in enumerate(batches)]
+    osi, oi = order
 
-    for (si, i) in order:
+    if finder.max_depth is None:
+        # No sequential depth gate: every counter is a pure reduction,
+        # and only evidence reads need the per-read walk.
+        from ..core.readfilter import mate_insertion_candidates_mask
+        for si, b in enumerate(batches):
+            if b.n == 0:
+                continue
+            counts = finder.counts[si]
+            ok = ~core_bads[si]
+            lowq = ok & (b.mapq < min_mapq)
+            counts.min_mapq += int(lowq.sum())
+            base = ok & ~lowq
+            sup = base & supplementary[si]
+            counts.split_supplementary_segment += int(sup.sum())
+            norm = base & ~supplementary[si]
+            counts.total += int(norm.sum())
+            tm = type_masks[si]
+            if tm is not None:
+                anom = norm & tm["anom"]
+                counts.anom += int(anom.sum())
+                counts.remote_recovery_candidates += int(
+                    (anom & mate_insertion_candidates_mask(
+                        b, sas[si], min_mapq)).sum())
+                counts.split += int((norm & tm["split"]).sum())
+                counts.anom_and_split += int(
+                    (anom & tm["split"]).sum())
+                counts.indel += int((norm & tm["indel"]).sum())
+                counts.assm += int((norm & tm["assm"]).sum())
+            ev = ev_masks[si]
+            counts.ignored += int((base & ~ev).sum())
+            counts.evidence += int((base & ev).sum())
+        # compress the merged stream to surviving evidence reads
+        keep = np.zeros(len(osi), bool)
+        for si, b in enumerate(batches):
+            m = osi == si
+            if m.any():
+                surv = ev_masks[si] & ~core_bads[si] & \
+                    (b.mapq >= min_mapq)
+                keep[m] = surv[oi[m]]
+        osi, oi = osi[keep], oi[keep]
+
+    for (si, i) in zip(osi.tolist(), oi.tolist()):
         b = batches[si]
         counts = finder.counts[si]
-        if core_bads[si][i]:
-            continue
         pos = int(b.pos[i])
-        if not finder.is_tumor[si] and finder.max_depth is not None:
-            finder.depth.inc(pos, b.read_len(i))
-        if finder.max_depth is not None and \
-                finder.depth.val(pos) > finder.max_depth:
-            continue
-        if b.mapq[i] < min_mapq:
-            counts.min_mapq += 1
-            continue
-        # evidence-count statistics (SVLocusScanner.cpp:1457-1479):
-        # supplemental split segments are excluded from "normal" counts
-        tm = type_masks[si]
-        if supplementary[si][i]:
-            counts.split_supplementary_segment += 1
-        else:
-            counts.total += 1
-            if tm is not None:
-                if tm["anom"][i]:
-                    counts.anom += 1
-                    if is_mate_insertion_evidence_candidate(
-                            b, i, min_mapq):
-                        counts.remote_recovery_candidates += 1
-                if tm["split"][i]:
-                    counts.split += 1
-                if tm["anom"][i] and tm["split"][i]:
-                    counts.anom_and_split += 1
-                if tm["indel"][i]:
-                    counts.indel += 1
-                if tm["assm"][i]:
-                    counts.assm += 1
-        if not ev_masks[si][i]:
-            counts.ignored += 1
-            continue
-        counts.evidence += 1
+        if finder.max_depth is not None:
+            if core_bads[si][i]:
+                continue
+            if not finder.is_tumor[si]:
+                finder.depth.inc(pos, b.read_len(i))
+            if finder.depth.val(pos) > finder.max_depth:
+                continue
+            if b.mapq[i] < min_mapq:
+                counts.min_mapq += 1
+                continue
+            # evidence-count statistics (SVLocusScanner.cpp:1457-1479):
+            # supplemental split segments are excluded from "normal"
+            # counts
+            tm = type_masks[si]
+            if supplementary[si][i]:
+                counts.split_supplementary_segment += 1
+            else:
+                counts.total += 1
+                if tm is not None:
+                    if tm["anom"][i]:
+                        counts.anom += 1
+                        if is_mate_insertion_evidence_candidate(
+                                b, i, min_mapq):
+                            counts.remote_recovery_candidates += 1
+                    if tm["split"][i]:
+                        counts.split += 1
+                    if tm["anom"][i] and tm["split"][i]:
+                        counts.anom_and_split += 1
+                    if tm["indel"][i]:
+                        counts.indel += 1
+                    if tm["assm"][i]:
+                        counts.assm += 1
+            if not ev_masks[si][i]:
+                counts.ignored += 1
+                continue
+            counts.evidence += 1
         if not (finder.beg <= pos < finder.end):
             continue
         finder._handle_new_pos(pos)
