@@ -113,7 +113,7 @@ class SampleGroup:
     def add(self, ref: ReadRef, is_expect_repeat: bool,
             read_index: float | None = None):
         b, i = ref.batch, ref.index
-        qname = b.name_str(i)
+        qname = b.name_bytes(i)
         if qname in self._index:
             frag = self.fragments[self._index[qname]]
         else:

@@ -81,6 +81,10 @@ class ReadBatch:
     def name_str(self, i: int) -> str:
         return self.name[self.name_off[i]:self.name_off[i + 1]].tobytes().decode()
 
+    def name_bytes(self, i: int) -> bytes:
+        """Raw qname; preferred as a dict key on hot paths (no decode)."""
+        return self.name[self.name_off[i]:self.name_off[i + 1]].tobytes()
+
     def cigar_arr(self, i: int) -> np.ndarray:
         return self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]]
 

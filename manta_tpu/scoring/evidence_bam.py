@@ -72,7 +72,7 @@ class SupportSamples:
             [{} for _ in range(sample_count)]
 
     def get_fragment(self, bam_index: int, batch, i: int) -> SupportFragment:
-        qname = batch.name_str(i)
+        qname = batch.name_bytes(i)
         frags = self.samples[bam_index]
         if qname not in frags:
             frag = SupportFragment()
@@ -138,7 +138,7 @@ class SVEvidenceWriter:
                     continue
                 batch = reader.fetch(tid, max(0, beg), end)
                 for i in range(batch.n):
-                    qname = batch.name_str(i)
+                    qname = batch.name_bytes(i)
                     frag = frags.get(qname)
                     if frag is None:
                         continue

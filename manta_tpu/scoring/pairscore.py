@@ -170,7 +170,7 @@ class RefPairProcessor(PairProcessorParams):
         track = self.evidence_tracks[bam_index]
         is_bp1 = self.is_bp1
         for j, i in enumerate(idx):
-            fragment = track.setdefault(batch.name_str(i),
+            fragment = track.setdefault(batch.name_bytes(i),
                                         FragmentEvidence())
             read = fragment.read1 if is_r1[j] else fragment.read2
             if not read.is_scanned:
@@ -204,7 +204,7 @@ class RefPairProcessor(PairProcessorParams):
         if frag_overlap < self.pair_opt.min_frag_support:
             return
         track = self.evidence_tracks[bam_index]
-        qname = batch.name_str(i)
+        qname = batch.name_bytes(i)
         fragment = track.setdefault(qname, FragmentEvidence())
         is_read1 = bool(batch.flag[i] & FLAG_READ1)
         set_read_evidence(self.min_mapq, self.min_tier2_mapq,
@@ -394,7 +394,7 @@ class AltPairProcessor(PairProcessorParams):
                     qual = batch.qual_arr(i)
                     avg_q = int(qual.sum()) // max(1, len(qual))
                     if avg_q >= 25 and \
-                            batch.name_str(i) == self._shadow_last_qname:
+                            batch.name_bytes(i) == self._shadow_last_qname:
                         is_shadow_read = True
             if not is_shadow_read:
                 # anchor check restricted by strand: left-open search for
@@ -405,12 +405,12 @@ class AltPairProcessor(PairProcessorParams):
                 if strand_ok and (f & FLAG_PAIRED) and not unmapped and \
                         (f & FLAG_MATE_UNMAPPED) and batch.mapq[i] >= \
                         self.scanner.opt.min_singleton_mapq_candidates:
-                    self._shadow_last_qname = batch.name_str(i)
+                    self._shadow_last_qname = batch.name_bytes(i)
                     self._shadow_last_mapq = int(batch.mapq[i])
                     self._shadow_set = True
                     # this read just became the anchor
                     track = self.evidence_tracks[bam_index]
-                    fragment = track.setdefault(batch.name_str(i),
+                    fragment = track.setdefault(batch.name_bytes(i),
                                                 FragmentEvidence())
                     is_read1 = bool(f & FLAG_READ1)
                     set_read_evidence(self.min_mapq, self.min_tier2_mapq,
@@ -437,7 +437,7 @@ class AltPairProcessor(PairProcessorParams):
 
             if not is_shadow_alignment:
                 remotes = self.assembly_data.remote_reads
-                qname = batch.name_str(i)
+                qname = batch.name_bytes(i)
                 if qname in remotes:
                     read_no, remote_seq = remotes[qname]
                     my_no = 2 if (f & 0x80) else 1
@@ -482,7 +482,7 @@ class AltPairProcessor(PairProcessorParams):
                 return
 
         track = self.evidence_tracks[bam_index]
-        qname = batch.name_str(i)
+        qname = batch.name_bytes(i)
         fragment = track.setdefault(qname, FragmentEvidence())
         is_read1 = bool(f & FLAG_READ1)
         read_size = batch.read_len(i)

@@ -695,7 +695,7 @@ class SVScorer:
                 qname = None
                 for r in (fragment.read1, fragment.read2):
                     if r is not None:
-                        qname = r.batch.name_str(r.index)
+                        qname = r.batch.name_bytes(r.index)
                         break
                 track = evidence_tracks[bam_index]
                 fragev = track.setdefault(qname, FragmentEvidence())
@@ -777,7 +777,7 @@ class SVScorer:
         cand = []
         for oi in order:
             i = int(oi)
-            qname = batch.name_str(i)
+            qname = batch.name_bytes(i)
             fragev = track.setdefault(qname, FragmentEvidence())
             is_read1 = bool(batch.flag[i] & FLAG_READ1)
             if fragev.alt.bp1.get_read(is_read1).is_split_evaluated:
