@@ -461,10 +461,17 @@ class BamReader:
         buf = self._bgzf.decompress_all()
         return parse_records(buf, self._records_ustart)
 
-    _FETCH_CACHE_SIZE = 24
-    _FETCH_COVER_SIZE = 8
+    _FETCH_CACHE_SIZE = 96
+    _FETCH_COVER_SIZE = 32
     _FETCH_COVER_PAD = 4096
     _FETCH_COVER_MAX_SPAN = 65536
+
+    # parsed-batch caches are process-wide (keyed by file identity):
+    # the pipeline opens many readers over the same alignment file
+    # (assembly, pair scoring, split scoring, evidence output), and
+    # their fetch patterns overlap heavily around each breakend
+    _FETCH_CACHE: dict = {}
+    _COVER_CACHE: dict = {}
 
     def fetch(self, ref: str | int, beg: int, end: int) -> ReadBatch:
         """All reads overlapping [beg, end) (0-based half-open).
@@ -474,11 +481,9 @@ class BamReader:
         scoring, and split scoring. Returned batches are treated as
         immutable by all callers."""
         tid = ref if isinstance(ref, int) else self.header.name_to_tid[ref]
-        cache = getattr(self, "_fetch_cache", None)
-        if cache is None:
-            cache = self._fetch_cache = {}
-            self._cover_cache = {}
-        key = (tid, beg, end)
+        cache = BamReader._FETCH_CACHE
+        fk = self._bgzf._key
+        key = (fk, tid, beg, end)
         hit = cache.get(key)
         if hit is not None:
             return hit
@@ -490,31 +495,27 @@ class BamReader:
         # (pos < end and max(end_pos, pos+1) > beg), which yields a
         # bit-identical batch in file order.
         if end - beg > self._FETCH_COVER_MAX_SPAN:
-            # large scans (phase-1 segments, depth estimation) are
-            # one-shot; padding them would only add parse cost
-            out = self._fetch_uncached(tid, beg, end)
-            if len(cache) >= self._FETCH_CACHE_SIZE:
-                for k in list(cache)[:self._FETCH_CACHE_SIZE // 2]:
-                    del cache[k]
-            cache[key] = out
-            return out
+            # large scans (phase-1 segments, depth estimation, stats
+            # chunks) are one-shot: caching them would only pin memory
+            return self._fetch_uncached(tid, beg, end)
         # all records have pos >= 0, so a negative beg is equivalent to
         # 0 for both the overlap predicate and window coverage
         cov_beg = max(0, beg)
+        covers = BamReader._COVER_CACHE
         sup = None
-        for (ctid, cbeg, cend), cb in self._cover_cache.items():
-            if ctid == tid and cbeg <= cov_beg and cend >= end:
+        for (cfk, ctid, cbeg, cend), cb in covers.items():
+            if cfk == fk and ctid == tid and cbeg <= cov_beg and \
+                    cend >= end:
                 sup = cb
                 break
         if sup is None:
             cbeg = max(0, cov_beg - self._FETCH_COVER_PAD)
             cend = end + self._FETCH_COVER_PAD
             sup = self._fetch_uncached(tid, cbeg, cend)
-            if len(self._cover_cache) >= self._FETCH_COVER_SIZE:
-                for k in list(self._cover_cache)[
-                        :self._FETCH_COVER_SIZE // 2]:
-                    del self._cover_cache[k]
-            self._cover_cache[(tid, cbeg, cend)] = sup
+            if len(covers) >= self._FETCH_COVER_SIZE:
+                for k in list(covers)[:self._FETCH_COVER_SIZE // 2]:
+                    del covers[k]
+            covers[(fk, tid, cbeg, cend)] = sup
         end_pos = np.maximum(sup.end_pos, sup.pos + 1)
         keep = (sup.pos < end) & (end_pos > beg)
         out = sup if keep.all() else sup.subset(keep)
