@@ -261,10 +261,23 @@ class _Tracker:
             self.converged = _is_stat_set_match(self._old, self.stats.frag_stats)
         self._old = SizeDistribution.from_dict(self.stats.frag_stats.to_dict())
 
-    def finalize(self, label: str):
+    def finalize(self, label: str, default_stats_path: str | None = None):
         if self.buf_rp > 0 and self.buf_abnormal / self.buf_rp < 0.01:
             self._commit()
         self.buf.clear()
+        if default_stats_path and (
+                self.total_orient < self.MIN_OBS or
+                self.stats.frag_stats.total_observations < self.MIN_OBS):
+            # fall back to user-provided stats when direct estimation
+            # fails (reference: ReadGroupStatsUtil.cpp:429-450
+            # --default-stats-file; the first entry substitutes)
+            import sys
+            print(f"Can't generate pair statistics for {label}; using "
+                  f"existing stats as default: {default_stats_path}",
+                  file=sys.stderr)
+            self.stats = ReadGroupStatsSet.load(
+                default_stats_path).get_stats(0)
+            return
         if self.total_orient < self.MIN_OBS:
             raise RuntimeError(
                 f"Too few high-confidence read pairs ({self.total_orient}) to "
@@ -294,7 +307,9 @@ class _Tracker:
 
 
 def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
-                             reference: str | None = None) -> ReadGroupStats:
+                             reference: str | None = None,
+                             default_stats: str | None = None
+                             ) -> ReadGroupStats:
     """Estimate fragment stats for one BAM by convergent sampling.
 
     Mirrors extractReadGroupStatsFromAlignmentFile
@@ -320,14 +335,14 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
     try:
         return _extract_loop(bam_path, reader, chrom_count, chrom_size,
                              highest, tracker, lib, frag_state, chunk_size,
-                             i8p, i32p, i64p, u8p, ctypes)
+                             i8p, i32p, i64p, u8p, ctypes, default_stats)
     finally:
         lib.mt_frag_free(frag_state)
 
 
 def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                   tracker, lib, frag_state, chunk_size,
-                  i8p, i32p, i64p, u8p, ctypes):
+                  i8p, i32p, i64p, u8p, ctypes, default_stats=None):
     stop = False
     active = True
     while active and not stop:
@@ -449,5 +464,5 @@ def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                 if finished_slice or stop:
                     break
 
-    tracker.finalize(bam_path)
+    tracker.finalize(bam_path, default_stats)
     return tracker.stats

@@ -199,6 +199,9 @@ def configure(args) -> str:
         "scan_size_mb": args.scan_size_mb,
         "is_output_contig": bool(args.output_contig),
         "is_unstranded_rna": bool(args.unstranded_rna),
+        "existing_align_stats": (os.path.abspath(args.existing_align_stats)
+                                 if args.existing_align_stats else None),
+        "use_existing_chrom_depths": bool(args.use_existing_chrom_depths),
         "cmdline": " ".join(sys.argv),
     }
     with open(os.path.join(run_dir, "runWorkflow.config.json"), "w") as f:
@@ -237,6 +240,13 @@ def main(argv=None):
                     action="store_true")
     ap.add_argument("--outputContig", dest="output_contig",
                     action="store_true")
+    ap.add_argument("--existingAlignStatsFile", "--defaultAlignStatsFile",
+                    dest="existing_align_stats", default=None,
+                    help="default alignment statistics to use when "
+                         "direct estimation from the sample fails")
+    ap.add_argument("--useExistingChromDepths",
+                    dest="use_existing_chrom_depths", action="store_true",
+                    help="use pre-calculated chromosome depths")
     ap.add_argument("--retainTempFiles", dest="retain_temp_files",
                     action="store_true")
     ap.add_argument("--minCandidateVariantSize",

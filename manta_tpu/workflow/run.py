@@ -84,6 +84,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  locus_index: int | None = None,
                  use_device_scoring: bool = False,
                  edge_bin_strategy: str = "contiguous",
+                 existing_align_stats: str | None = None,
+                 use_existing_chrom_depths: bool = False,
                  advanced: dict | None = None,
                  verbose: bool = True):
     # advanced defaults tier (reference: configManta.py.ini values
@@ -141,6 +143,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         "is_output_contig": is_output_contig,
         "is_unstranded_rna": is_unstranded_rna,
         "locus_index": locus_index, "advanced": adv,
+        "existing_align_stats": existing_align_stats,
+        "use_existing_chrom_depths": use_existing_chrom_depths,
     }
     tasks = TaskTracker(workspace_dir, tracker_sig)
 
@@ -157,7 +161,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         stats_set = ReadGroupStatsSet()
         stats_list = []
         for p in bams:
-            s = extract_read_group_stats(p, reference=reference)
+            s = extract_read_group_stats(
+                p, reference=reference,
+                default_stats=existing_align_stats)
             stats_set.set_stats(p, s)
             stats_list.append(s)
         stats_set.save(stats_path)
@@ -187,7 +193,17 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             estimate_chrom_depths, parse_chrom_depth, write_chrom_depth,
         )
         depth_path = os.path.join(run_dir, "workspace", "chromDepth.txt")
-        if tasks.is_done("chromDepth") or \
+        if use_existing_chrom_depths:
+            # (reference: --useExistingChromDepths, mantaWorkflow.py:843
+            # — skip estimation; the user pre-places chromDepth.txt in
+            # the run workspace)
+            if not os.path.exists(depth_path):
+                raise FileNotFoundError(
+                    f"--useExistingChromDepths set but {depth_path} "
+                    "not found")
+            log("using pre-calculated chromosome depth")
+            chrom_depths = parse_chrom_depth(depth_path)
+        elif tasks.is_done("chromDepth") or \
                 (is_rescore and os.path.exists(depth_path)):
             log("resume: reusing chromosome depth")
             chrom_depths = parse_chrom_depth(depth_path)
@@ -902,6 +918,13 @@ def main(argv=None):
     ap.add_argument("--device-scoring", action="store_true",
                     help="route split-read scoring through the attached "
                          "TPU/accelerator (bit-identical results)")
+    ap.add_argument("--existing-align-stats", default=None,
+                    help="fallback alignment stats JSON used when "
+                         "direct estimation from a sample fails "
+                         "(reference: --existingAlignStatsFile)")
+    ap.add_argument("--use-existing-chrom-depths", action="store_true",
+                    help="use pre-calculated workspace/chromDepth.txt "
+                         "(reference: --useExistingChromDepths)")
     ap.add_argument("--rescore", action="store_true",
                     help="reuse phase-0/1 artifacts, re-run candidate "
                          "generation and scoring only")
@@ -921,7 +944,9 @@ def main(argv=None):
                  n_jobs=args.jobs, is_rescore=args.rescore,
                  locus_index=args.locus_index,
                  use_device_scoring=args.device_scoring,
-                 edge_bin_strategy=args.edge_bin_strategy)
+                 edge_bin_strategy=args.edge_bin_strategy,
+                 existing_align_stats=args.existing_align_stats,
+                 use_existing_chrom_depths=args.use_existing_chrom_depths)
 
 
 if __name__ == "__main__":

@@ -82,3 +82,40 @@ def test_demo_stats(which, normal_bam, tumor_bam):
         ss2 = ReadGroupStatsSet.load(p)
         assert ss2.get_stats(path).frag_stats.quantile(0.5) == med
         assert ss2.get_stats(path).counter.total == stats.counter.total
+
+
+def test_default_stats_fallback(tmp_path, tumor_bam):
+    """--existingAlignStatsFile semantics: when a sample has too few
+    high-confidence pairs, the provided stats substitute wholesale
+    (reference: ReadGroupStatsUtil.cpp:429-450)."""
+    from manta_tpu.core.fragstats import (
+        ReadGroupStatsSet, extract_read_group_stats,
+    )
+    from manta_tpu.io.bam import BamReader
+    from manta_tpu.io.bamwriter import BamWriter
+
+    # full-sample stats act as the default file
+    full = extract_read_group_stats(tumor_bam)
+    ss = ReadGroupStatsSet()
+    ss.set_stats("default", full)
+    default_path = str(tmp_path / "default_stats.json")
+    ss.save(default_path)
+
+    # a BAM with only a handful of pairs cannot converge
+    src = BamReader(tumor_bam)
+    tid = src.header.name_to_tid["8"]
+    batch = src.fetch(tid, 107652000, 107652300)
+    tiny = str(tmp_path / "tiny.bam")
+    w = BamWriter(tiny, src.header.text, src.header.ref_names,
+                  src.header.ref_lengths)
+    for i in range(min(40, batch.n)):
+        w.add_record(batch, i)
+    w.close()
+
+    import pytest
+    with pytest.raises(RuntimeError):
+        extract_read_group_stats(tiny)
+    sub = extract_read_group_stats(tiny, default_stats=default_path)
+    assert sub.frag_stats.total_observations == \
+        full.frag_stats.total_observations
+    assert sub.counter.total == full.counter.total

@@ -110,3 +110,28 @@ def test_rescore_reruns_phase2_only(resume_run):
                  is_exome=True, is_rescore=True, verbose=False)
     assert _mtime(graph) == graph_before
     assert _mtime(cand) != cand_before
+
+
+def test_use_existing_chrom_depths(tmp_path, demo_fasta, tumor_bam):
+    """--useExistingChromDepths: depth estimation is skipped and the
+    pre-placed workspace/chromDepth.txt is used; missing file errors."""
+    import os
+
+    import pytest
+
+    from manta_tpu.workflow.run import run_workflow
+
+    run_dir = str(tmp_path / "run")
+    with pytest.raises(FileNotFoundError):
+        run_workflow([], [tumor_bam], demo_fasta, run_dir,
+                     use_existing_chrom_depths=True, verbose=False)
+    os.makedirs(os.path.join(run_dir, "workspace"), exist_ok=True)
+    with open(os.path.join(run_dir, "workspace", "chromDepth.txt"),
+              "w") as f:
+        f.write("8\t30.0\n11\t30.0\n")
+    run_workflow([], [tumor_bam], demo_fasta, run_dir,
+                 use_existing_chrom_depths=True, verbose=False)
+    recs = [l for l in __import__("gzip").open(
+        f"{run_dir}/results/variants/tumorSV.vcf.gz", "rt")
+        if not l.startswith("#")]
+    assert len(recs) >= 4
