@@ -155,3 +155,20 @@ def test_cram_inputs_match_oracle(tmp_path_factory, demo_fasta, normal_bam,
     got = _records(f"{run_dir}/results/variants/somaticSV.vcf.gz")
     want = _records(EXPECTED)
     assert got == want
+
+
+def test_joint_multi_sample_germline(tmp_path_factory, demo_fasta,
+                                     normal_bam, tumor_bam):
+    """Joint diploid calling over two samples (reference: germline mode
+    with up to ~10 diploid samples): per-sample columns appear in the
+    diploid VCF and candidate generation covers both inputs."""
+    run_dir = str(tmp_path_factory.mktemp("joint_run"))
+    run_workflow([normal_bam, tumor_bam], [], demo_fasta, run_dir,
+                 is_exome=True, verbose=False)
+    with gzip.open(f"{run_dir}/results/variants/diploidSV.vcf.gz",
+                   "rt") as f:
+        header = [l for l in f if l.startswith("#CHROM")][0]
+    cols = header.rstrip("\n").split("\t")
+    assert cols[9:] == ["HCC1954_BL", "HCC1954"]
+    cand = _records(f"{run_dir}/results/variants/candidateSV.vcf.gz")
+    assert len(cand) == 6
