@@ -116,6 +116,11 @@ class FragmentEvidence:
     read2: FragRead = field(default_factory=FragRead)
     alt: Allele = field(default_factory=Allele)
     ref: Allele = field(default_factory=Allele)
+    # memo of split-read support summaries; cleared whenever the split
+    # fields are (re)written (scorer._finish_read_split_score) — split
+    # state is frozen once evidence gathering completes, so the many
+    # scoring-model passes over a track can share the lookups
+    _split_cache: dict = field(default_factory=dict, repr=False)
 
     def get_read(self, is_read1: bool) -> FragRead:
         return self.read1 if is_read1 else self.read2

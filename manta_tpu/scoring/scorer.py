@@ -204,9 +204,11 @@ def _get_spanning_pair_allele_lhood(allele) -> float:
     return frag_prob
 
 
-def _increment_allele_split_lhood(self_map: ProbSet, other_map: ProbSet,
-                                  allele, is_supported, is_read1,
-                                  eval_flag: list) -> float:
+_CACHE_MISS = object()
+
+
+def _allele_split_align_lnl(allele, is_supported, is_read1,
+                            eval_flag: list) -> float:
     if not (allele.bp1.get_read(is_read1).is_split_evaluated
             and allele.bp2.get_read(is_read1).is_split_evaluated):
         eval_flag[0] = False
@@ -215,25 +217,46 @@ def _increment_allele_split_lhood(self_map: ProbSet, other_map: ProbSet,
     use_bp1 = is_supported[0]
     if is_supported[0] and is_supported[1]:
         use_bp1 = l1 >= l2
-    align_lnl = l1 if use_bp1 else l2
-    return log_sum(self_map.ln_comp + align_lnl, other_map.ln_prob)
+    return l1 if use_bp1 else l2
+
+
+def _split_read_core(fragev: FragmentEvidence, is_read1: bool,
+                     is_permissive: bool):
+    """Model-independent split summary for one fragment read:
+    (ref_align_lnl, alt_align_lnl, eval_ok), or None when unsupported.
+    Memoized on the fragment (split state is frozen during scoring)."""
+    key = (is_read1, is_permissive)
+    hit = fragev._split_cache.get(key, _CACHE_MISS)
+    if hit is not _CACHE_MISS:
+        return hit
+    if is_permissive:
+        supported = fragev.any_tier2_split_read_support(is_read1)
+    else:
+        supported = fragev.any_split_read_support(is_read1)
+    if not (supported[0] or supported[1]):
+        fragev._split_cache[key] = None
+        return None
+    ev = [True]
+    ref_align = _allele_split_align_lnl(fragev.ref, supported, is_read1, ev)
+    alt_align = _allele_split_align_lnl(fragev.alt, supported, is_read1, ev)
+    out = (ref_align, alt_align, ev[0])
+    fragev._split_cache[key] = out
+    return out
 
 
 def _increment_split_read_lhood(fragev: FragmentEvidence, ref_map: ProbSet,
                                 alt_map: ProbSet, is_permissive: bool,
                                 is_read1: bool, lhood_ref: list,
                                 lhood_alt: list, eval_flag: list):
-    if is_permissive:
-        supported = fragev.any_tier2_split_read_support(is_read1)
-    else:
-        supported = fragev.any_split_read_support(is_read1)
-    if not (supported[0] or supported[1]):
+    core = _split_read_core(fragev, is_read1, is_permissive)
+    if core is None:
         eval_flag[0] = False
         return
-    ref_split = _increment_allele_split_lhood(
-        ref_map, alt_map, fragev.ref, supported, is_read1, eval_flag)
-    alt_split = _increment_allele_split_lhood(
-        alt_map, ref_map, fragev.alt, supported, is_read1, eval_flag)
+    ref_align, alt_align, ev_ok = core
+    if not ev_ok:
+        eval_flag[0] = False
+    ref_split = log_sum(ref_map.ln_comp + ref_align, alt_map.ln_prob)
+    alt_split = log_sum(alt_map.ln_comp + alt_align, ref_map.ln_prob)
     pseudo = 0.5
     if ref_split < (alt_map.ln_prob + pseudo) and \
             alt_split < (ref_map.ln_prob + pseudo):
@@ -372,6 +395,16 @@ def _ln_to_prob(lower: float, higher: float):
 
 
 def _get_sample_split_read_lnlhood(fragev, is_read1, is_forced=False):
+    key = ("sum", is_read1, is_forced)
+    hit = fragev._split_cache.get(key, _CACHE_MISS)
+    if hit is not _CACHE_MISS:
+        return hit
+    out = _sample_split_read_lnlhood_impl(fragev, is_read1, is_forced)
+    fragev._split_cache[key] = out
+    return out
+
+
+def _sample_split_read_lnlhood_impl(fragev, is_read1, is_forced):
     supported = fragev.any_split_read_support(is_read1)
     if not is_forced and not (supported[0] or supported[1]):
         return None
@@ -833,6 +866,7 @@ class SVScorer:
         """(reference: getReadSplitScore:104-229) — evidence update from
         pre-computed scan winners; each *_sr carries (align_ln_lhood,
         is_evidence, is_tier2_evidence, evidence)."""
+        fragev._split_cache.clear()
         alt_bp1 = fragev.alt.bp1.get_read(is_read1)
         ref_bp1 = fragev.ref.bp1.get_read(is_read1)
         alt_bp2 = fragev.alt.bp2.get_read(is_read1)
