@@ -63,6 +63,19 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, u8p, u16p, i32p, i32p, i32p,
         i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p, i64p, u8p]
+    ppu8 = ctypes.POINTER(ctypes.c_void_p)
+    lib.mt_bam_size_multi.restype = ctypes.c_int
+    lib.mt_bam_size_multi.argtypes = [
+        ctypes.c_int64, ppu8, i64p, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p]
+    lib.mt_bam_fill_multi.restype = ctypes.c_int
+    lib.mt_bam_fill_multi.argtypes = [
+        ctypes.c_int64, ppu8, i64p, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        i32p, i32p, u8p, u16p, i32p, i32p, i32p,
+        i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p, i64p, u8p]
     lib.mt_split_read_scan.restype = ctypes.c_int
     lib.mt_split_read_scan.argtypes = [
         u8p, ctypes.c_int32, u8p,

@@ -303,6 +303,77 @@ def _find_tag(blob: bytes, tag: bytes):
     return None
 
 
+def parse_records_multi(bufs: list[bytes],
+                        want_overlap: tuple[int, int, int] | None
+                        ) -> ReadBatch:
+    """Parse the records of several uncompressed chunk buffers into ONE
+    batch, applying the region-overlap filter during the native walk
+    (native/manta_core.cpp mt_bam_{size,fill}_multi). Equivalent to
+    concatenating per-chunk parse_records(want_overlap=...) results."""
+    import ctypes
+    from .._native import get_lib, i32p, i64p, u8p, u16p, u32p
+    lib = get_lib()
+    bufs = [b for b in bufs if len(b) >= 4]
+    nb = len(bufs)
+    if nb == 0:
+        return _empty_batch()
+    arrs = [np.frombuffer(b, np.uint8) for b in bufs]
+    ptrs = (ctypes.c_void_p * nb)(*[a.ctypes.data for a in arrs])
+    lens = np.array([len(b) for b in bufs], np.int64)
+    starts = np.zeros(nb, np.int64)
+    if want_overlap is not None:
+        do_filter, (tid, beg, iend) = 1, want_overlap
+    else:
+        do_filter, tid, beg, iend = 0, 0, 0, 0
+    c_n = ctypes.c_int64()
+    c_cig = ctypes.c_int64()
+    c_seq = ctypes.c_int64()
+    c_name = ctypes.c_int64()
+    c_tags = ctypes.c_int64()
+    lib.mt_bam_size_multi(
+        nb, ptrs, lens.ctypes.data_as(i64p), starts.ctypes.data_as(i64p),
+        do_filter, tid, beg, iend,
+        ctypes.byref(c_n), ctypes.byref(c_cig), ctypes.byref(c_seq),
+        ctypes.byref(c_name), ctypes.byref(c_tags))
+    n = int(c_n.value)
+    if n == 0:
+        return _empty_batch()
+    refid = np.empty(n, np.int32); pos = np.empty(n, np.int32)
+    mapq = np.empty(n, np.uint8); flag = np.empty(n, np.uint16)
+    nrefid = np.empty(n, np.int32); npos = np.empty(n, np.int32)
+    tlen = np.empty(n, np.int32)
+    cigar_off = np.zeros(n + 1, np.int64); seq_off = np.zeros(n + 1, np.int64)
+    qual_off = np.zeros(n + 1, np.int64); name_off = np.zeros(n + 1, np.int64)
+    tag_off = np.zeros(n + 1, np.int64)
+    cigar = np.empty(int(c_cig.value), np.uint32)
+    seq = np.empty(int(c_seq.value), np.uint8)
+    qual = np.empty(int(c_seq.value), np.uint8)
+    name = np.empty(int(c_name.value), np.uint8)
+    tags_arr = np.empty(int(c_tags.value), np.uint8)
+    rc = lib.mt_bam_fill_multi(
+        nb, ptrs, lens.ctypes.data_as(i64p), starts.ctypes.data_as(i64p),
+        do_filter, tid, beg, iend, n,
+        refid.ctypes.data_as(i32p), pos.ctypes.data_as(i32p),
+        mapq.ctypes.data_as(u8p), flag.ctypes.data_as(u16p),
+        nrefid.ctypes.data_as(i32p), npos.ctypes.data_as(i32p),
+        tlen.ctypes.data_as(i32p),
+        cigar_off.ctypes.data_as(i64p), cigar.ctypes.data_as(u32p),
+        seq_off.ctypes.data_as(i64p), seq.ctypes.data_as(u8p),
+        qual_off.ctypes.data_as(i64p), qual.ctypes.data_as(u8p),
+        name_off.ctypes.data_as(i64p), name.ctypes.data_as(u8p),
+        tag_off.ctypes.data_as(i64p), tags_arr.ctypes.data_as(u8p))
+    assert rc == 0, "mt_bam_fill_multi failed"
+    return ReadBatch(
+        n=n, refid=refid, pos=pos, mapq=mapq, flag=flag,
+        next_refid=nrefid, next_pos=npos, tlen=tlen,
+        cigar_off=cigar_off, cigar=cigar,
+        seq_off=seq_off, seq=seq,
+        qual_off=qual_off, qual=qual,
+        name_off=name_off, name=name,
+        tag_off=tag_off, tags=tags_arr.tobytes(),
+    )
+
+
 def parse_records(buf: bytes, start: int = 0, end: int | None = None,
                   want_overlap: tuple[int, int, int] | None = None) -> ReadBatch:
     """Parse BAM records from an uncompressed byte buffer.
@@ -531,15 +602,12 @@ class BamReader:
             return parse_records(buf, self._records_ustart,
                                  want_overlap=(tid, beg, end))
         chunks = self.index.query(tid, beg, end)
-        parts = []
-        for vstart, vend in chunks:
-            raw = self._bgzf.read_range(vstart, vend)
-            parts.append(parse_records(raw, 0, want_overlap=(tid, beg, end)))
-        if not parts:
-            return _empty_batch()
         # chunk ranges from the index are merged/disjoint, so records
-        # cannot repeat across parts
-        return ReadBatch.concat(parts)
+        # cannot repeat across chunks; one native pass parses + filters
+        # them all into a single batch
+        return parse_records_multi(
+            [self._bgzf.read_range(vs, ve) for vs, ve in chunks],
+            (tid, beg, end))
 
 
 def open_alignment_reader(path: str, reference=None):

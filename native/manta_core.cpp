@@ -3306,3 +3306,148 @@ extern "C" int mt_graph_export(void* h, int64_t* locus_sizes,
   *is_max_density = g.is_max_search_density ? 1 : 0;
   return 0;
 }
+
+// Multi-chunk filtered BAM parse: one struct-of-arrays batch from the
+// decompressed byte ranges of all BAI chunks of a region query, with
+// the region-overlap predicate applied during the walk (replaces
+// per-chunk parse + concat + subset on the Python side; overlap
+// semantics: io/bam.py parse_records want_overlap — zero-aligned-length
+// records count as 1-base intervals, htslib region-query parity).
+
+namespace {
+inline bool bam_rec_keep(const uint8_t* p, int32_t tid, int64_t beg,
+                         int64_t end) {
+  int32_t rid, pp;
+  std::memcpy(&rid, p, 4);
+  if (rid != tid) return false;
+  std::memcpy(&pp, p + 4, 4);
+  if ((int64_t)pp >= end) return false;
+  uint16_t ncig;
+  std::memcpy(&ncig, p + 12, 2);
+  const uint8_t lqn = p[8];
+  const uint8_t* c = p + 32 + lqn;
+  const uint32_t ref_ops = (1u << 0) | (1u << 2) | (1u << 3) |
+                           (1u << 7) | (1u << 8);
+  int64_t ref_len = 0;
+  for (int64_t k = 0; k < ncig; k++) {
+    uint32_t v;
+    std::memcpy(&v, c + 4 * k, 4);
+    if (ref_ops & (1u << (v & 0xF))) ref_len += v >> 4;
+  }
+  return pp + (ref_len > 1 ? ref_len : 1) > beg;
+}
+}  // namespace
+
+extern "C" int mt_bam_size_multi(
+    int64_t n_bufs, const uint8_t* const* bufs, const int64_t* lens,
+    const int64_t* starts,
+    int32_t do_filter, int32_t tid, int64_t beg, int64_t end,
+    int64_t* out_n, int64_t* out_cigar, int64_t* out_seq,
+    int64_t* out_name, int64_t* out_tags) {
+  int64_t n = 0, tot_cigar = 0, tot_seq = 0, tot_name = 0, tot_tags = 0;
+  for (int64_t b = 0; b < n_bufs; b++) {
+    const uint8_t* buf = bufs[b];
+    const int64_t buflen = lens[b];
+    int64_t i = starts[b];
+    while (i + 4 <= buflen) {
+      uint32_t bs;
+      std::memcpy(&bs, buf + i, 4);
+      if (i + 4 + (int64_t)bs > buflen) break;
+      const uint8_t* p = buf + i + 4;
+      if (!do_filter || bam_rec_keep(p, tid, beg, end)) {
+        const uint8_t lqn = p[8];
+        uint16_t ncig;
+        std::memcpy(&ncig, p + 12, 2);
+        int32_t lseq;
+        std::memcpy(&lseq, p + 16, 4);
+        const int64_t tag_len = (int64_t)bs - 32 - lqn - 4LL * ncig -
+                                ((lseq + 1) / 2) - lseq;
+        n++;
+        tot_cigar += ncig;
+        tot_seq += lseq;
+        tot_name += lqn - 1;
+        tot_tags += (tag_len > 0 ? tag_len : 0);
+      }
+      i += 4 + bs;
+    }
+  }
+  *out_n = n;
+  *out_cigar = tot_cigar;
+  *out_seq = tot_seq;
+  *out_name = tot_name;
+  *out_tags = tot_tags;
+  return 0;
+}
+
+extern "C" int mt_bam_fill_multi(
+    int64_t n_bufs, const uint8_t* const* bufs, const int64_t* lens,
+    const int64_t* starts,
+    int32_t do_filter, int32_t tid, int64_t beg, int64_t end, int64_t n,
+    int32_t* refid, int32_t* pos, uint8_t* mapq, uint16_t* flag,
+    int32_t* nrefid, int32_t* npos, int32_t* tlen,
+    int64_t* cigar_off, uint32_t* cigar_out,
+    int64_t* seq_off, uint8_t* seq_out,
+    int64_t* qual_off, uint8_t* qual_out,
+    int64_t* name_off, uint8_t* name_out,
+    int64_t* tag_off, uint8_t* tag_out) {
+  int64_t k = 0;
+  cigar_off[0] = seq_off[0] = qual_off[0] = name_off[0] = tag_off[0] = 0;
+  for (int64_t b = 0; b < n_bufs; b++) {
+    const uint8_t* buf = bufs[b];
+    const int64_t buflen = lens[b];
+    int64_t i = starts[b];
+    while (i + 4 <= buflen && k < n) {
+      uint32_t bs;
+      std::memcpy(&bs, buf + i, 4);
+      if (i + 4 + (int64_t)bs > buflen) break;
+      const uint8_t* p = buf + i + 4;
+      if (do_filter && !bam_rec_keep(p, tid, beg, end)) {
+        i += 4 + bs;
+        continue;
+      }
+      int32_t rid, pp, lseq, nrid, np_, tl;
+      std::memcpy(&rid, p, 4);
+      std::memcpy(&pp, p + 4, 4);
+      const uint8_t lqn = p[8];
+      const uint8_t mq = p[9];
+      uint16_t ncig, fl;
+      std::memcpy(&ncig, p + 12, 2);
+      std::memcpy(&fl, p + 14, 2);
+      std::memcpy(&lseq, p + 16, 4);
+      std::memcpy(&nrid, p + 20, 4);
+      std::memcpy(&np_, p + 24, 4);
+      std::memcpy(&tl, p + 28, 4);
+      refid[k] = rid; pos[k] = pp; mapq[k] = mq; flag[k] = fl;
+      nrefid[k] = nrid; npos[k] = np_; tlen[k] = tl;
+
+      const uint8_t* q = p + 32;
+      std::memcpy(name_out + name_off[k], q, lqn - 1);
+      name_off[k + 1] = name_off[k] + (lqn - 1);
+      q += lqn;
+      std::memcpy(cigar_out + cigar_off[k], q, 4LL * ncig);
+      cigar_off[k + 1] = cigar_off[k] + ncig;
+      q += 4LL * ncig;
+      {
+        uint8_t* dst = seq_out + seq_off[k];
+        const int64_t half = (lseq + 1) / 2;
+        for (int64_t x = 0; x < half; x++) {
+          const uint8_t packed = q[x];
+          dst[2 * x] = SEQ16[packed >> 4];
+          if (2 * x + 1 < lseq) dst[2 * x + 1] = SEQ16[packed & 0xF];
+        }
+        seq_off[k + 1] = seq_off[k] + lseq;
+        q += half;
+      }
+      std::memcpy(qual_out + qual_off[k], q, lseq);
+      qual_off[k + 1] = qual_off[k] + lseq;
+      q += lseq;
+      const int64_t tag_len = (buf + i + 4 + bs) - q;
+      if (tag_len > 0) std::memcpy(tag_out + tag_off[k], q, tag_len);
+      tag_off[k + 1] = tag_off[k] + (tag_len > 0 ? tag_len : 0);
+
+      i += 4 + bs;
+      k++;
+    }
+  }
+  return (int)(k == n ? 0 : -1);
+}

@@ -102,3 +102,27 @@ def test_subset_and_concat(normal_bam):
     c = ReadBatch.concat([s, s])
     assert c.n == 2 * s.n
     assert c.name_str(s.n) == s.name_str(0)
+
+
+def test_parse_records_multi_matches_per_chunk(tumor_bam):
+    """mt_bam_{size,fill}_multi must equal per-chunk parse + concat."""
+    import numpy as np
+
+    from manta_tpu.io.bam import (
+        BamReader, ReadBatch, parse_records, parse_records_multi,
+    )
+    r = BamReader(tumor_bam)
+    tid = r.header.name_to_tid["11"]
+    beg, end = 94974000, 94989000
+    chunks = r.index.query(tid, beg, end)
+    raws = [r._bgzf.read_range(vs, ve) for vs, ve in chunks]
+    old = ReadBatch.concat(
+        [parse_records(raw, 0, want_overlap=(tid, beg, end))
+         for raw in raws])
+    new = parse_records_multi(raws, (tid, beg, end))
+    assert old.n == new.n and new.n > 0
+    for k in ("refid", "pos", "mapq", "flag", "next_refid", "next_pos",
+              "tlen", "cigar_off", "cigar", "seq_off", "seq", "qual_off",
+              "qual", "name_off", "name", "tag_off"):
+        np.testing.assert_array_equal(getattr(old, k), getattr(new, k))
+    assert old.tags == new.tags
