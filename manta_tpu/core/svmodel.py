@@ -25,7 +25,7 @@ BND_UNKNOWN, BND_RIGHT_OPEN, BND_LEFT_OPEN, BND_COMPLEX = range(4)
 FRAG_UNKNOWN, FRAG_READ1, FRAG_READ2, FRAG_READ_PAIR = range(4)
 
 
-@dataclass
+@dataclass(slots=True)
 class GenomeInterval:
     tid: int = 0
     beg: int = 0   # 0-based inclusive
@@ -63,7 +63,7 @@ class GenomeInterval:
         return f"GenomeInterval(tid={self.tid}:[{self.beg},{self.end}))"
 
 
-@dataclass
+@dataclass(slots=True)
 class SVBreakend:
     interval: GenomeInterval = field(default_factory=GenomeInterval)
     state: int = BND_UNKNOWN
@@ -109,7 +109,7 @@ class SVBreakend:
         return SVBreakend(self.interval.copy(), self.state, self.evidence.copy())
 
 
-@dataclass
+@dataclass(slots=True)
 class SVCandidate:
     bp1: SVBreakend = field(default_factory=SVBreakend)
     bp2: SVBreakend = field(default_factory=SVBreakend)
@@ -295,7 +295,7 @@ def is_sv_below_min_size(sv: SVCandidate, min_size: int) -> bool:
     return max(bp_size, insert_size) < min_size
 
 
-@dataclass
+@dataclass(slots=True)
 class SVObservation(SVCandidate):
     ev_type: int = EV_UNKNOWN
     frag_source: int = FRAG_UNKNOWN
