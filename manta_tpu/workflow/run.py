@@ -160,12 +160,47 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         log("estimating fragment-size statistics")
         stats_set = ReadGroupStatsSet()
         stats_list = []
-        for p in bams:
-            s = extract_read_group_stats(
-                p, reference=reference,
-                default_stats=existing_align_stats)
-            stats_set.set_stats(p, s)
-            stats_list.append(s)
+        if n_jobs > 1 and len(bams) > 1:
+            # per-BAM estimates are independent; fan out like the
+            # reference's per-BAM GetAlignmentStats tasks
+            # (mantaWorkflow.py:190-202)
+            import multiprocessing as mp
+            from ..core.fragstats import ReadGroupStats
+            ctx = mp.get_context("fork")
+            queue = ctx.SimpleQueue()
+
+            def stats_worker(i, p):
+                s = extract_read_group_stats(
+                    p, reference=reference,
+                    default_stats=existing_align_stats)
+                queue.put((i, s.to_dict()))
+
+            results: dict[int, dict] = {}
+            live: list = []
+            nxt = 0
+            while len(results) < len(bams):
+                while nxt < len(bams) and len(live) < n_jobs:
+                    pr = ctx.Process(target=stats_worker,
+                                     args=(nxt, bams[nxt]))
+                    pr.start()
+                    live.append(pr)
+                    nxt += 1
+                i, d = queue.get()
+                results[i] = d
+                live = [pr for pr in live if pr.is_alive()]
+            for pr in live:
+                pr.join()
+            stats_list = [ReadGroupStats.from_dict(results[i])
+                          for i in range(len(bams))]
+            for p, s in zip(bams, stats_list):
+                stats_set.set_stats(p, s)
+        else:
+            for p in bams:
+                s = extract_read_group_stats(
+                    p, reference=reference,
+                    default_stats=existing_align_stats)
+                stats_set.set_stats(p, s)
+                stats_list.append(s)
         stats_set.save(stats_path)
         tasks.mark_done("alignmentStats", [stats_path])
     from .stats import (
