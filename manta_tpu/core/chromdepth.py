@@ -257,16 +257,53 @@ def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
 
 
 def estimate_chrom_depths(bam_paths: list[str],
-                          reference: str | None = None) -> dict[str, float]:
+                          reference: str | None = None,
+                          n_jobs: int = 1) -> dict[str, float]:
     """Sum per-chromosome depths across BAMs
-    (reference: libexec/mergeChromDepth.py)."""
-    totals: dict[str, float] = {}
+    (reference: libexec/mergeChromDepth.py). Per-(BAM, chrom) estimates
+    are independent, so n_jobs > 1 fans them out over forked workers
+    (reference: per-chrom-chunk GetChromDepth tasks,
+    sharedWorkflow.py)."""
+    jobs = []
     for path in bam_paths:
         reader = open_alignment_reader(path, reference)
         for tid, (name, size) in enumerate(zip(reader.header.ref_names,
                                                reader.header.ref_lengths)):
-            d = read_chrom_depth(reader, tid, size)
-            totals[name] = totals.get(name, 0.0) + d
+            jobs.append((path, tid, name, size))
+    totals: dict[str, float] = {}
+    if n_jobs > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        queue = ctx.SimpleQueue()
+        readers = {p: open_alignment_reader(p, reference)
+                   for p in bam_paths}
+
+        def worker(ji, path, tid, size):
+            queue.put((ji, read_chrom_depth(readers[path], tid, size)))
+
+        results: dict[int, float] = {}
+        live: list = []
+        nxt = 0
+        while len(results) < len(jobs):
+            while nxt < len(jobs) and len(live) < n_jobs:
+                path, tid, _name, size = jobs[nxt]
+                pr = ctx.Process(target=worker,
+                                 args=(nxt, path, tid, size))
+                pr.start()
+                live.append(pr)
+                nxt += 1
+            ji, d = queue.get()
+            results[ji] = d
+            live = [pr for pr in live if pr.is_alive()]
+        for pr in live:
+            pr.join()
+        for ji, (path, tid, name, size) in enumerate(jobs):
+            totals[name] = totals.get(name, 0.0) + results[ji]
+        return totals
+    readers = {p: open_alignment_reader(p, reference) for p in bam_paths}
+    for (path, tid, name, size) in jobs:
+        d = read_chrom_depth(readers[path], tid, size)
+        totals[name] = totals.get(name, 0.0) + d
     return totals
 
 

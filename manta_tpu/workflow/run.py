@@ -246,7 +246,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             log("estimating chromosome depth")
             depth_bams = normal_bams if normal_bams else tumor_bams
             chrom_depths = estimate_chrom_depths(
-                depth_bams, reference=reference)
+                depth_bams, reference=reference, n_jobs=n_jobs)
             write_chrom_depth(depth_path, chrom_depths)
             tasks.mark_done("chromDepth", [depth_path])
 
