@@ -102,6 +102,10 @@ def get_lib():
     lib.mt_mate_ref_len.restype = ctypes.c_int
     lib.mt_mate_ref_len.argtypes = [
         ctypes.c_int64, i64p, ctypes.c_char_p, i64p, i32p]
+    lib.mt_mate_align_stats.restype = ctypes.c_int
+    lib.mt_mate_align_stats.argtypes = [
+        ctypes.c_int64, i64p, ctypes.c_char_p, i64p,
+        i32p, i32p, i32p, i32p]
     lib.mt_matchify_ranges.restype = ctypes.c_int
     lib.mt_matchify_ranges.argtypes = [
         ctypes.c_int64, i32p, i64p, u32p, i32p, i32p]

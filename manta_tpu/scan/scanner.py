@@ -179,6 +179,36 @@ def mate_ref_len_batch(batch: ReadBatch) -> np.ndarray:
     return out
 
 
+def mate_align_stats_batch(batch: ReadBatch):
+    """Batched mate-alignment stats from MC tags (faked as a full match
+    of the read's own length when absent): (ref_len, read_len,
+    unaligned_prefix, unaligned_suffix) int32 arrays, cached on the
+    batch (native mt_mate_align_stats)."""
+    cached = getattr(batch, "_mate_align_stats", None)
+    if cached is not None:
+        return cached
+    from .._native import get_lib, i32p, i64p
+    lib = get_lib()
+    n = batch.n
+    ref_len = np.empty(n, np.int32)
+    read_len = np.empty(n, np.int32)
+    un_pre = np.empty(n, np.int32)
+    un_suf = np.empty(n, np.int32)
+    tags = batch.tags if isinstance(batch.tags, bytes) else bytes(batch.tags)
+    lib.mt_mate_align_stats(
+        n, batch.tag_off.ctypes.data_as(i64p), tags,
+        batch.seq_off.ctypes.data_as(i64p),
+        ref_len.ctypes.data_as(i32p), read_len.ctypes.data_as(i32p),
+        un_pre.ctypes.data_as(i32p), un_suf.ctypes.data_as(i32p))
+    batch._mate_align_stats = (ref_len, read_len, un_pre, un_suf)
+    return batch._mate_align_stats
+
+
+def _read_has_sa(batch: ReadBatch, i: int) -> bool:
+    """SA-tag presence for one read via the cached batch mask."""
+    return bool(has_sa_tag(batch)[i])
+
+
 def get_mate_alignment(batch: ReadBatch, i: int) -> SimpleAlign:
     """Mate alignment from the MC tag if present, else faked as a full
     match of this read's length (reference:
@@ -377,6 +407,28 @@ class SVScanner:
         keep = ~degenerate
         out_lead[idx] = np.where(keep & lead_ok, lead, 0)
         out_trail[idx] = np.where(keep & trail_ok, trail, 0)
+        # retain per-row gated values + breakend ref positions so the
+        # per-evidence-read candidate pass reuses this batch scan
+        # instead of re-running the scalar edge walk (values are
+        # window-independent: the fetch window always covers the read)
+        if min_bq == 20 and min_hq_frac == 0.75:
+            cache = getattr(batch, "_semi_cache", None)
+            if cache is None:
+                cache = [np.zeros(batch.n, np.int32),
+                         np.zeros(batch.n, np.int32),
+                         np.zeros(batch.n, np.int32),
+                         np.zeros(batch.n, np.int32),
+                         np.zeros(batch.n, bool)]
+                batch._semi_cache = cache
+            c_lead, c_lead_ref, c_trail, c_trail_ref, done = cache
+            c_lead[idx] = out_lead[idx]
+            c_trail[idx] = out_trail[idx]
+            c_lead_ref[idx] = np.where(keep, lead_ref, 0)
+            c_trail_ref[idx] = np.where(keep, trail_ref, 0)
+            done[idx] = True
+            # overlapping pairs are hard-gated to zero under
+            # use_overlap_pair_evidence=False — mark them resolved
+            done[sel & overlap] = True
         return out_lead, out_trail
 
     def _semi_aligned_mask_batch(self, batch: ReadBatch, sel: np.ndarray,
@@ -432,7 +484,7 @@ class SVScanner:
         (SVLocusScannerSemiAligned.cpp): returns
         (lead_len, lead_ref_pos, trail_len, trail_ref_pos)."""
         al = get_alignment(batch, i)
-        sa_split = batch.get_tag(i, b"SA") is not None
+        sa_split = _read_has_sa(batch, i)
         overlapping = self._is_overlapping_pair(batch, i, al)
         if overlapping:
             if (not self.opt.use_overlap_pair_evidence) or \
@@ -599,8 +651,16 @@ class SVScanner:
                                  frag_source: int, refseq: np.ndarray,
                                  ref_offset: int, out: list[SVObservation]) -> None:
         """getSVCandidatesFromSemiAligned (SVLocusScanner.cpp:475-534)."""
-        lead, lead_ref, trail, trail_ref = self.semi_aligned_lengths(
-            batch, i, refseq, ref_offset)
+        cache = None if self.opt.use_overlap_pair_evidence else \
+            getattr(batch, "_semi_cache", None)
+        if cache is not None and cache[4][i]:
+            lead = int(cache[0][i])
+            lead_ref = int(cache[1][i])
+            trail = int(cache[2][i])
+            trail_ref = int(cache[3][i])
+        else:
+            lead, lead_ref, trail, trail_ref = self.semi_aligned_lengths(
+                batch, i, refseq, ref_offset)
         if lead + trail >= batch.read_len(i):
             return
         tid = int(batch.refid[i])
@@ -619,7 +679,7 @@ class SVScanner:
         f = int(batch.flag[i])
         if not (f & FLAG_PAIRED):
             return
-        sa_split = batch.get_tag(i, b"SA") is not None
+        sa_split = _read_has_sa(batch, i)
         if (f & FLAG_SUPPLEMENTARY) or ((f & FLAG_SECONDARY) and sa_split):
             return
         if f & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED):
@@ -629,25 +689,35 @@ class SVScanner:
 
         if remote is not None:
             ral = get_alignment(remote[0], remote[1])
+            r_tid, r_pos, r_fwd = ral.tid, ral.pos, ral.is_fwd
+            remote_noninsert = ral.read_length - (
+                cg.unaligned_suffix_size(ral.ops, ral.lens) if r_fwd
+                else cg.unaligned_prefix_size(ral.ops, ral.lens))
+            remote_end = ral.end_pos
         else:
-            ral = get_mate_alignment(batch, i)
+            # mate alignment derived from the batched MC-tag scan
+            # (identical to get_mate_alignment; reference:
+            # SimpleAlignment_bam_util.cpp:43-61)
+            m_ref, m_read, m_pre, m_suf = mate_align_stats_batch(batch)
+            r_tid = int(batch.next_refid[i])
+            r_pos = int(batch.next_pos[i])
+            r_fwd = (batch.flag[i] & FLAG_MATE_REVERSE) == 0
+            remote_noninsert = int(m_read[i]) - \
+                int(m_suf[i] if r_fwd else m_pre[i])
+            remote_end = r_pos + int(m_ref[i])
         st = self.stats[rg]
 
         # setLargeEventRegionScale
         local_noninsert = al.read_length - (
             cg.unaligned_suffix_size(al.ops, al.lens) if al.is_fwd
             else cg.unaligned_prefix_size(al.ops, al.lens))
-        remote_noninsert = ral.read_length - (
-            cg.unaligned_suffix_size(ral.ops, ral.lens) if ral.is_fwd
-            else cg.unaligned_prefix_size(ral.ops, ral.lens))
         total_noninsert = local_noninsert + remote_noninsert
         local_end = al.end_pos
-        remote_end = ral.end_pos
 
         scale = 1.0
-        if al.tid == ral.tid and al.is_fwd != ral.is_fwd:
+        if al.tid == r_tid and al.is_fwd != r_fwd:
             if al.is_fwd:
-                ins_beg, ins_end = local_end, ral.pos
+                ins_beg, ins_end = local_end, r_pos
             else:
                 ins_beg, ins_end = remote_end, al.pos
             cigar_adj_frag = total_noninsert + (ins_end - ins_beg)
@@ -665,10 +735,10 @@ class SVScanner:
                 return
         elif al.pos <= 0:
             return
-        if ral.is_fwd:
-            if remote_end >= self.chrom_lengths[ral.tid]:
+        if r_fwd:
+            if remote_end >= self.chrom_lengths[r_tid]:
                 return
-        elif ral.pos <= 0:
+        elif r_pos <= 0:
             return
 
         # getSVObservation
@@ -702,16 +772,16 @@ class SVScanner:
             sv.bp1.state = BND_LEFT_OPEN
             sv.bp1.interval.end = al.pos
             sv.bp1.interval.beg = max(0, al.pos - bk_size)
-        rchrom = self.chrom_lengths[ral.tid]
-        sv.bp2.interval.tid = ral.tid
-        if ral.is_fwd:
+        rchrom = self.chrom_lengths[r_tid]
+        sv.bp2.interval.tid = r_tid
+        if r_fwd:
             sv.bp2.state = BND_RIGHT_OPEN
             sv.bp2.interval.beg = min(rchrom, remote_end)
             sv.bp2.interval.end = min(rchrom, remote_end + bk_size)
         else:
             sv.bp2.state = BND_LEFT_OPEN
-            sv.bp2.interval.end = ral.pos
-            sv.bp2.interval.beg = max(0, ral.pos - bk_size)
+            sv.bp2.interval.end = r_pos
+            sv.bp2.interval.beg = max(0, r_pos - bk_size)
         out.append(sv)
 
     def _single_read_candidates(self, batch: ReadBatch, i: int, al: SimpleAlign,
@@ -722,7 +792,7 @@ class SVScanner:
         is_read2 = bool(f & FLAG_PAIRED) and bool(f & FLAG_READ2)
         frag_source = FRAG_READ2 if is_read2 else FRAG_READ1
         self._indel_candidates(al, frag_source, out)
-        if batch.get_tag(i, b"SA") is not None:
+        if _read_has_sa(batch, i):
             self._sa_candidates(batch, i, al, frag_source, out)
         elif self.opt.is_small_candidates:
             self._semi_aligned_candidates(

@@ -1340,6 +1340,63 @@ extern "C" int mt_mate_ref_len(
   return 0;
 }
 
+// full mate alignment stats from the MC cigar: reference span, read
+// length, and unaligned edge sizes (S/I run before the first / after
+// the last anchored op, H consuming nothing), faked as a full match of
+// the read's own length when MC is absent (reference:
+// SimpleAlignment_bam_util.cpp:43-61 + blt_util/align_path.cpp
+// apath_read_lead_size/apath_read_trail_size semantics)
+extern "C" int mt_mate_align_stats(
+    int64_t n, const int64_t* tag_off, const uint8_t* tags,
+    const int64_t* seq_off, int32_t* out_ref_len, int32_t* out_read_len,
+    int32_t* out_unaln_prefix, int32_t* out_unaln_suffix) {
+  for (int64_t r = 0; r < n; r++) {
+    uint8_t ty;
+    const int64_t len = tag_off[r + 1] - tag_off[r];
+    const uint8_t* v =
+        find_tag_value(tags + tag_off[r], len, 'M', 'C', &ty);
+    if (v == nullptr || ty != 'Z') {
+      const int32_t rl = (int32_t)(seq_off[r + 1] - seq_off[r]);
+      out_ref_len[r] = rl;
+      out_read_len[r] = rl;
+      out_unaln_prefix[r] = 0;
+      out_unaln_suffix[r] = 0;
+      continue;
+    }
+    int64_t ref_len = 0, read_len = 0, num = 0;
+    int64_t prefix = 0, suffix = 0;
+    bool in_prefix = true;
+    for (const uint8_t* p = v; *p != 0 && p < tags + tag_off[r + 1];
+         p++) {
+      const uint8_t c = *p;
+      if (c >= '0' && c <= '9') {
+        num = num * 10 + (c - '0');
+        continue;
+      }
+      const bool is_ref =
+          (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X');
+      const bool is_read =
+          (c == 'M' || c == 'I' || c == 'S' || c == '=' || c == 'X');
+      const bool is_edge = (c == 'I' || c == 'H' || c == 'S');
+      if (is_ref) ref_len += num;
+      if (is_read) read_len += num;
+      if (is_edge) {
+        if (in_prefix) prefix += is_read ? num : 0;
+        suffix += is_read ? num : 0;
+      } else {
+        in_prefix = false;
+        suffix = 0;
+      }
+      num = 0;
+    }
+    out_ref_len[r] = (int32_t)ref_len;
+    out_read_len[r] = (int32_t)read_len;
+    out_unaln_prefix[r] = (int32_t)prefix;
+    out_unaln_suffix[r] = (int32_t)suffix;
+  }
+  return 0;
+}
+
 // Batched multi-target split scan: score many reads against the same
 // small set of junction targets (alt/ref x bp1/bp2) in one call.
 // Inner loop shared with mt_split_read_scan.

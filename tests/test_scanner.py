@@ -192,3 +192,34 @@ def test_loci_data_weights(scanner):
     assert len(pairdata) == 1
     assert pairdata[0][2] == 1  # close pair weight
     assert pairdata[0][3] == 0  # no remote evidence without mate record
+
+
+def test_mate_align_stats_batch_parity():
+    """Native mt_mate_align_stats == get_mate_alignment-derived values
+    for MC-present (clipped/indel cigars) and MC-absent reads."""
+    from batchutil import encode_tag, make_batch
+
+    from manta_tpu.core import cigar as cg
+    from manta_tpu.scan.scanner import (
+        get_mate_alignment, mate_align_stats_batch,
+    )
+
+    reads = [
+        dict(seq="A" * 100, next_refid=0, next_pos=500,
+             tags=encode_tag(b"MC", "Z", "10S80M10S")),
+        dict(seq="A" * 100, next_refid=1, next_pos=900,
+             tags=encode_tag(b"MC", "Z", "5H20S70M2I3M")),
+        dict(seq="A" * 151, next_refid=0, next_pos=700,
+             tags=encode_tag(b"MC", "Z", "60M1000N40M51S")),
+        dict(seq="A" * 76, next_refid=0, next_pos=10),  # no MC: faked match
+        dict(seq="A" * 100, next_refid=0, next_pos=10,
+             tags=encode_tag(b"NM", "i", 3)),  # other tag only
+    ]
+    batch = make_batch(reads)
+    ref_len, read_len, un_pre, un_suf = mate_align_stats_batch(batch)
+    for i in range(batch.n):
+        mal = get_mate_alignment(batch, i)
+        assert ref_len[i] == mal.ref_length, i
+        assert read_len[i] == mal.read_length, i
+        assert un_pre[i] == cg.unaligned_prefix_size(mal.ops, mal.lens), i
+        assert un_suf[i] == cg.unaligned_suffix_size(mal.ops, mal.lens), i
