@@ -340,11 +340,65 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
         lib.mt_frag_free(frag_state)
 
 
+_WINDOW_TARGET_READS = 6000
+_WINDOW_MIN = 65536
+_WINDOW_MAX = 8_000_000
+
+
+class _ChunkWindows:
+    """Per-chromosome parsed-window cache for the convergent-sampling
+    scan. The slice loop restarts from highest+1 after every tracker
+    commit, which would otherwise re-fetch and re-parse the same
+    region each visit (the reference's streaming bam iterator makes
+    restarts cheap; an eager batch parser must cache instead). The
+    observation stream is partition-invariant, so window boundaries
+    only affect speed, never results; window sizes adapt to read
+    density so one window holds a few visits' worth of reads."""
+
+    def __init__(self, reader, init_size: int):
+        self.reader = reader
+        self.init_size = init_size
+        # two windows per chrom: slice scans that run past a window
+        # boundary and then restart behind it would otherwise thrash a
+        # single-entry cache (empty-region probing alternates windows)
+        self.win: dict[int, list] = {}
+        self.size: dict[int, int] = {}
+
+    def get(self, ci: int, beg: int, chrom_end: int):
+        """Reads with pos in [beg, win_end) in file order, as
+        (batch, win_end)."""
+        ents = self.win.setdefault(ci, [])
+        ent = None
+        for e in ents:
+            if e[0] <= beg < e[1]:
+                ent = e
+                break
+        if ent is None:
+            w = self.size.get(ci, self.init_size)
+            we = min(beg + w, chrom_end)
+            raw = self.reader.fetch(ci, beg, we)
+            ent = (beg, we, raw)
+            if len(ents) >= 2:
+                ents.pop(0)
+            ents.append(ent)
+            density = raw.n / max(1, we - beg)
+            nxt = int(_WINDOW_TARGET_READS / max(density, 1e-9))
+            self.size[ci] = min(_WINDOW_MAX, max(_WINDOW_MIN, nxt))
+        wb, we, raw = ent
+        if raw.n:
+            keep = (raw.pos >= beg) & (raw.pos < we)
+            batch = raw if keep.all() else raw.subset(keep)
+        else:
+            batch = raw
+        return batch, we
+
+
 def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                   tracker, lib, frag_state, chunk_size,
                   i8p, i32p, i64p, u8p, ctypes, default_stats=None):
     stop = False
     active = True
+    windows = _ChunkWindows(reader, chunk_size)
     while active and not stop:
         active = False
         for ci in range(chrom_count):
@@ -361,14 +415,8 @@ def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                 break_slice = False
                 chunk_beg = start
                 while chunk_beg < chrom_size[ci] and not break_slice:
-                    chunk_end = min(chunk_beg + chunk_size, chrom_size[ci])
-                    batch = reader.fetch(ci, chunk_beg, chunk_end)
-                    if batch.n:
-                        # discard reads starting before the slice or in a
-                        # later chunk (overlap dupes)
-                        keep = (batch.pos >= start) & (batch.pos < chunk_end) & \
-                               (batch.pos >= chunk_beg)
-                        batch = batch.subset(keep)
+                    batch, chunk_end = windows.get(ci, chunk_beg,
+                                                   chrom_size[ci])
                     if batch.n == 0:
                         chunk_beg = chunk_end
                         continue
