@@ -514,7 +514,7 @@ class SVScorer:
                  tumor_opt: CallOptionsTumor | None = None,
                  chrom_depths: dict | None = None,
                  is_rna: bool = False,
-                 use_device_scoring: bool = False):
+                 use_device_scoring: bool | str = False):
         self.scanner = scanner
         self.readers = readers
         self.is_tumor = list(is_tumor)
@@ -531,7 +531,8 @@ class SVScorer:
         self._device_scan = None
         if use_device_scoring:
             from .device_scan import DeviceScanContext
-            self._device_scan = DeviceScanContext()
+            self._device_scan = DeviceScanContext(
+                mxu=(use_device_scoring == "mxu"))
         # diploid priors
         d = self.diploid_opt
         self.diploid_prior = [1 - d.indel_prior - d.indel_prior / 2,

@@ -82,7 +82,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  cmdline: str | None = None,
                  is_rescore: bool = False,
                  locus_index: int | None = None,
-                 use_device_scoring: bool = False,
+                 use_device_scoring: bool | str = False,
                  edge_bin_strategy: str = "contiguous",
                  existing_align_stats: str | None = None,
                  use_existing_chrom_depths: bool = False,
@@ -950,9 +950,12 @@ def main(argv=None):
                     help="worker processes; 0 = all cores")
     ap.add_argument("--locus-index", type=int, default=None,
                     help="debug: process only edges of one graph locus")
-    ap.add_argument("--device-scoring", action="store_true",
+    ap.add_argument("--device-scoring", nargs="?", const="exact",
+                    default=None, choices=("exact", "mxu"),
                     help="route split-read scoring through the attached "
-                         "TPU/accelerator (bit-identical results)")
+                         "TPU/accelerator: 'exact' (default; bit-identical "
+                         "results) or 'mxu' (matmul formulation, ~1e-6 "
+                         "relative score error)")
     ap.add_argument("--existing-align-stats", default=None,
                     help="fallback alignment stats JSON used when "
                          "direct estimation from a sample fails "
