@@ -182,6 +182,34 @@ def merge_sorted_batches(batches: list[ReadBatch]):
     return (si[order], ri[order])
 
 
+MIN_SEGMENT_GROUP_SIZE = 200_000
+
+
+def group_segments(regions: list[tuple[int, int, int]],
+                   min_group_size: int = MIN_SEGMENT_GROUP_SIZE):
+    """Clump consecutive small scan segments into groups of cumulative
+    size <= min_group_size, never reordering (reference:
+    workflowUtil.py:329-365 getGenomeSegmentGroups). Each group is
+    scanned into ONE shared graph by one phase-1 task; ordinary 12 Mb
+    whole-genome segments exceed the threshold and stay singletons."""
+    groups: list[list[tuple[int, int, int]]] = []
+    group: list[tuple[int, int, int]] = []
+    head_size = 0
+    for seg in regions:
+        size = seg[2] - seg[1]
+        if head_size + size <= min_group_size:
+            group.append(seg)
+            head_size += size
+        else:
+            if group:
+                groups.append(group)
+            group = [seg]
+            head_size = size
+    if group:
+        groups.append(group)
+    return groups
+
+
 def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                      scanner: SVScanner, graph_opt: SVLocusSetOptions,
                      regions: list[tuple[int, int, int]], fasta,
@@ -189,53 +217,73 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                      max_depth_factor: float = 12.0) -> SVLocusSet:
     """Run phase-1 graph construction over the given scan regions.
 
-    Each region builds an INDEPENDENT graph (with its own rolling
-    denoise) merged sequentially into the master set, matching the
-    reference's per-segment EstimateSVLoci tasks + ordered MergeSVLoci
-    reduce (reference: EstimateSVLociRunner.cpp:53-110,
-    MergeSVLoci.cpp, mantaWorkflow.py:252-299). This keeps serial and
-    process-parallel execution bit-identical."""
+    Regions are clumped by the reference's 200 kb grouping rule; every
+    region in a group scans incrementally into ONE shared graph (the
+    reference's per-task SVLocusSet shared across
+    estimateSVLociForSingleRegion calls, EstimateSVLociRunner.cpp:50-64),
+    and group graphs merge sequentially into the master set (reference:
+    per-group EstimateSVLoci tasks + ordered MergeSVLoci reduce,
+    MergeSVLoci.cpp, mantaWorkflow.py:252-299). Grouping is a pure
+    function of the region sequence and resets at group boundaries, so
+    serial and process-parallel execution stay bit-identical as long as
+    workers receive whole groups."""
     from .native_set import NativeLocusSet
     readers = [open_alignment_reader(p, fasta) for p in bam_paths]
     names = readers[0].header.ref_names
     lengths = readers[0].header.ref_lengths
-    master = NativeLocusSet(graph_opt, len(names))
+    # the first group's graph is ADOPTED as the merge base — the
+    # reference initializes the merged set from graph file 0 and only
+    # merge()s files 1..N-1 (MergeSVLoci.cpp:48-62); running merge()
+    # against an empty base is NOT a no-op (locus consolidation can
+    # renumber nodes), so adoption is required for node-index parity
+    master = None
     sample_counts: list[dict] = [{} for _ in bam_paths]
 
-    for (tid, beg, end) in regions:
-        chrom = names[tid]
-        ref_off = max(0, beg - 500)
-        refseq = fasta.fetch_arr(chrom, ref_off, end + 500)
-        max_depth = None
-        if chrom_depths is not None and chrom in chrom_depths:
-            max_depth = chrom_depths[chrom] * max_depth_factor
+    for group in group_segments(regions):
         part = NativeLocusSet(graph_opt, len(names))
-        finder = SVLocusSetFinder(
-            scanner, part, tid, beg, end, is_tumor,
-            max_depth=max_depth, refseq=refseq, ref_offset=ref_off)
-        batches = []
-        for r in readers:
-            b = r.fetch(tid, beg, end)
-            if b.n:
-                keep = (b.pos >= beg) & (b.pos < end)
-                b = b.subset(keep)
-            batches.append(b)
-        # interleave samples by position (the reference's k-way merge order)
-        _run_merged(finder, batches, merge_sorted_batches(batches))
-        finder.flush()
-        master.merge_native(part)
-        part.free()
-        for si, c in enumerate(finder.counts):
-            merged = sample_counts[si]
-            for k, v in c.to_dict().items():
-                if isinstance(v, list):
-                    prev = merged.get(k, [0] * len(v))
-                    merged[k] = [a + b2 for a, b2 in zip(prev, v)]
-                elif isinstance(v, str):
-                    merged[k] = v or merged.get(k, "")
-                else:
-                    merged[k] = merged.get(k, 0) + v
-            merged["source"] = bam_paths[si]
+        for (tid, beg, end) in group:
+            chrom = names[tid]
+            ref_off = max(0, beg - 500)
+            refseq = fasta.fetch_arr(chrom, ref_off, end + 500)
+            max_depth = None
+            if chrom_depths is not None and chrom in chrom_depths:
+                max_depth = chrom_depths[chrom] * max_depth_factor
+            finder = SVLocusSetFinder(
+                scanner, part, tid, beg, end, is_tumor,
+                max_depth=max_depth, refseq=refseq, ref_offset=ref_off)
+            batches = []
+            for r in readers:
+                b = r.fetch(tid, beg, end)
+                if b.n:
+                    keep = (b.pos >= beg) & (b.pos < end)
+                    b = b.subset(keep)
+                batches.append(b)
+            # interleave samples by position (the reference's k-way
+            # merge order)
+            _run_merged(finder, batches, merge_sorted_batches(batches))
+            finder.flush()
+            for si, c in enumerate(finder.counts):
+                merged = sample_counts[si]
+                for k, v in c.to_dict().items():
+                    if isinstance(v, list):
+                        prev = merged.get(k, [0] * len(v))
+                        merged[k] = [a + b2 for a, b2 in zip(prev, v)]
+                    elif isinstance(v, str):
+                        merged[k] = v or merged.get(k, "")
+                    else:
+                        merged[k] = merged.get(k, 0) + v
+                merged["source"] = bam_paths[si]
+        # compact = the reference's per-group save/load boundary (empty
+        # locus slots dropped before any merge; see
+        # NativeLocusSet.compact)
+        part = part.compact()
+        if master is None:
+            master = part
+        else:
+            master.merge_native(part)
+            part.free()
+    if master is None:
+        master = NativeLocusSet(graph_opt, len(names))
     out = master.to_locus_set(names, lengths, len(bam_paths))
     master.free()
     out.sample_counts = sample_counts

@@ -682,11 +682,13 @@ class SVLocusSet:
                                                 is_duplicated)
                 assert mergeable
 
-            # find superset node of the start node
+            # find superset node of the start node, in ascending
+            # ADDRESS order — the reference iterates
+            # std::set<NodeAddressType>, i.e. (locus, node-index)
+            # pairs (SVLocusSet.cpp:270-288)
             snode = self.loci[start_locus_idx].nodes[node_idx]
             superset_addr = None
-            for addr in sorted(mergeable,
-                               key=lambda a: self._entry(a[0], a[1])):
+            for addr in sorted(mergeable):
                 assert addr[0] == head_locus_idx
                 cand = self.get_node(addr)
                 if cand.beg <= snode.beg and cand.end >= snode.end:
@@ -695,11 +697,12 @@ class SVLocusSet:
             assert superset_addr is not None, "no superset node found"
 
             # Merge every mergeable node into the running target, in
-            # descending interval order as in the reference. Each erase
-            # moves the locus's last node into the freed slot, so stale
-            # addresses in the snapshot are chased through a remap table
-            # (the reference relies on an index-ordering invariant here;
-            # the remap makes the same procedure robust in all cases).
+            # descending ADDRESS order (the reference's
+            # BOOST_REVERSE_FOREACH over the address set,
+            # SVLocusSet.cpp:292-310). Each erase moves the locus's
+            # last node into the freed slot; descending order keeps
+            # remaining addresses below the erased index, so the remap
+            # table below stays a no-op safety net.
             target_addr = superset_addr
             remap: dict[int, int] = {}
 
@@ -709,9 +712,7 @@ class SVLocusSet:
                     i = remap[i]
                 return (a[0], i)
 
-            for addr in sorted(mergeable,
-                               key=lambda a: self._entry(a[0], a[1]),
-                               reverse=True):
+            for addr in sorted(mergeable, reverse=True):
                 if addr == superset_addr:
                     continue
                 a = resolve(addr)

@@ -56,6 +56,23 @@ class NativeLocusSet:
         rc = self._lib.mt_graph_merge_graph(self._h, other._h)
         assert rc == 0, f"mt_graph_merge_graph failed: {rc}"
 
+    def compact(self) -> "NativeLocusSet":
+        """Return a compacted copy with empty locus slots dropped and
+        loci renumbered, freeing this handle. Phase-1 group graphs must
+        cross this boundary before merging: the reference serializes
+        each EstimateSVLoci graph (empty loci skipped on save,
+        SVLocusSet.cpp:1277-1280) and MergeSVLoci re-loads it, so locus
+        numbering entering the merge is always the compacted one."""
+        sizes, nodes, edges, stats = self.export_flat()
+        out = NativeLocusSet(self.opt, self.n_tids)
+        out.load_flat(sizes, nodes, edges, stats["total_cleaned"],
+                      stats["highest_search_count"],
+                      stats["highest_search_density"],
+                      stats["is_max_search_count"],
+                      stats["is_max_search_density"])
+        self.free()
+        return out
+
     def load_flat(self, locus_sizes, nodes, edges, total_cleaned=0,
                   highest_count=0, highest_density=0.0,
                   is_max_count=False, is_max_density=False):

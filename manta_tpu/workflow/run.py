@@ -785,22 +785,23 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
                                region_list, reference, chrom_depths,
                                n_jobs, tasks=None, workspace_dir=None,
                                log=None):
-    """Fork-based phase-1 scale-out: independent per-group graphs merged
-    in submission order (reference: per-segment EstimateSVLoci tasks +
-    sequential MergeSVLoci, mantaWorkflow.py:252-299). When a task
-    tracker is supplied, each group's partial graph persists in the run
-    workspace and completed groups are skipped on resume (reference:
-    pyflow per-task completion records)."""
+    """Fork-based phase-1 scale-out: one independent graph PER segment
+    group (the reference's 200 kb clumping rule), merged in submission
+    order with the first group's graph adopted as the merge base
+    (reference: per-group EstimateSVLoci tasks + sequential
+    MergeSVLoci over the per-group graph files, mantaWorkflow.py:252-299,
+    MergeSVLoci.cpp:48-62). Saving per GROUP — never pre-merging a
+    worker's groups — keeps the merge sequence identical to the serial
+    path and the reference. When a task tracker is supplied, each
+    group's partial graph persists in the run workspace and completed
+    groups are skipped on resume (reference: pyflow per-task completion
+    records)."""
     import multiprocessing as mp
     import tempfile
     from .tasks import content_digest
     from ..graph.locusgraph import SVLocusSet
-    n_groups = min(n_jobs * 4, len(region_list))
-    # keep each group contiguous in genome order for merge determinism
-    groups = []
-    per = (len(region_list) + n_groups - 1) // n_groups
-    for i in range(0, len(region_list), per):
-        groups.append(region_list[i:i + per])
+    from ..graph.finder import group_segments
+    groups = group_segments(region_list)
     ctx = mp.get_context("fork")
     queue = ctx.SimpleQueue()
     if workspace_dir is not None:

@@ -3115,19 +3115,16 @@ static int merge_locus(GraphSet& g, const Locus& input_locus) {
       if (mergeable.empty()) return -11;
     }
 
-    // superset node of the start node, in entry order
+    // superset node of the start node, in ascending ADDRESS order —
+    // the reference iterates std::set<NodeAddressType>, i.e.
+    // (locus, node-index) pairs (SVLocusSet.cpp:270-288)
     const Node& snode = g.loci[start_locus_idx].nodes[node_idx];
-    std::vector<std::pair<Entry, Addr>> ordered;
-    for (const Addr& a : mergeable)
-      ordered.push_back({g.entry(a.first, a.second), a});
-    std::sort(ordered.begin(), ordered.end(),
-              [](const auto& x, const auto& y) { return x.first < y.first; });
     bool have_superset = false;
     Addr superset_addr(0, 0);
-    for (const auto& ea : ordered) {
-      const Node& cand = g.loci[ea.second.first].nodes[ea.second.second];
+    for (const Addr& a : mergeable) {
+      const Node& cand = g.loci[a.first].nodes[a.second];
       if (cand.beg <= snode.beg && cand.end >= snode.end) {
-        superset_addr = ea.second;
+        superset_addr = a;
         have_superset = true;
         break;
       }
@@ -3145,8 +3142,13 @@ static int merge_locus(GraphSet& g, const Locus& input_locus) {
       }
       return Addr(a.first, i);
     };
-    for (auto it = ordered.rbegin(); it != ordered.rend(); ++it) {
-      const Addr addr = it->second;
+    // merge in DESCENDING address order (the reference's
+    // BOOST_REVERSE_FOREACH over the address set,
+    // SVLocusSet.cpp:292-310); the descending order means each erase's
+    // swap-with-last can only move node indexes above every remaining
+    // address, so the remap chain below stays a no-op safety net
+    for (auto it = mergeable.rbegin(); it != mergeable.rend(); ++it) {
+      const Addr addr = *it;
       if (addr == superset_addr) continue;
       Addr a = resolve(addr);
       Addr t = resolve(target_addr);

@@ -40,6 +40,23 @@ def test_outputs_exist(demo_run):
         assert os.path.exists(f"{demo_run}/results/stats/{name}")
 
 
+def test_region_restricted_matches_oracle(tmp_path_factory, demo_fasta,
+                                          normal_bam, tumor_bam):
+    """The reference demo's EXACT invocation — two --region restrictions
+    + --exome (reference: src/demo/runMantaWorkflowDemo.py:65-70) — must
+    reproduce the expected VCF bit-for-bit, including the MantaBND
+    locus:node ID serials. Guards the 200 kb segment-group clumping
+    (one shared graph per group), the adopt-first merge order, and the
+    per-group save/load compaction boundary."""
+    run_dir = str(tmp_path_factory.mktemp("region_run"))
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
+                 is_exome=True, verbose=False,
+                 regions=["8:107652000-107655000", "11:94974000-94989000"])
+    got = _records(f"{run_dir}/results/variants/somaticSV.vcf.gz")
+    want = _records(EXPECTED)
+    assert got == want
+
+
 def test_parallel_matches_serial(tmp_path_factory, demo_fasta, normal_bam,
                                  tumor_bam, demo_run):
     """Fork-parallel phase execution must be bit-identical to serial.
