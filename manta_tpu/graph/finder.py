@@ -251,13 +251,13 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
             finder = SVLocusSetFinder(
                 scanner, part, tid, beg, end, is_tumor,
                 max_depth=max_depth, refseq=refseq, ref_offset=ref_off)
-            batches = []
-            for r in readers:
-                b = r.fetch(tid, beg, end)
-                if b.n:
-                    keep = (b.pos >= beg) & (b.pos < end)
-                    b = b.subset(keep)
-                batches.append(b)
+            # keep reads that OVERLAP the region but start before it:
+            # the reference streams them through depth tracking and the
+            # input/evidence counters, and only the scan-region check
+            # after those steps blocks their graph insertion
+            # (SVLocusSetFinder.cpp:88-142); _run_merged applies the
+            # same in-loop position gate before inserting loci
+            batches = [r.fetch(tid, beg, end) for r in readers]
             # interleave samples by position (the reference's k-way
             # merge order)
             _run_merged(finder, batches, merge_sorted_batches(batches))
