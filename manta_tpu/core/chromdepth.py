@@ -281,21 +281,26 @@ def estimate_chrom_depths(bam_paths: list[str],
         def worker(ji, path, tid, size):
             queue.put((ji, read_chrom_depth(readers[path], tid, size)))
 
+        # in-flight scheduling — see workflow.run._drain_fork_result
+        # for why is_alive() gating deadlocks
+        from ..workflow.run import _drain_fork_result
         results: dict[int, float] = {}
-        live: list = []
+        procs: list = []
         nxt = 0
+        in_flight = 0
         while len(results) < len(jobs):
-            while nxt < len(jobs) and len(live) < n_jobs:
+            while nxt < len(jobs) and in_flight < n_jobs:
                 path, tid, _name, size = jobs[nxt]
                 pr = ctx.Process(target=worker,
                                  args=(nxt, path, tid, size))
                 pr.start()
-                live.append(pr)
+                procs.append(pr)
+                in_flight += 1
                 nxt += 1
-            ji, d = queue.get()
+            ji, d = _drain_fork_result(queue, procs)
+            in_flight -= 1
             results[ji] = d
-            live = [pr for pr in live if pr.is_alive()]
-        for pr in live:
+        for pr in procs:
             pr.join()
         for ji, (path, tid, name, size) in enumerate(jobs):
             totals[name] = totals.get(name, 0.0) + results[ji]

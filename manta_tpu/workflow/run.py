@@ -175,20 +175,24 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                     default_stats=existing_align_stats)
                 queue.put((i, s.to_dict()))
 
+            # in-flight scheduling — see _drain_fork_result for why
+            # is_alive() gating deadlocks
             results: dict[int, dict] = {}
-            live: list = []
+            procs: list = []
             nxt = 0
+            in_flight = 0
             while len(results) < len(bams):
-                while nxt < len(bams) and len(live) < n_jobs:
+                while nxt < len(bams) and in_flight < n_jobs:
                     pr = ctx.Process(target=stats_worker,
                                      args=(nxt, bams[nxt]))
                     pr.start()
-                    live.append(pr)
+                    procs.append(pr)
+                    in_flight += 1
                     nxt += 1
-                i, d = queue.get()
+                i, d = _drain_fork_result(queue, procs)
+                in_flight -= 1
                 results[i] = d
-                live = [pr for pr in live if pr.is_alive()]
-            for pr in live:
+            for pr in procs:
                 pr.join()
             stats_list = [ReadGroupStats.from_dict(results[i])
                           for i in range(len(bams))]
@@ -781,6 +785,36 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     return tracker, log_lines
 
 
+def _drain_fork_result(queue, procs):
+    """queue.get() that cannot deadlock on silently-dead workers.
+
+    Never gate scheduling on Process.is_alive(): a worker stays alive
+    for a moment after queue.put(), so two back-to-back results can
+    leave a stale 'running' list full and the scheduler blocking on an
+    empty queue with no producers left. Callers track an in-flight
+    (spawned - received) count instead and call this to receive.
+    Polls the queue's read pipe so a worker that died without
+    reporting raises instead of hanging the workflow forever."""
+    while True:
+        # SimpleQueue has no get(timeout); its _reader Connection is a
+        # stable CPython internal
+        if queue._reader.poll(10.0):
+            return queue.get()
+        bad = next((pr for pr in procs
+                    if pr.exitcode not in (None, 0)), None)
+        if bad is not None:
+            for pr in procs:
+                if pr.is_alive():
+                    pr.terminate()
+            raise RuntimeError(
+                f"forked phase worker (pid {bad.pid}) exited with code "
+                f"{bad.exitcode} without reporting a result")
+        if all(pr.exitcode is not None for pr in procs):
+            raise RuntimeError(
+                "forked phase workers all exited but a result is "
+                "missing")
+
+
 def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
                                region_list, reference, chrom_depths,
                                n_jobs, tasks=None, workspace_dir=None,
@@ -824,7 +858,6 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         queue.put((gi, part_paths[gi]))
 
     procs = []
-    running = []
     results = {}
     jobs = []
     for gi, regions in enumerate(groups):
@@ -834,22 +867,24 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
             jobs.append((gi, regions))
     if results and log is not None:
         log(f"resume: reusing {len(results)}/{len(groups)} graph segments")
-    max_live = n_jobs
+    # schedule on an in-flight (spawned - received) count — see
+    # _drain_fork_result for why is_alive() gating deadlocks
     ji = 0
+    in_flight = 0
     n_total = len(results) + len(jobs)
     while len(results) < n_total:
-        while ji < len(jobs) and len(running) < max_live:
+        while ji < len(jobs) and in_flight < n_jobs:
             gi, regions = jobs[ji]
             pr = ctx.Process(target=worker, args=(gi, regions))
             pr.start()
             procs.append(pr)
-            running.append(pr)
+            in_flight += 1
             ji += 1
-        gi, path = queue.get()
+        gi, path = _drain_fork_result(queue, procs)
+        in_flight -= 1
         results[gi] = path
         if tasks is not None:
             tasks.mark_done(task_names[gi], [path])
-        running = [pr for pr in running if pr.is_alive()]
     for pr in procs:
         pr.join()
 
