@@ -850,12 +850,17 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
     part_paths = [os.path.join(tmpdir, f"part_{gi:04d}.npz")
                   for gi in range(len(groups))]
 
-    def worker(gi, regions):
+    def worker(chunk):
+        # one fork serves a CHUNK of groups, but each group still gets
+        # its own independent graph + file (per-group merge semantics);
+        # results stream back as each group finishes
         fasta = FastaReader(reference)
-        part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
-                                regions, fasta, chrom_depths=chrom_depths)
-        part.save(part_paths[gi])
-        queue.put((gi, part_paths[gi]))
+        for gi, regions in chunk:
+            part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
+                                    regions, fasta,
+                                    chrom_depths=chrom_depths)
+            part.save(part_paths[gi])
+            queue.put((gi, part_paths[gi]))
 
     procs = []
     results = {}
@@ -867,24 +872,32 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
             jobs.append((gi, regions))
     if results and log is not None:
         log(f"resume: reusing {len(results)}/{len(groups)} graph segments")
+    # amortize fork + BAM-open cost: ~4 chunks per worker keeps cores
+    # busy under skewed group sizes without one fork per 12 Mb group
+    n_chunks = max(1, min(n_jobs * 4, len(jobs)))
+    per = (len(jobs) + n_chunks - 1) // n_chunks
+    chunks = [jobs[i:i + per] for i in range(0, len(jobs), per)]
     # schedule on an in-flight (spawned - received) count — see
     # _drain_fork_result for why is_alive() gating deadlocks
-    ji = 0
-    in_flight = 0
+    ci = 0
+    live_chunks = 0
     n_total = len(results) + len(jobs)
     while len(results) < n_total:
-        while ji < len(jobs) and in_flight < n_jobs:
-            gi, regions = jobs[ji]
-            pr = ctx.Process(target=worker, args=(gi, regions))
+        while ci < len(chunks) and live_chunks < n_jobs:
+            pr = ctx.Process(target=worker, args=(chunks[ci],))
             pr.start()
             procs.append(pr)
-            in_flight += 1
-            ji += 1
+            live_chunks += 1
+            ci += 1
         gi, path = _drain_fork_result(queue, procs)
-        in_flight -= 1
         results[gi] = path
         if tasks is not None:
             tasks.mark_done(task_names[gi], [path])
+        # a chunk frees its worker slot when its last group reports
+        done_chunks = sum(
+            1 for k in range(ci)
+            if all(g in results for g, _ in chunks[k]))
+        live_chunks = ci - done_chunks
     for pr in procs:
         pr.join()
 
