@@ -281,9 +281,9 @@ def estimate_chrom_depths(bam_paths: list[str],
         def worker(ji, path, tid, size):
             queue.put((ji, read_chrom_depth(readers[path], tid, size)))
 
-        # in-flight scheduling — see workflow.run._drain_fork_result
-        # for why is_alive() gating deadlocks
-        from ..workflow.run import _drain_fork_result
+        # in-flight scheduling — see parallel.forkpool for why
+        # is_alive() gating deadlocks
+        from ..parallel.forkpool import drain_fork_result
         results: dict[int, float] = {}
         procs: list = []
         nxt = 0
@@ -297,7 +297,7 @@ def estimate_chrom_depths(bam_paths: list[str],
                 procs.append(pr)
                 in_flight += 1
                 nxt += 1
-            ji, d = _drain_fork_result(queue, procs)
+            ji, d = drain_fork_result(queue, procs)
             in_flight -= 1
             results[ji] = d
         for pr in procs:

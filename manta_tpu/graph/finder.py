@@ -256,7 +256,13 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
             # input/evidence counters, and only the scan-region check
             # after those steps blocks their graph insertion
             # (SVLocusSetFinder.cpp:88-142); _run_merged applies the
-            # same in-loop position gate before inserting loci
+            # same in-loop position gate before inserting loci.
+            # Reads reaching below the 500 bp ref pad are still exact:
+            # the reference's segment accessor returns 'N' outside its
+            # own +/-500 window (reference_contig_segment.hpp get_base)
+            # and the semi-aligned test counts 'N' as a match
+            # (SVLocusScannerSemiAligned.cpp:45-50), matching our
+            # scanner's out-of-window handling
             batches = [r.fetch(tid, beg, end) for r in readers]
             # interleave samples by position (the reference's k-way
             # merge order)

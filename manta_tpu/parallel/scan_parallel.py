@@ -21,13 +21,14 @@ equivalent (the reference is single-threaded per read here).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-_BIG_POS = jnp.int32(2**31 - 1)
+# plain int (a jnp scalar here would initialize the JAX backend as an
+# import side effect, pinning the platform before callers configure it)
+_BIG_POS = 2**31 - 1
 
 
 def junction_split_score_scan_parallel(
@@ -82,16 +83,3 @@ def junction_split_score_scan_parallel(
               read_len, target_len, ln_match_lut, ln_mism_lut)
 
 
-def scan_parallel_jit(mesh: Mesh, n_scan: int, flank_score_size: int,
-                      scan_axis: str = "scan",
-                      batch_axis: str | None = None):
-    """A jitted closure of junction_split_score_scan_parallel with the
-    static shape/config arguments bound."""
-    @partial(jax.jit, static_argnums=())
-    def step(reads, quals, targets, s0, bp_beg, bp_end, read_len,
-             target_len, lut_m, lut_x):
-        return junction_split_score_scan_parallel(
-            mesh, reads, quals, targets, s0, bp_beg, bp_end, read_len,
-            target_len, flank_score_size, lut_m, lut_x, n_scan,
-            scan_axis=scan_axis, batch_axis=batch_axis)
-    return step

@@ -18,6 +18,7 @@ from ..graph.finder import estimate_sv_loci
 from ..graph.locusgraph import SVLocusSetOptions
 from ..io.bam import BamReader, open_alignment_reader
 from ..io.fasta import FastaReader
+from ..parallel.forkpool import drain_fork_result
 from ..scan.scanner import ScannerOptions, SVScanner
 from ..candidates.svfinder import SVFinder, iterate_edges
 from ..candidates.refiner import SVCandidateAssemblyRefiner
@@ -175,7 +176,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                     default_stats=existing_align_stats)
                 queue.put((i, s.to_dict()))
 
-            # in-flight scheduling — see _drain_fork_result for why
+            # in-flight scheduling — see parallel.forkpool.drain_fork_result for why
             # is_alive() gating deadlocks
             results: dict[int, dict] = {}
             procs: list = []
@@ -189,7 +190,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                     procs.append(pr)
                     in_flight += 1
                     nxt += 1
-                i, d = _drain_fork_result(queue, procs)
+                i, d = drain_fork_result(queue, procs)
                 in_flight -= 1
                 results[i] = d
             for pr in procs:
@@ -785,36 +786,6 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     return tracker, log_lines
 
 
-def _drain_fork_result(queue, procs):
-    """queue.get() that cannot deadlock on silently-dead workers.
-
-    Never gate scheduling on Process.is_alive(): a worker stays alive
-    for a moment after queue.put(), so two back-to-back results can
-    leave a stale 'running' list full and the scheduler blocking on an
-    empty queue with no producers left. Callers track an in-flight
-    (spawned - received) count instead and call this to receive.
-    Polls the queue's read pipe so a worker that died without
-    reporting raises instead of hanging the workflow forever."""
-    while True:
-        # SimpleQueue has no get(timeout); its _reader Connection is a
-        # stable CPython internal
-        if queue._reader.poll(10.0):
-            return queue.get()
-        bad = next((pr for pr in procs
-                    if pr.exitcode not in (None, 0)), None)
-        if bad is not None:
-            for pr in procs:
-                if pr.is_alive():
-                    pr.terminate()
-            raise RuntimeError(
-                f"forked phase worker (pid {bad.pid}) exited with code "
-                f"{bad.exitcode} without reporting a result")
-        if all(pr.exitcode is not None for pr in procs):
-            raise RuntimeError(
-                "forked phase workers all exited but a result is "
-                "missing")
-
-
 def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
                                region_list, reference, chrom_depths,
                                n_jobs, tasks=None, workspace_dir=None,
@@ -874,11 +845,16 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         log(f"resume: reusing {len(results)}/{len(groups)} graph segments")
     # amortize fork + BAM-open cost: ~4 chunks per worker keeps cores
     # busy under skewed group sizes without one fork per 12 Mb group
-    n_chunks = max(1, min(n_jobs * 4, len(jobs)))
-    per = (len(jobs) + n_chunks - 1) // n_chunks
-    chunks = [jobs[i:i + per] for i in range(0, len(jobs), per)]
+    # (jobs may be empty on a resume where every part already finished
+    # but the merge didn't)
+    if jobs:
+        n_chunks = min(n_jobs * 4, len(jobs))
+        per = (len(jobs) + n_chunks - 1) // n_chunks
+        chunks = [jobs[i:i + per] for i in range(0, len(jobs), per)]
+    else:
+        chunks = []
     # schedule on an in-flight (spawned - received) count — see
-    # _drain_fork_result for why is_alive() gating deadlocks
+    # parallel.forkpool.drain_fork_result for why is_alive() gating deadlocks
     ci = 0
     live_chunks = 0
     n_total = len(results) + len(jobs)
@@ -889,7 +865,7 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
             procs.append(pr)
             live_chunks += 1
             ci += 1
-        gi, path = _drain_fork_result(queue, procs)
+        gi, path = drain_fork_result(queue, procs)
         results[gi] = path
         if tasks is not None:
             tasks.mark_done(task_names[gi], [path])
