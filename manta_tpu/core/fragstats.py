@@ -363,6 +363,23 @@ class _ChunkWindows:
         # single-entry cache (empty-region probing alternates windows)
         self.win: dict[int, list] = {}
         self.size: dict[int, int] = {}
+        # per-tid [first, last) read-start bounds from the BAI linear
+        # index: headers often declare full chromosome lengths while
+        # the data covers a small region, and probing the empty
+        # remainder window-by-window costs a BAI query + coarse-bin
+        # parse per window
+        self._bounds: dict[int, tuple[int, int]] = {}
+
+    def _tid_bounds(self, ci: int) -> tuple[int, int]:
+        hit = self._bounds.get(ci)
+        if hit is None:
+            idx = getattr(self.reader, "index", None)
+            if idx is not None and hasattr(idx, "last_indexed_end"):
+                hit = (idx.first_indexed_pos(ci), idx.last_indexed_end(ci))
+            else:
+                hit = (0, 1 << 62)
+            self._bounds[ci] = hit
+        return hit
 
     def get(self, ci: int, beg: int, chrom_end: int):
         """Reads with pos in [beg, win_end) in file order, as
@@ -376,7 +393,14 @@ class _ChunkWindows:
         if ent is None:
             w = self.size.get(ci, self.init_size)
             we = min(beg + w, chrom_end)
-            raw = self.reader.fetch(ci, beg, we)
+            lo, hi = self._tid_bounds(ci)
+            if beg >= hi or we <= lo:
+                # provably empty per the index — same result as the
+                # fetch (an empty batch) without issuing it; window
+                # sizing sees density 0 either way
+                raw = self.reader.fetch(ci, 0, 0)
+            else:
+                raw = self.reader.fetch(ci, beg, we)
             ent = (beg, we, raw)
             if len(ents) >= 2:
                 ents.pop(0)

@@ -56,6 +56,32 @@ class BaiIndex:
             off += 8 * n_intv
             self.refs.append((bins, list(ioff), meta))
 
+    def first_indexed_pos(self, tid: int) -> int:
+        """Inclusive lower bound on read start positions for tid: a
+        BGZF virtual offset of 0 is the file header, so a leading
+        linear-index window with offset 0 cannot contain an alignment
+        start. (Index writers that backfill leading windows with the
+        first read's offset just make this bound conservative.)"""
+        if tid < 0 or tid >= len(self.refs):
+            return 0
+        _, linear, _ = self.refs[tid]
+        for i, off in enumerate(linear):
+            if off != 0:
+                return i << 14
+        return len(linear) << 14
+
+    def last_indexed_end(self, tid: int) -> int:
+        """Exclusive upper bound on read start positions for tid: the
+        16 kb linear index only extends to the window of the last
+        indexed read, so no read starts at or beyond
+        n_intv << 14. Lets scans skip declared-but-empty chromosome
+        tails (e.g. a header that declares the full chromosome while
+        the data covers a small region)."""
+        if tid < 0 or tid >= len(self.refs):
+            return 0
+        _, linear, _ = self.refs[tid]
+        return len(linear) << 14
+
     def query(self, tid: int, beg: int, end: int) -> list[tuple[int, int]]:
         """Merged (voffset_start, voffset_end) chunk list overlapping region."""
         if tid < 0 or tid >= len(self.refs):

@@ -580,8 +580,13 @@ class BamReader:
                 sup = cb
                 break
         if sup is None:
-            cbeg = max(0, cov_beg - self._FETCH_COVER_PAD)
-            cend = end + self._FETCH_COVER_PAD
+            # quantize cover bounds to a coarse grid: the per-edge fetch
+            # families (assembly / pair / split windows) differ by a few
+            # hundred bases, so unquantized covers miss for every
+            # variant while quantized ones collapse to one superwindow
+            q = self._FETCH_COVER_PAD
+            cbeg = max(0, cov_beg - self._FETCH_COVER_PAD) // q * q
+            cend = -(-(end + self._FETCH_COVER_PAD) // q) * q
             sup = self._fetch_uncached(tid, cbeg, cend)
             if len(covers) >= self._FETCH_COVER_SIZE:
                 for k in list(covers)[:self._FETCH_COVER_SIZE // 2]:
