@@ -126,3 +126,22 @@ def test_parse_records_multi_matches_per_chunk(tumor_bam):
               "qual", "name_off", "name", "tag_off"):
         np.testing.assert_array_equal(getattr(old, k), getattr(new, k))
     assert old.tags == new.tags
+
+
+def test_bai_indexed_bounds(tumor_bam):
+    """BAI linear-index bounds: every read start lies within
+    [first_indexed_pos, last_indexed_end) even when the header declares
+    the full-length chromosome."""
+    from manta_tpu.io.bam import BamReader
+    r = BamReader(tumor_bam)
+    batch = r.read_all()
+    for tid in range(len(r.header.ref_names)):
+        lo = r.index.first_indexed_pos(tid)
+        hi = r.index.last_indexed_end(tid)
+        sel = batch.refid == tid
+        if not sel.any():
+            continue
+        assert int(batch.pos[sel].min()) >= lo
+        assert int(batch.pos[sel].max()) < hi
+        # declared chromosome far exceeds the data span in the demo BAM
+        assert hi < r.header.ref_lengths[tid]
