@@ -14,7 +14,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from scipy.stats import binom
 
 from ..core.depthsweep import DepthSweep
 from ..core.readfilter import (
@@ -191,8 +190,11 @@ def is_breakpoint_significant(alpha: float, noise_rate: float,
         window = int(min_bg)
     # P(X >= window | trials=min_bg, p=noise) <= alpha ?
     n_trials = int(min_bg)
-    pval = float(binom.sf(window - 1, n_trials, noise_rate)) if n_trials > 0 \
-        else (1.0 if window == 0 else 0.0)
+    if n_trials > 0:
+        from scipy.stats import binom  # lazy: scipy.stats costs ~2s to import
+        pval = float(binom.sf(window - 1, n_trials, noise_rate))
+    else:
+        pval = 1.0 if window == 0 else 0.0
     return pval <= alpha
 
 
