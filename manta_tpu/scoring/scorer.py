@@ -337,7 +337,10 @@ def add_diploid_loglhood(spanning_pair_weight: float, track: dict,
     chimera = ProbSet(1e-3)
     ref_split_map = ProbSet(1e-6)
     alt_split_map = ProbSet(1e-5)
-    for qname in track:
+    # qname-sorted iteration: the reference's evidenceTrack_t is a
+    # std::map<std::string,...> (SVEvidence.hpp:243), and the per-
+    # genotype loglhood sums are float-order-sensitive
+    for qname in sorted(track):
         fragev = track[qname]
         ref_set = AlleleLnLhood()
         alt_set = AlleleLnLhood()
@@ -365,7 +368,8 @@ def _compute_somatic_sample_loghood(spanning_pair_weight, track,
     def alt_fraction(gt):
         return [0.0, 0.5, 1.0, somatic_freq, noise_freq][gt]
 
-    for qname in track:
+    # qname-sorted: see add_diploid_loglhood
+    for qname in sorted(track):
         fragev = track[qname]
         ref_set = AlleleLnLhood()
         alt_set = AlleleLnLhood()
