@@ -1,9 +1,15 @@
 """Fork-pool drain helper: receives results without is_alive() races
-and raises (instead of hanging) when a worker dies unreported."""
+and raises (instead of hanging) when a worker dies unreported.
+
+The workers here do no JAX work, so forking the JAX-initialized test
+process is safe; the RuntimeWarning about it is suppressed."""
 
 import multiprocessing as mp
 
 import pytest
+
+pytestmark = pytest.mark.filterwarnings(
+    'ignore:os.fork\\(\\) was called:RuntimeWarning')
 
 from manta_tpu.parallel.forkpool import drain_fork_result
 
