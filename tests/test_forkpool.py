@@ -8,8 +8,12 @@ import multiprocessing as mp
 
 import pytest
 
-pytestmark = pytest.mark.filterwarnings(
-    'ignore:os.fork\\(\\) was called:RuntimeWarning')
+pytestmark = [
+    pytest.mark.filterwarnings(
+        'ignore:os.fork\\(\\) was called:RuntimeWarning'),
+    pytest.mark.filterwarnings(
+        'ignore:This process.*is multi-threaded:DeprecationWarning'),
+]
 
 from manta_tpu.parallel.forkpool import drain_fork_result
 
