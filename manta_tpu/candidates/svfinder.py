@@ -191,8 +191,8 @@ def is_breakpoint_significant(alpha: float, noise_rate: float,
     # P(X >= window | trials=min_bg, p=noise) <= alpha ?
     n_trials = int(min_bg)
     if n_trials > 0:
-        from scipy.stats import binom  # lazy: scipy.stats costs ~2s to import
-        pval = float(binom.sf(window - 1, n_trials, noise_rate))
+        from ..core.binomial import binomial_gte_n_success_pval
+        pval = binomial_gte_n_success_pval(noise_rate, window, n_trials)
     else:
         pval = 1.0 if window == 0 else 0.0
     return pval <= alpha
