@@ -57,15 +57,44 @@ class PerReadBp:
     split_ln_lhood: float = 0.0
 
 
+# shared read-only default: most fragments never receive split
+# evidence, so their 8 PerReadBp slots stay unmaterialized and reads
+# resolve to this sentinel (writers go through ensure_read; the only
+# PerReadBp write site is scorer._finish_read_split_score). The
+# sentinel rejects writes so an accidental get_read-then-assign fails
+# loudly instead of corrupting every unmaterialized read globally.
+class _NullPerReadBp(PerReadBp):
+    __slots__ = ()
+
+    def __setattr__(self, key, value):
+        raise AttributeError(
+            "write to the shared null PerReadBp; materialize with "
+            "AlleleBp.ensure_read(is_read1) first")
+
+
+_NULL_PERREAD = PerReadBp()
+_NULL_PERREAD.__class__ = _NullPerReadBp
+
+
 @dataclass(slots=True)
 class AlleleBp:
     is_fragment_support: bool = False
     frag_length_prob: float = 0.0
-    read1: PerReadBp = field(default_factory=PerReadBp)
-    read2: PerReadBp = field(default_factory=PerReadBp)
+    read1: PerReadBp | None = None
+    read2: PerReadBp | None = None
 
     def get_read(self, is_read1: bool) -> PerReadBp:
-        return self.read1 if is_read1 else self.read2
+        r = self.read1 if is_read1 else self.read2
+        return r if r is not None else _NULL_PERREAD
+
+    def ensure_read(self, is_read1: bool) -> PerReadBp:
+        if is_read1:
+            if self.read1 is None:
+                self.read1 = PerReadBp()
+            return self.read1
+        if self.read2 is None:
+            self.read2 = PerReadBp()
+        return self.read2
 
     def clear_pair_support(self):
         self.is_fragment_support = False

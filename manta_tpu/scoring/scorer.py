@@ -872,10 +872,10 @@ class SVScorer:
         pre-computed scan winners; each *_sr carries (align_ln_lhood,
         is_evidence, is_tier2_evidence, evidence)."""
         fragev._split_cache.clear()
-        alt_bp1 = fragev.alt.bp1.get_read(is_read1)
-        ref_bp1 = fragev.ref.bp1.get_read(is_read1)
-        alt_bp2 = fragev.alt.bp2.get_read(is_read1)
-        ref_bp2 = fragev.ref.bp2.get_read(is_read1)
+        alt_bp1 = fragev.alt.bp1.ensure_read(is_read1)
+        ref_bp1 = fragev.ref.bp1.ensure_read(is_read1)
+        alt_bp2 = fragev.alt.bp2.ensure_read(is_read1)
+        ref_bp2 = fragev.ref.bp2.ensure_read(is_read1)
         alt_bp1.is_split_evaluated = True
         ref_bp1.is_split_evaluated = True
         alt_bp2.is_split_evaluated = True

@@ -35,12 +35,12 @@ def _frag(alt_prob=None, ref_prob=None, split_alt=None, split_ref=None,
                             (f.ref, split_ref if split_ref is not None
                              else -50.0)):
             for bp in (allele.bp1, allele.bp2):
-                r = bp.get_read(True)
+                r = bp.ensure_read(True)
                 r.is_split_evaluated = True
                 r.split_ln_lhood = lnl
-        f.alt.bp1.get_read(True).is_split_support = True
+        f.alt.bp1.ensure_read(True).is_split_support = True
         if split_ref is not None and split_ref > split_alt:
-            f.ref.bp1.get_read(True).is_split_support = True
+            f.ref.bp1.ensure_read(True).is_split_support = True
     return f
 
 
