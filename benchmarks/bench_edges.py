@@ -42,20 +42,17 @@ def main():
                  is_exome=True, n_jobs=args.jobs, verbose=False)
     wall = time.perf_counter() - t0
 
-    # phase timing + edge count from the workflow log
+    # edge count from the workflow log; phase timing from the edge
+    # stats tracker's own wall measurement (SVGenTotalHours), which has
+    # much finer resolution than the 1 s log timestamps
     log = open(os.path.join(run_dir, "workspace",
                             "workflow_log.txt")).read()
-    stamps = re.findall(r"\[([0-9T:\-]+)\] (.+)", log)
-    import datetime
-    times = {msg: datetime.datetime.fromisoformat(ts)
-             for ts, msg in stamps}
     m = re.search(r"processed (\d+) graph edges", log)
     n_edges = int(m.group(1)) if m else 0
-    start = next((v for k, v in times.items()
-                  if k.startswith("generating and scoring")), None)
-    end = next((v for k, v in times.items()
-                if k.startswith("processed")), None)
-    phase2_s = (end - start).total_seconds() if start and end else wall
+    tsv = open(os.path.join(run_dir, "results", "stats",
+                            "svCandidateGenerationStats.tsv")).read()
+    mt = re.search(r"SVGenTotalHours\t([0-9.]+)h wall", tsv)
+    phase2_s = float(mt.group(1)) * 3600.0 if mt else wall
 
     print(json.dumps({
         "metric": "graph_edges_per_s",

@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..core.binomial import binomial_gte_n_success_pval
 from ..core.depthsweep import DepthSweep
 from ..core.readfilter import (
     has_sa_tag, is_non_strict_supplement, is_read_unmapped_or_filtered_core,
@@ -191,7 +192,6 @@ def is_breakpoint_significant(alpha: float, noise_rate: float,
     # P(X >= window | trials=min_bg, p=noise) <= alpha ?
     n_trials = int(min_bg)
     if n_trials > 0:
-        from ..core.binomial import binomial_gte_n_success_pval
         pval = binomial_gte_n_success_pval(noise_rate, window, n_trials)
     else:
         pval = 1.0 if window == 0 else 0.0

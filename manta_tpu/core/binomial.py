@@ -54,8 +54,14 @@ def _betacf(a: float, b: float, x: float) -> float:
         delta = d * c
         h *= delta
         if abs(delta - 1.0) < _EPS:
-            break
-    return h
+            return h
+    # Lentz converges slowly only near x ~ a/(a+b) with huge a and b;
+    # no current caller reaches that regime (n_success <= 4 in the
+    # significance filters). Fail loudly rather than return a silently
+    # inaccurate tail probability.
+    raise ArithmeticError(
+        f"incomplete-beta continued fraction did not converge "
+        f"(a={a}, b={b}, x={x})")
 
 
 def reg_inc_beta(a: float, b: float, x: float) -> float:

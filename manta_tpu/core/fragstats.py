@@ -396,9 +396,11 @@ class _ChunkWindows:
             lo, hi = self._tid_bounds(ci)
             if beg >= hi or we <= lo:
                 # provably empty per the index — same result as the
-                # fetch (an empty batch) without issuing it; window
-                # sizing sees density 0 either way
-                raw = self.reader.fetch(ci, 0, 0)
+                # fetch (an empty batch) without issuing it (a real
+                # fetch here would also pollute the shared cover
+                # cache); window sizing sees density 0 either way
+                from ..io.bam import _empty_batch
+                raw = _empty_batch()
             else:
                 raw = self.reader.fetch(ci, beg, we)
             ent = (beg, we, raw)

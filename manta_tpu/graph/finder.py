@@ -214,7 +214,8 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                      scanner: SVScanner, graph_opt: SVLocusSetOptions,
                      regions: list[tuple[int, int, int]], fasta,
                      chrom_depths: dict[str, float] | None = None,
-                     max_depth_factor: float = 12.0) -> SVLocusSet:
+                     max_depth_factor: float = 12.0,
+                     readers: list | None = None) -> SVLocusSet:
     """Run phase-1 graph construction over the given scan regions.
 
     Regions are clumped by the reference's 200 kb grouping rule; every
@@ -228,7 +229,11 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
     serial and process-parallel execution stay bit-identical as long as
     workers receive whole groups."""
     from .native_set import NativeLocusSet
-    readers = [open_alignment_reader(p, fasta) for p in bam_paths]
+    if readers is None:
+        # callers driving many estimate_sv_loci calls (one per group)
+        # should pass readers to avoid re-opening + re-parsing the BAI
+        # per call
+        readers = [open_alignment_reader(p, fasta) for p in bam_paths]
     names = readers[0].header.ref_names
     lengths = readers[0].header.ref_lengths
     # the first group's graph is ADOPTED as the merge base — the

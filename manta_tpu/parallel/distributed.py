@@ -87,24 +87,17 @@ def barrier(shared_dir: str, phase: str, host_id: int, n_hosts: int,
 
 
 def plan_phase1(bams: list[str], reference: str, regions=None,
-                scan_size_mb: int = 12):
+                call_regions: str | None = None, scan_size_mb: int = 12):
     """The shared, deterministic phase-1 work plan: segment the genome
-    and clump into the reference's 200 kb groups. Every host derives
-    the identical plan from the same inputs."""
+    (workflow.run.plan_scan_segments — the same planner the single-host
+    workflow uses) and clump into the reference's 200 kb groups. Every
+    host derives the identical plan from the same inputs."""
     from ..graph.finder import group_segments
     from ..io.bam import open_alignment_reader
-    from ..workflow.run import parse_region, segment_regions
+    from ..workflow.run import plan_scan_segments
     header = open_alignment_reader(bams[0], reference).header
-    if regions:
-        region_list = [parse_region(r, header.name_to_tid)
-                       for r in regions]
-        region_list = [
-            (tid, beg, end if end is not None else header.ref_lengths[tid])
-            for (tid, beg, end) in region_list]
-    else:
-        region_list = [(tid, 0, length)
-                       for tid, length in enumerate(header.ref_lengths)]
-    region_list = segment_regions(region_list, scan_size_mb * 1_000_000)
+    region_list = plan_scan_segments(header, regions, call_regions,
+                                     scan_size_mb)
     return group_segments(region_list)
 
 
@@ -125,14 +118,18 @@ def run_host_phase1(host_id: int, n_hosts: int, shared_dir: str,
     from ..io.fasta import FastaReader
     from ..scan.scanner import ScannerOptions, SVScanner
 
-    groups = plan_phase1(bams, reference, regions, scan_size_mb)
+    groups = plan_phase1(bams, reference, regions,
+                         scan_size_mb=scan_size_mb)
     mine = host_items(len(groups), host_id, n_hosts)
     gdir = os.path.join(shared_dir, "graphParts")
     os.makedirs(gdir, exist_ok=True)
 
     stats_set = ReadGroupStatsSet.load(stats_path)
     fasta = FastaReader(reference)
-    header = open_alignment_reader(bams[0], reference).header
+    # open once per host: each estimate_sv_loci call would otherwise
+    # re-parse every BAI index per group
+    readers = [open_alignment_reader(p, reference) for p in bams]
+    header = readers[0].header
     stats_list = [stats_set.get_stats(p) for p in bams]
     scanner = SVScanner(
         ScannerOptions(min_candidate_variant_size=min_candidate_variant_size),
@@ -145,7 +142,8 @@ def run_host_phase1(host_id: int, n_hosts: int, shared_dir: str,
     for gi in mine:
         part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
                                 groups[gi], fasta,
-                                chrom_depths=chrom_depths)
+                                chrom_depths=chrom_depths,
+                                readers=readers)
         out = os.path.join(gdir, f"part_{gi:06d}.npz")
         part.save(out + ".tmp.npz")
         os.replace(out + ".tmp.npz", out)

@@ -62,6 +62,34 @@ def parse_region(r: str, name_to_tid):
     return (tid, 0, None)
 
 
+def plan_scan_segments(header, regions, call_regions, scan_size_mb: int):
+    """The deterministic phase-1 scan plan: user regions and/or
+    callable-region BED restriction, then segmentation into
+    <= scanSizeMb pieces (reference: workflowUtil.py getChromIntervals,
+    mantaOptions.py scanSizeMb=12). Shared by the single-host workflow
+    and the multi-host driver so both derive the identical plan."""
+    if regions:
+        region_list = [parse_region(r, header.name_to_tid)
+                       for r in regions]
+        region_list = [
+            (tid, beg, end if end is not None else header.ref_lengths[tid])
+            for (tid, beg, end) in region_list]
+    else:
+        region_list = [(tid, 0, length)
+                       for tid, length in enumerate(header.ref_lengths)]
+    if call_regions is not None:
+        from .config import read_call_regions
+        bed = read_call_regions(call_regions)
+        restricted = []
+        for (tid, beg, end) in region_list:
+            for (b, e) in bed.get(header.ref_names[tid], []):
+                ib, ie = max(beg, b), min(end, e)
+                if ib < ie:
+                    restricted.append((tid, ib, ie))
+        region_list = restricted
+    return segment_regions(region_list, scan_size_mb * 1_000_000)
+
+
 def get_sample_name(reader: BamReader, default: str) -> str:
     names = reader.header.sample_names()
     name = names[0] if names else default
@@ -255,28 +283,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             write_chrom_depth(depth_path, chrom_depths)
             tasks.mark_done("chromDepth", [depth_path])
 
-    # regions: user regions and/or callable-region BED restriction, then
-    # segmentation into <= scanSizeMb pieces (reference:
-    # workflowUtil.py getChromIntervals, mantaOptions.py scanSizeMb=12)
-    if regions:
-        region_list = [parse_region(r, header.name_to_tid) for r in regions]
-        region_list = [
-            (tid, beg, end if end is not None else header.ref_lengths[tid])
-            for (tid, beg, end) in region_list]
-    else:
-        region_list = [(tid, 0, length)
-                       for tid, length in enumerate(header.ref_lengths)]
-    if call_regions is not None:
-        from .config import read_call_regions
-        bed = read_call_regions(call_regions)
-        restricted = []
-        for (tid, beg, end) in region_list:
-            for (b, e) in bed.get(header.ref_names[tid], []):
-                ib, ie = max(beg, b), min(end, e)
-                if ib < ie:
-                    restricted.append((tid, ib, ie))
-        region_list = restricted
-    region_list = segment_regions(region_list, scan_size_mb * 1_000_000)
+    region_list = plan_scan_segments(header, regions, call_regions,
+                                     scan_size_mb)
 
     # phase 1: locus graph
     graph_path = os.path.join(run_dir, "workspace", "svLocusGraph.npz")
