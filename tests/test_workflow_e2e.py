@@ -57,6 +57,27 @@ def test_region_restricted_matches_oracle(tmp_path_factory, demo_fasta,
     assert got == want
 
 
+def test_call_regions_bed_matches_oracle(tmp_path_factory, demo_fasta,
+                                         normal_bam, tumor_bam):
+    """--callRegions BED restriction covering the demo neighborhoods
+    produces the same scan plan as the equivalent --region pair, so the
+    somatic VCF must still match the oracle bit-for-bit (reference:
+    configManta.py --callRegions + getNextGenomeSegment BED
+    intersection)."""
+    d = tmp_path_factory.mktemp("bed_run")
+    bed = str(d / "call.bed")
+    with open(bed, "w") as f:
+        f.write("track name=call\n")
+        f.write("8\t107651999\t107655000\n")
+        f.write("11\t94973999\t94989000\n")
+    run_dir = str(d / "run")
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
+                 is_exome=True, verbose=False, call_regions=bed)
+    got = _records(f"{run_dir}/results/variants/somaticSV.vcf.gz")
+    want = _records(EXPECTED)
+    assert got == want
+
+
 def test_parallel_matches_serial(tmp_path_factory, demo_fasta, normal_bam,
                                  tumor_bam, demo_run):
     """Fork-parallel phase execution must be bit-identical to serial.
