@@ -128,6 +128,23 @@ def get_lib():
     lib.mt_rans_uncompress.restype = ctypes.c_int
     lib.mt_rans_uncompress.argtypes = [
         u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.mt_frag_lhood.restype = ctypes.c_int
+    lib.mt_frag_lhood.argtypes = [
+        ctypes.c_int64, i64p,
+        u8p, u8p, u8p,
+        u8p, f64p,
+        u8p, u8p, u8p, f64p,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, f64p, f64p]
+    lib.mt_frag_support.restype = ctypes.c_int
+    lib.mt_frag_support.argtypes = [
+        ctypes.c_int64, u8p, u8p, u8p, f64p, u8p, f64p, i64p]
+    lib.mt_frag_pair_split_conflicts.restype = ctypes.c_int
+    lib.mt_frag_pair_split_conflicts.argtypes = [
+        ctypes.c_int64, u8p, f64p, u8p, f64p, ctypes.c_int32]
     lib.mt_bam_encode.restype = ctypes.c_int
     lib.mt_bam_encode.argtypes = [
         ctypes.c_int64, i64p,

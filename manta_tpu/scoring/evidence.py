@@ -47,140 +47,9 @@ class QscoreSnp:
         return self._lut256
 
 
-@dataclass(slots=True)
-class PerReadBp:
-    """(reference: SVFragmentEvidenceAlleleBreakendPerRead)."""
-    is_split_support: bool = False
-    is_tier2_split_support: bool = False
-    is_split_evaluated: bool = False
-    split_evidence: float = 0.0
-    split_ln_lhood: float = 0.0
-
-
-# shared read-only default: most fragments never receive split
-# evidence, so their 8 PerReadBp slots stay unmaterialized and reads
-# resolve to this sentinel (writers go through ensure_read; the only
-# PerReadBp write site is scorer._finish_read_split_score). The
-# sentinel rejects writes so an accidental get_read-then-assign fails
-# loudly instead of corrupting every unmaterialized read globally.
-class _NullPerReadBp(PerReadBp):
-    __slots__ = ()
-
-    def __setattr__(self, key, value):
-        raise AttributeError(
-            "write to the shared null PerReadBp; materialize with "
-            "AlleleBp.ensure_read(is_read1) first")
-
-
-_NULL_PERREAD = PerReadBp()
-_NULL_PERREAD.__class__ = _NullPerReadBp
-
-
-@dataclass(slots=True)
-class AlleleBp:
-    is_fragment_support: bool = False
-    frag_length_prob: float = 0.0
-    read1: PerReadBp | None = None
-    read2: PerReadBp | None = None
-
-    def get_read(self, is_read1: bool) -> PerReadBp:
-        r = self.read1 if is_read1 else self.read2
-        return r if r is not None else _NULL_PERREAD
-
-    def ensure_read(self, is_read1: bool) -> PerReadBp:
-        if is_read1:
-            if self.read1 is None:
-                self.read1 = PerReadBp()
-            return self.read1
-        if self.read2 is None:
-            self.read2 = PerReadBp()
-        return self.read2
-
-    def clear_pair_support(self):
-        self.is_fragment_support = False
-        self.frag_length_prob = 0.0
-
-
-@dataclass(slots=True)
-class Allele:
-    bp1: AlleleBp = field(default_factory=AlleleBp)
-    bp2: AlleleBp = field(default_factory=AlleleBp)
-
-    def get_bp(self, is_bp1: bool) -> AlleleBp:
-        return self.bp1 if is_bp1 else self.bp2
-
-    def any_split_read_support(self, is_read1):
-        return (self.bp1.get_read(is_read1).is_split_support,
-                self.bp2.get_read(is_read1).is_split_support)
-
-    def any_tier2_split_read_support(self, is_read1):
-        return (self.bp1.get_read(is_read1).is_tier2_split_support,
-                self.bp2.get_read(is_read1).is_tier2_split_support)
-
-    def clear_pair_support(self):
-        self.bp1.clear_pair_support()
-        self.bp2.clear_pair_support()
-
-
-@dataclass(slots=True)
-class FragRead:
-    is_scanned: bool = False
-    is_shadow: bool = False
-    mapq: int = 0
-    size: int = 0
-    _anchored: bool = False
-    _tier2_anchored: bool = False
-
-    def is_anchored(self, tier2: bool) -> bool:
-        return self._tier2_anchored if tier2 else self._anchored
-
-    def is_observed_anchor(self, tier2: bool) -> bool:
-        return self.is_scanned and self.is_anchored(tier2)
-
-
-@dataclass(slots=True)
-class FragmentEvidence:
-    """(reference: SVFragmentEvidence)."""
-    read1: FragRead = field(default_factory=FragRead)
-    read2: FragRead = field(default_factory=FragRead)
-    alt: Allele = field(default_factory=Allele)
-    ref: Allele = field(default_factory=Allele)
-    # memo of split-read support summaries; cleared whenever the split
-    # fields are (re)written (scorer._finish_read_split_score) — split
-    # state is frozen once evidence gathering completes, so the many
-    # scoring-model passes over a track can share the lookups
-    _split_cache: dict = field(default_factory=dict, repr=False)
-
-    def get_read(self, is_read1: bool) -> FragRead:
-        return self.read1 if is_read1 else self.read2
-
-    def is_any_spanning_pair_support(self) -> bool:
-        return (self.ref.bp1.is_fragment_support or
-                self.ref.bp2.is_fragment_support or
-                self.alt.bp1.is_fragment_support or
-                self.alt.bp2.is_fragment_support)
-
-    def is_alt_spanning_pair_support(self) -> bool:
-        return self.alt.bp1.is_fragment_support or \
-            self.alt.bp2.is_fragment_support
-
-    def any_split_read_support(self, is_read1):
-        a = self.alt.any_split_read_support(is_read1)
-        r = self.ref.any_split_read_support(is_read1)
-        return (a[0] or r[0], a[1] or r[1])
-
-    def is_alt_split_read_support(self, is_read1) -> bool:
-        a = self.alt.any_split_read_support(is_read1)
-        return a[0] or a[1]
-
-    def any_tier2_split_read_support(self, is_read1):
-        a = self.alt.any_tier2_split_read_support(is_read1)
-        r = self.ref.any_tier2_split_read_support(is_read1)
-        return (a[0] or r[0], a[1] or r[1])
-
-    def clear_pair_support(self):
-        self.ref.clear_pair_support()
-        self.alt.clear_pair_support()
+# NOTE: the per-fragment evidence state (reference: SVEvidence.hpp
+# SVFragmentEvidence) lives in the columnar FragmentBank (fragbank.py);
+# its consumers run as native/vectorized passes over whole tracks.
 
 
 @dataclass(slots=True)
@@ -211,19 +80,6 @@ class ScoreInfo:
     bp2_max_depth: int = 0
     bp1_mq0_frac: float = 0.0
     bp2_mq0_frac: float = 0.0
-
-
-def set_read_evidence(min_mapq: int, min_tier2_mapq: int, mapq: int,
-                      read_size: int, is_shadow: bool, read: FragRead):
-    """(reference: SVScorerShared.cpp:26-42)."""
-    if read.is_scanned:
-        return
-    read.is_scanned = True
-    read.mapq = mapq
-    read.is_shadow = is_shadow
-    read._anchored = mapq >= min_mapq
-    read._tier2_anchored = mapq >= min_tier2_mapq
-    read.size = read_size
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from ..io.bam import (
     FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER_PAIR,
     FLAG_READ1, FLAG_REVERSE, FLAG_UNMAPPED,
 )
-from .evidence import FragmentEvidence, set_read_evidence
+from .fragbank import AL_ALT, AL_REF
 
 
 @dataclass
@@ -43,15 +43,14 @@ def is_large_insert_sv(sv: SVCandidate) -> bool:
     return len(sv.insert_seq) >= 100
 
 
-def _set_allele_frag(frag_distro, size: int, bp, rna: bool,
-                     min_frag_prob: float):
+def _set_allele_frag(frag_distro, size: int, track, row: int, allele: int,
+                     bp: int, rna: bool, min_frag_prob: float):
     """(reference: SVScorePairProcessor.hpp setAlleleFrag)."""
     frag_prob = frag_distro.cdf(size)
     frag_prob = min(frag_prob, 1 - frag_prob)
     if rna:
         frag_prob = max(frag_prob, min_frag_prob)
-    bp.is_fragment_support = True
-    bp.frag_length_prob = frag_prob
+    track.set_pair_support(row, allele, bp, frag_prob)
 
 
 def _is_first_read(batch, i) -> bool:
@@ -162,34 +161,32 @@ class RefPairProcessor(PairProcessorParams):
         frag_prob = np.minimum(p32, 1.0 - p32)
         if self.pair_opt.rna:
             frag_prob = np.maximum(frag_prob, self.pair_opt.min_frag_prob)
-        mapqs = batch.mapq[idx].astype(np.int64)
-        anchored = mapqs >= self.min_mapq
-        tier2 = mapqs >= self.min_tier2_mapq
-        read_lens = (batch.seq_off[idx + 1] - batch.seq_off[idx])
-        is_r1 = (batch.flag[idx] & FLAG_READ1) != 0
+        mapqs = batch.mapq[idx].astype(np.int32)
+        read_lens = (batch.seq_off[idx + 1]
+                     - batch.seq_off[idx]).astype(np.int32)
+        rds = ((batch.flag[idx] & FLAG_READ1) == 0).astype(np.int64)
         track = self.evidence_tracks[bam_index]
-        is_bp1 = self.is_bp1
-        for j, i in enumerate(idx):
-            fragment = track.setdefault(batch.name_bytes(i),
-                                        FragmentEvidence())
-            read = fragment.read1 if is_r1[j] else fragment.read2
-            if not read.is_scanned:
-                read.is_scanned = True
-                read.mapq = int(mapqs[j])
-                read.is_shadow = False
-                read._anchored = bool(anchored[j])
-                read._tier2_anchored = bool(tier2[j])
-                read.size = int(read_lens[j])
-            bp = fragment.ref.bp1 if is_bp1 else fragment.ref.bp2
-            bp.is_fragment_support = True
-            bp.frag_length_prob = float(frag_prob[j])
+        rows = track.rows_for([batch.name_bytes(int(i)) for i in idx])
+        bp = 0 if self.is_bp1 else 1
+        # setReadEvidence (first write wins per fragment read); survivor
+        # rows are unique per (fragment, read) after the dup/secondary
+        # filters, so a masked scatter preserves the sequential result
+        new = ~track.r_scanned[rows, rds]
+        r_new, d_new = rows[new], rds[new]
+        track.r_scanned[r_new, d_new] = True
+        track.r_mapq[r_new, d_new] = mapqs[new]
+        track.r_shadow[r_new, d_new] = False
+        track.r_anch[r_new, d_new] = mapqs[new] >= self.min_mapq
+        track.r_t2anch[r_new, d_new] = mapqs[new] >= self.min_tier2_mapq
+        track.r_size[r_new, d_new] = read_lens[new]
+        track.pair_sup[rows, AL_REF, bp] = True
+        track.pair_prob[rows, AL_REF, bp] = frag_prob
 
     def process(self, batch, i, bam_index):
         pos = int(batch.pos[i])
         tid, beg, end = self.interval
         if not (beg <= pos < end):
             return
-        is_large_insert = is_large_insert_sv(self.sv)
         template_size = abs(int(batch.tlen[i]))
         if not self.pair_opt.use_proper_pair_flag:
             if template_size < self.min_frag or template_size > self.max_frag:
@@ -204,14 +201,12 @@ class RefPairProcessor(PairProcessorParams):
         if frag_overlap < self.pair_opt.min_frag_support:
             return
         track = self.evidence_tracks[bam_index]
-        qname = batch.name_bytes(i)
-        fragment = track.setdefault(qname, FragmentEvidence())
-        is_read1 = bool(batch.flag[i] & FLAG_READ1)
-        set_read_evidence(self.min_mapq, self.min_tier2_mapq,
-                          int(batch.mapq[i]), batch.read_len(i), False,
-                          fragment.get_read(is_read1))
-        _set_allele_frag(self.frag_distro, template_size,
-                         fragment.ref.get_bp(self.is_bp1),
+        row = track.row(batch.name_bytes(i))
+        rd = 0 if (batch.flag[i] & FLAG_READ1) else 1
+        track.set_read_evidence(row, rd, self.min_mapq, self.min_tier2_mapq,
+                                int(batch.mapq[i]), batch.read_len(i), False)
+        _set_allele_frag(self.frag_distro, template_size, track, row,
+                         AL_REF, 0 if self.is_bp1 else 1,
                          self.pair_opt.rna, self.pair_opt.min_frag_prob)
 
 
@@ -302,6 +297,47 @@ class AltPairProcessor(PairProcessorParams):
                              frag_end - self.center_pos_b)
         ok &= overlap >= self.pair_opt.min_frag_support
         return ok
+
+    def process_batch(self, batch, order, bam_index):
+        """Vectorized process() for the stateless (non-large-insert) alt
+        path; survivor_mask already applied every per-record reject, so
+        only the evidence-bank updates and the support hook remain."""
+        if len(order) == 0:
+            return
+        idx = np.asarray(order, np.int64)
+        ts = np.abs(batch.tlen[idx].astype(np.int64))
+        alt_ts = ts - self.alt_shift
+        p_alt = self.frag_distro.cdf_arr(alt_ts).astype(np.float64)
+        alt_prob = np.minimum(p_alt, 1.0 - p_alt)
+        p_ref = self.frag_distro.cdf_arr(ts).astype(np.float64)
+        ref_prob = np.minimum(p_ref, 1.0 - p_ref)
+        if self.pair_opt.rna:
+            alt_prob = np.maximum(alt_prob, self.pair_opt.min_frag_prob)
+            ref_prob = np.maximum(ref_prob, self.pair_opt.min_frag_prob)
+        mapqs = batch.mapq[idx].astype(np.int32)
+        read_lens = (batch.seq_off[idx + 1]
+                     - batch.seq_off[idx]).astype(np.int32)
+        rds = ((batch.flag[idx] & FLAG_READ1) == 0).astype(np.int64)
+        track = self.evidence_tracks[bam_index]
+        rows = track.rows_for([batch.name_bytes(int(i)) for i in idx])
+        new = ~track.r_scanned[rows, rds]
+        r_new, d_new = rows[new], rds[new]
+        track.r_scanned[r_new, d_new] = True
+        track.r_mapq[r_new, d_new] = mapqs[new]
+        track.r_shadow[r_new, d_new] = False
+        track.r_anch[r_new, d_new] = mapqs[new] >= self.min_mapq
+        track.r_t2anch[r_new, d_new] = mapqs[new] >= self.min_tier2_mapq
+        track.r_size[r_new, d_new] = read_lens[new]
+        bp = 0 if self.is_bp1 else 1
+        track.pair_sup[rows, AL_ALT, bp] = True
+        track.pair_prob[rows, AL_ALT, bp] = alt_prob
+        track.pair_sup[rows, AL_REF, bp] = True
+        track.pair_prob[rows, AL_REF, bp] = ref_prob
+        if self.support is not None and self.sv_id is not None:
+            # (reference: SVScorePairAltProcessor.cpp:542-544)
+            for i in idx:
+                sfrag = self.support.get_fragment(bam_index, batch, int(i))
+                sfrag.add_spanning_support(self.sv_id)
 
     def _realign_paired_read(self, is_left_of_insert: bool, float_read: str,
                              anchor_pos: int):
@@ -410,12 +446,11 @@ class AltPairProcessor(PairProcessorParams):
                     self._shadow_set = True
                     # this read just became the anchor
                     track = self.evidence_tracks[bam_index]
-                    fragment = track.setdefault(batch.name_bytes(i),
-                                                FragmentEvidence())
-                    is_read1 = bool(f & FLAG_READ1)
-                    set_read_evidence(self.min_mapq, self.min_tier2_mapq,
-                                      int(batch.mapq[i]), batch.read_len(i),
-                                      False, fragment.get_read(is_read1))
+                    row = track.row(batch.name_bytes(i))
+                    rd = 0 if (f & FLAG_READ1) else 1
+                    track.set_read_evidence(
+                        row, rd, self.min_mapq, self.min_tier2_mapq,
+                        int(batch.mapq[i]), batch.read_len(i), False)
 
             if is_shadow_read:
                 is_left = (f & FLAG_MATE_REVERSE) == 0
@@ -482,30 +517,30 @@ class AltPairProcessor(PairProcessorParams):
                 return
 
         track = self.evidence_tracks[bam_index]
-        qname = batch.name_bytes(i)
-        fragment = track.setdefault(qname, FragmentEvidence())
-        is_read1 = bool(f & FLAG_READ1)
+        row = track.row(batch.name_bytes(i))
+        rd = 0 if (f & FLAG_READ1) else 1
         read_size = batch.read_len(i)
         mapq = int(batch.mapq[i])
         if is_shadow_alignment:
             mapq = shadow_mate_mapq
-        set_read_evidence(self.min_mapq, self.min_tier2_mapq, mapq, read_size,
-                          is_realigned, fragment.get_read(is_read1))
+        track.set_read_evidence(row, rd, self.min_mapq, self.min_tier2_mapq,
+                                mapq, read_size, is_realigned)
         if is_chimera_alignment:
-            set_read_evidence(self.min_mapq, self.min_tier2_mapq, mapq,
-                              read_size, is_realigned,
-                              fragment.get_read(not is_read1))
-        _set_allele_frag(self.frag_distro, alt_template_size,
-                         fragment.alt.get_bp(self.is_bp1),
-                         self.pair_opt.rna, self.pair_opt.min_frag_prob)
+            track.set_read_evidence(row, 1 - rd, self.min_mapq,
+                                    self.min_tier2_mapq, mapq, read_size,
+                                    is_realigned)
+        bp = 0 if self.is_bp1 else 1
+        _set_allele_frag(self.frag_distro, alt_template_size, track, row,
+                         AL_ALT, bp, self.pair_opt.rna,
+                         self.pair_opt.min_frag_prob)
         if self.support is not None and self.sv_id is not None:
             # (reference: SVScorePairAltProcessor.cpp:542-544)
             sfrag = self.support.get_fragment(bam_index, batch, i)
             sfrag.add_spanning_support(self.sv_id)
         if not is_realigned:
-            _set_allele_frag(self.frag_distro, template_size,
-                             fragment.ref.get_bp(self.is_bp1),
-                             self.pair_opt.rna, self.pair_opt.min_frag_prob)
+            _set_allele_frag(self.frag_distro, template_size, track, row,
+                             AL_REF, bp, self.pair_opt.rna,
+                             self.pair_opt.min_frag_prob)
 
 
 def get_frag_prob(pair_opt: PairOptions, sv: SVCandidate, fragment,

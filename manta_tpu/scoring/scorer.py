@@ -25,8 +25,12 @@ from ..core.svmodel import (
 from ..io.bam import FLAG_READ1
 from ..scan.scanner import get_alignment
 from .evidence import (
-    FragmentEvidence, QscoreSnp, SRAlignmentInfo, SVAlignmentInfo, SampleInfo,
-    ScoreInfo, set_read_evidence, split_read_aligner,
+    QscoreSnp, SRAlignmentInfo, SVAlignmentInfo, SampleInfo,
+    ScoreInfo, split_read_aligner,
+)
+from .fragbank import (
+    AL_ALT, AL_REF, FragmentBank, accumulate_lhood,
+    resolve_pair_split_conflicts, support_counts,
 )
 from .pairscore import (
     AltPairProcessor, PairOptions, RefPairProcessor, get_frag_prob,
@@ -193,169 +197,16 @@ def large_noise_sv_prior_weight(sv: SVCandidate) -> float:
 
 
 # ---------------------------------------------------------------------------
-# fragment-level likelihoods
+# fragment-level likelihoods (native over the fragment bank)
 
-def _get_spanning_pair_allele_lhood(allele) -> float:
-    frag_prob = 0.0
-    if allele.bp1.is_fragment_support:
-        frag_prob = allele.bp1.frag_length_prob
-    if allele.bp2.is_fragment_support:
-        frag_prob = max(frag_prob, allele.bp2.frag_length_prob)
-    return frag_prob
-
-
-_CACHE_MISS = object()
-
-
-def _allele_split_align_lnl(allele, is_supported, is_read1,
-                            eval_flag: list) -> float:
-    if not (allele.bp1.get_read(is_read1).is_split_evaluated
-            and allele.bp2.get_read(is_read1).is_split_evaluated):
-        eval_flag[0] = False
-    l1 = allele.bp1.get_read(is_read1).split_ln_lhood
-    l2 = allele.bp2.get_read(is_read1).split_ln_lhood
-    use_bp1 = is_supported[0]
-    if is_supported[0] and is_supported[1]:
-        use_bp1 = l1 >= l2
-    return l1 if use_bp1 else l2
-
-
-def _split_read_core(fragev: FragmentEvidence, is_read1: bool,
-                     is_permissive: bool):
-    """Model-independent split summary for one fragment read:
-    (ref_align_lnl, alt_align_lnl, eval_ok), or None when unsupported.
-    Memoized on the fragment (split state is frozen during scoring)."""
-    key = (is_read1, is_permissive)
-    hit = fragev._split_cache.get(key, _CACHE_MISS)
-    if hit is not _CACHE_MISS:
-        return hit
-    if is_permissive:
-        supported = fragev.any_tier2_split_read_support(is_read1)
-    else:
-        supported = fragev.any_split_read_support(is_read1)
-    if not (supported[0] or supported[1]):
-        fragev._split_cache[key] = None
-        return None
-    ev = [True]
-    ref_align = _allele_split_align_lnl(fragev.ref, supported, is_read1, ev)
-    alt_align = _allele_split_align_lnl(fragev.alt, supported, is_read1, ev)
-    out = (ref_align, alt_align, ev[0])
-    fragev._split_cache[key] = out
-    return out
-
-
-def _increment_split_read_lhood(fragev: FragmentEvidence, ref_map: ProbSet,
-                                alt_map: ProbSet, is_permissive: bool,
-                                is_read1: bool, lhood_ref: list,
-                                lhood_alt: list, eval_flag: list):
-    core = _split_read_core(fragev, is_read1, is_permissive)
-    if core is None:
-        eval_flag[0] = False
-        return
-    ref_align, alt_align, ev_ok = core
-    if not ev_ok:
-        eval_flag[0] = False
-    ref_split = log_sum(ref_map.ln_comp + ref_align, alt_map.ln_prob)
-    alt_split = log_sum(alt_map.ln_comp + alt_align, ref_map.ln_prob)
-    pseudo = 0.5
-    if ref_split < (alt_map.ln_prob + pseudo) and \
-            alt_split < (ref_map.ln_prob + pseudo):
-        return
-    lhood_ref[0] += ref_split
-    lhood_alt[0] += alt_split
-
-
-@dataclass
-class AlleleLnLhood:
-    frag_pair: float = 0.0
-    read1_split: float = 0.0
-    read2_split: float = 0.0
-
-
-def _get_frag_ln_lhood(al: AlleleLnLhood, r1_eval: bool, r2_eval: bool) -> float:
-    ret = al.frag_pair
-    if r1_eval:
-        if r2_eval:
-            ret += max(al.read1_split, al.read2_split)
-        else:
-            ret += al.read1_split
-    elif r2_eval:
-        ret += al.read2_split
-    return ret
-
-
-def _get_ref_alt_from_frag(spanning_pair_weight: float, semi_mapped_power: float,
-                           ref_chimera: ProbSet, alt_chimera: ProbSet,
-                           ref_split_map: ProbSet, alt_split_map: ProbSet,
-                           is_permissive: bool, fragev: FragmentEvidence,
-                           ref_set: AlleleLnLhood, alt_set: AlleleLnLhood):
-    """(reference: getRefAltFromFrag:679+). Returns
-    (any_evaluated, r1_eval, r2_eval)."""
-    frag_evaluated = False
-    if is_permissive:
-        pair_usable = fragev.read1.is_observed_anchor(True) or \
-            fragev.read2.is_observed_anchor(True)
-    else:
-        pair_usable = (fragev.read1.is_scanned and fragev.read2.is_scanned) \
-            and (fragev.read1.is_anchored(False)
-                 or fragev.read2.is_anchored(False))
-    if pair_usable and fragev.is_any_spanning_pair_support():
-        semi_mapped = not (fragev.read1.is_anchored(is_permissive)
-                           and fragev.read2.is_anchored(is_permissive))
-        span_power = spanning_pair_weight
-        if semi_mapped:
-            if _get_spanning_pair_allele_lhood(fragev.alt) > \
-                    _get_spanning_pair_allele_lhood(fragev.ref):
-                span_power *= semi_mapped_power
-            else:
-                span_power = 0.0
-        ref_frag = _get_spanning_pair_allele_lhood(fragev.ref)
-        alt_frag = _get_spanning_pair_allele_lhood(fragev.alt)
-        ref_set.frag_pair += math.log(
-            ref_chimera.comp * ref_frag + alt_chimera.prob) * span_power
-        alt_set.frag_pair += math.log(
-            alt_chimera.comp * alt_frag + ref_chimera.prob) * span_power
-        frag_evaluated = True
-
-    r1_eval = [True]
-    r2_eval = [True]
-    lr1, la1 = [ref_set.read1_split], [alt_set.read1_split]
-    _increment_split_read_lhood(fragev, ref_split_map, alt_split_map,
-                                is_permissive, True, lr1, la1, r1_eval)
-    ref_set.read1_split, alt_set.read1_split = lr1[0], la1[0]
-    lr2, la2 = [ref_set.read2_split], [alt_set.read2_split]
-    _increment_split_read_lhood(fragev, ref_split_map, alt_split_map,
-                                is_permissive, False, lr2, la2, r2_eval)
-    ref_set.read2_split, alt_set.read2_split = lr2[0], la2[0]
-    return (frag_evaluated or r1_eval[0] or r2_eval[0],
-            r1_eval[0], r2_eval[0])
-
-
-def add_diploid_loglhood(spanning_pair_weight: float, track: dict,
+def add_diploid_loglhood(spanning_pair_weight: float, track: FragmentBank,
                          loglhood: list):
-    """(reference: addDiploidLoglhood:767-801)."""
-    chimera = ProbSet(1e-3)
-    ref_split_map = ProbSet(1e-6)
-    alt_split_map = ProbSet(1e-5)
-    # qname-sorted iteration: the reference's evidenceTrack_t is a
-    # std::map<std::string,...> (SVEvidence.hpp:243), and the per-
-    # genotype loglhood sums are float-order-sensitive
-    for qname in sorted(track):
-        fragev = track[qname]
-        ref_set = AlleleLnLhood()
-        alt_set = AlleleLnLhood()
-        ok, r1_eval, r2_eval = _get_ref_alt_from_frag(
-            spanning_pair_weight, 0.0, chimera, chimera, ref_split_map,
-            alt_split_map, False, fragev, ref_set, alt_set)
-        if not ok:
-            continue
-        ref_lnl = _get_frag_ln_lhood(ref_set, r1_eval, r2_eval)
-        alt_lnl = _get_frag_ln_lhood(alt_set, r1_eval, r2_eval)
-        for gt in range(DGT_SIZE):
-            f = _DGT_ALT_FRACTION[gt]
-            ref_gt = ref_lnl + (math.log(1 - f) if f < 1 else -math.inf)
-            alt_gt = alt_lnl + (math.log(f) if f > 0 else -math.inf)
-            loglhood[gt] += log_sum(ref_gt, alt_gt)
+    """(reference: addDiploidLoglhood:767-801). Native accumulation in
+    qname order over the bank (the reference's evidenceTrack_t is a
+    std::map<std::string,...>, SVEvidence.hpp:243, and the per-genotype
+    loglhood sums are float-order-sensitive)."""
+    accumulate_lhood(track, spanning_pair_weight, 0.0, 1e-3, 1e-3,
+                     1e-6, 1e-5, False, _DGT_ALT_FRACTION, loglhood)
 
 
 def _compute_somatic_sample_loghood(spanning_pair_weight, track,
@@ -364,119 +215,11 @@ def _compute_somatic_sample_loghood(spanning_pair_weight, track,
                                     ref_split_map, alt_split_map, loglhood):
     """(reference: computeSomaticSampleLoghood:1143-1200)."""
     semi_mapped_power = 1.0 if (is_permissive and not is_tumor) else 0.0
-
-    def alt_fraction(gt):
-        return [0.0, 0.5, 1.0, somatic_freq, noise_freq][gt]
-
-    # qname-sorted: see add_diploid_loglhood
-    for qname in sorted(track):
-        fragev = track[qname]
-        ref_set = AlleleLnLhood()
-        alt_set = AlleleLnLhood()
-        ok, r1_eval, r2_eval = _get_ref_alt_from_frag(
-            spanning_pair_weight, semi_mapped_power, ref_chimera, alt_chimera,
-            ref_split_map, alt_split_map, is_permissive, fragev, ref_set,
-            alt_set)
-        if not ok:
-            continue
-        ref_lnl = _get_frag_ln_lhood(ref_set, r1_eval, r2_eval)
-        alt_lnl = _get_frag_ln_lhood(alt_set, r1_eval, r2_eval)
-        for gt in range(SGT_SIZE):
-            f = alt_fraction(gt)
-            ref_gt = ref_lnl + (math.log(1 - f) if f < 1 else -math.inf)
-            alt_gt = alt_lnl + (math.log(f) if f > 0 else -math.inf)
-            loglhood[gt] += log_sum(ref_gt, alt_gt)
-
-
-# ---------------------------------------------------------------------------
-# support summary counts
-
-def _ln_to_prob(lower: float, higher: float):
-    lower = math.exp(lower - higher)
-    higher = 1 / (lower + 1)
-    lower = lower / (lower + 1)
-    return lower, higher
-
-
-def _get_sample_split_read_lnlhood(fragev, is_read1, is_forced=False):
-    key = ("sum", is_read1, is_forced)
-    hit = fragev._split_cache.get(key, _CACHE_MISS)
-    if hit is not _CACHE_MISS:
-        return hit
-    out = _sample_split_read_lnlhood_impl(fragev, is_read1, is_forced)
-    fragev._split_cache[key] = out
-    return out
-
-
-def _sample_split_read_lnlhood_impl(fragev, is_read1, is_forced):
-    supported = fragev.any_split_read_support(is_read1)
-    if not is_forced and not (supported[0] or supported[1]):
-        return None
-    use_bp1 = supported[0]
-    if is_forced or (supported[0] == supported[1]):
-        use_bp1 = fragev.alt.bp1.get_read(is_read1).split_ln_lhood >= \
-            fragev.alt.bp2.get_read(is_read1).split_ln_lhood
-    alt = fragev.alt.bp1.get_read(is_read1).split_ln_lhood if use_bp1 \
-        else fragev.alt.bp2.get_read(is_read1).split_ln_lhood
-    if supported[0] and supported[1]:
-        use_bp1 = fragev.ref.bp1.get_read(is_read1).split_ln_lhood >= \
-            fragev.ref.bp2.get_read(is_read1).split_ln_lhood
-    ref = fragev.ref.bp1.get_read(is_read1).split_ln_lhood if use_bp1 \
-        else fragev.ref.bp2.get_read(is_read1).split_ln_lhood
-    return ref, alt
-
-
-def _add_conservative_split_read_support(fragev, is_read1, sample: SampleInfo):
-    out = _get_sample_split_read_lnlhood(fragev, is_read1)
-    if out is None:
-        return
-    ref_lnl, alt_lnl = out
-    if alt_lnl > ref_lnl:
-        _, p = _ln_to_prob(ref_lnl, alt_lnl)
-        if p > 0.999:
-            sample.alt.confident_split_read_count += 1
-    else:
-        _, p = _ln_to_prob(alt_lnl, ref_lnl)
-        if p > 0.999:
-            sample.ref.confident_split_read_count += 1
-            if fragev.ref.bp1.get_read(is_read1).is_split_support:
-                sample.ref.confident_split_read_and_pair_count_ref_bp1 += 1
-            if fragev.ref.bp2.get_read(is_read1).is_split_support:
-                sample.ref.confident_split_read_and_pair_count_ref_bp2 += 1
-
-
-def _add_spanning_pair_support(fragev, sample: SampleInfo):
-    if fragev.alt.bp1.is_fragment_support or fragev.alt.bp2.is_fragment_support:
-        sample.alt.spanning_pair_count += 1
-    if fragev.ref.bp1.is_fragment_support or fragev.ref.bp2.is_fragment_support:
-        sample.ref.spanning_pair_count += 1
-
-
-def _add_conservative_spanning_pair_support(fragev, sample: SampleInfo):
-    if not fragev.is_any_spanning_pair_support():
-        return
-    alt = _get_spanning_pair_allele_lhood(fragev.alt)
-    ref = _get_spanning_pair_allele_lhood(fragev.ref)
-    assert alt >= 0 and ref >= 0
-    if alt <= 0 and ref <= 0:
-        raise RuntimeError("Spanning likelihood is zero for all alleles")
-    fully_mapped = fragev.read1.is_observed_anchor(False) and \
-        fragev.read2.is_observed_anchor(False)
-    total = alt + ref
-    if alt > ref:
-        if alt / total > 0.9:
-            sample.alt.confident_semi_mapped_spanning_pair_count += 1
-            if fully_mapped:
-                sample.alt.confident_spanning_pair_count += 1
-    else:
-        if ref / total > 0.9:
-            sample.ref.confident_semi_mapped_spanning_pair_count += 1
-            if fully_mapped:
-                sample.ref.confident_spanning_pair_count += 1
-                if fragev.ref.bp1.is_fragment_support:
-                    sample.ref.confident_split_read_and_pair_count_ref_bp1 += 1
-                if fragev.ref.bp2.is_fragment_support:
-                    sample.ref.confident_split_read_and_pair_count_ref_bp2 += 1
+    fractions = [0.0, 0.5, 1.0, somatic_freq, noise_freq]
+    accumulate_lhood(track, spanning_pair_weight, semi_mapped_power,
+                     ref_chimera.prob, alt_chimera.prob,
+                     ref_split_map.prob, alt_split_map.prob,
+                     is_permissive, fractions, loglhood)
 
 
 def _resolve_pair_split_conflicts(sv: SVCandidate, evidence_tracks: list):
@@ -487,26 +230,7 @@ def _resolve_pair_split_conflicts(sv: SVCandidate, evidence_tracks: list):
                       - sv.bp1.interval.center_pos())
     find_alt_pair_conflict = center_size <= 1000
     for track in evidence_tracks:
-        for qname in track:
-            fragev = track[qname]
-            if not fragev.is_any_spanning_pair_support():
-                continue
-            ref_pair = _get_spanning_pair_allele_lhood(fragev.ref)
-            alt_pair = _get_spanning_pair_allele_lhood(fragev.alt)
-            out1 = _get_sample_split_read_lnlhood(fragev, True, True)
-            out2 = _get_sample_split_read_lnlhood(fragev, False, True)
-            is_ref_pair = ref_pair > alt_pair
-            is_alt_pair = alt_pair > ref_pair
-            if is_alt_pair and not find_alt_pair_conflict:
-                continue
-            for out in (out1, out2):
-                if out is None:
-                    continue
-                ref_lnl, alt_lnl = out
-                if alt_lnl > ref_lnl and is_ref_pair:
-                    fragev.clear_pair_support()
-                if ref_lnl > alt_lnl and is_alt_pair:
-                    fragev.clear_pair_support()
+        resolve_pair_split_conflicts(track, find_alt_pair_conflict)
 
 
 # ---------------------------------------------------------------------------
@@ -620,7 +344,7 @@ class SVScorer:
         Returns (ScoreInfo, evidence_tracks)."""
         base_info = ScoreInfo(samples=[SampleInfo()
                                        for _ in range(self.sample_count)])
-        evidence_tracks = [dict() for _ in range(self.sample_count)]
+        evidence_tracks = [FragmentBank() for _ in range(self.sample_count)]
 
         base_info.bp1_max_depth, base_info.bp1_mq0_frac = \
             self._get_breakend_depth_mq0(is_tumor_only, sv.bp1)
@@ -634,15 +358,18 @@ class SVScorer:
         _resolve_pair_split_conflicts(sv, evidence_tracks)
 
         for si in range(self.sample_count):
-            for qname in evidence_tracks[si]:
-                fragev = evidence_tracks[si][qname]
-                _add_conservative_split_read_support(
-                    fragev, True, base_info.samples[si])
-                _add_conservative_split_read_support(
-                    fragev, False, base_info.samples[si])
-                _add_spanning_pair_support(fragev, base_info.samples[si])
-                _add_conservative_spanning_pair_support(
-                    fragev, base_info.samples[si])
+            counts = support_counts(evidence_tracks[si])
+            sample = base_info.samples[si]
+            for al, info in ((AL_ALT, sample.alt), (AL_REF, sample.ref)):
+                info.spanning_pair_count += int(counts[al, 0])
+                info.confident_spanning_pair_count += int(counts[al, 1])
+                info.confident_semi_mapped_spanning_pair_count += \
+                    int(counts[al, 2])
+                info.confident_split_read_count += int(counts[al, 3])
+            sample.ref.confident_split_read_and_pair_count_ref_bp1 += \
+                int(counts[AL_REF, 4])
+            sample.ref.confident_split_read_and_pair_count_ref_bp2 += \
+                int(counts[AL_REF, 5])
         return base_info, evidence_tracks
 
     def _get_pair_support(self, groups, assembly_data, sv, evidence_tracks,
@@ -736,23 +463,19 @@ class SVScorer:
                         qname = r.batch.name_bytes(r.index)
                         break
                 track = evidence_tracks[bam_index]
-                fragev = track.setdefault(qname, FragmentEvidence())
-                for (r, is_read1) in ((fragment.read1, True),
-                                      (fragment.read2, False)):
+                row = track.row(qname)
+                for (r, rd) in ((fragment.read1, 0), (fragment.read2, 1)):
                     if r is not None:
-                        set_read_evidence(
-                            min_mapq, min_tier2,
+                        track.set_read_evidence(
+                            row, rd, min_mapq, min_tier2,
                             int(r.batch.mapq[r.index]),
-                            r.batch.read_len(r.index), False,
-                            fragev.get_read(is_read1))
+                            r.batch.read_len(r.index), False)
                 is_support, frag_prob = get_frag_prob(
                     pair_opt, sv, fragment, frag_distro, is_pair_type)
                 if not is_support or frag_prob <= 0:
                     continue
-                fragev.alt.bp1.is_fragment_support = True
-                fragev.alt.bp1.frag_length_prob = frag_prob
-                fragev.alt.bp2.is_fragment_support = True
-                fragev.alt.bp2.frag_length_prob = frag_prob
+                track.set_pair_support(row, AL_ALT, 0, frag_prob)
+                track.set_pair_support(row, AL_ALT, 1, frag_prob)
                 if support is not None and sv_id is not None:
                     sfrag = support.get_fragment_from_pair(bam_index,
                                                            fragment)
@@ -812,23 +535,22 @@ class SVScorer:
         overlap = (rng_end > bp.interval.beg) & (rng_beg < bp.interval.end)
         keep = ~(bad | nss) & overlap
         order = order[keep[order]]
-        cand = []
-        for oi in order:
-            i = int(oi)
-            qname = batch.name_bytes(i)
-            fragev = track.setdefault(qname, FragmentEvidence())
-            is_read1 = bool(batch.flag[i] & FLAG_READ1)
-            if fragev.alt.bp1.get_read(is_read1).is_split_evaluated:
-                continue
-            cand.append((i, fragev, is_read1))
-        if not cand:
+        if len(order) == 0:
             return
+        names = [batch.name_bytes(int(i)) for i in order]
+        rows_all = track.rows_for(names)
+        rds_all = ((batch.flag[order] & FLAG_READ1) == 0).astype(np.int64)
+        fresh = ~track.sp_eval[rows_all, AL_ALT, 0, rds_all]
+        if not fresh.any():
+            return
+        idx = order[fresh].astype(np.int64)
+        rows = rows_all[fresh]
+        rds = rds_all[fresh]
         # phase B: one scan for all reads x {alt,ref} x {bp1,bp2},
         # routed to the TPU kernel when enabled (bit-identical results)
         from .evidence import split_finalize_multi, split_read_scan_multi
-        idx = np.array([c[0] for c in cand], np.int64)
         scan = split_read_scan_multi
-        if self._device_scan is not None and len(cand) >= 32:
+        if self._device_scan is not None and len(idx) >= 32:
             scan = self._device_scan.scan_multi
         alt_targets = [bp1_contig, bp2_contig]
         alt_ranges = [align_info.bp1_contig_offset,
@@ -851,79 +573,70 @@ class SVScorer:
                                                alt_mm)
         ref_ev = finalize_split_evidence_multi(nq_arr, ref_pos, ref_ranges,
                                                ref_mm)
-        for r, (i, fragev, is_read1) in enumerate(cand):
-            self._finish_read_split_score(
-                batch, i, min_mapq, min_tier2, fragev, is_read1, sample,
-                (float(alt_lnl[r, 0]), bool(alt_ev[0][r, 0]),
-                 bool(alt_ev[1][r, 0]), float(alt_ev[2][r, 0])),
-                (float(alt_lnl[r, 1]), bool(alt_ev[0][r, 1]),
-                 bool(alt_ev[1][r, 1]), float(alt_ev[2][r, 1])),
-                (float(ref_lnl[r, 0]), bool(ref_ev[0][r, 0]),
-                 bool(ref_ev[1][r, 0]), float(ref_ev[2][r, 0])),
-                (float(ref_lnl[r, 1]), bool(ref_ev[0][r, 1]),
-                 bool(ref_ev[1][r, 1]), float(ref_ev[2][r, 1])),
-                bam_index=bam_index, sv_id=sv_id, support=support)
+        self._finish_split_batch(batch, idx, rows, rds, track, sample,
+                                 min_mapq, min_tier2, alt_lnl, alt_ev,
+                                 ref_lnl, ref_ev, bam_index, sv_id, support)
 
-    def _finish_read_split_score(self, batch, i, min_mapq, min_tier2,
-                                 fragev, is_read1, sample,
-                                 alt1_sr, alt2_sr, ref1_sr, ref2_sr,
-                                 bam_index=0, sv_id=None, support=None):
-        """(reference: getReadSplitScore:104-229) — evidence update from
-        pre-computed scan winners; each *_sr carries (align_ln_lhood,
-        is_evidence, is_tier2_evidence, evidence)."""
-        fragev._split_cache.clear()
-        alt_bp1 = fragev.alt.bp1.ensure_read(is_read1)
-        ref_bp1 = fragev.ref.bp1.ensure_read(is_read1)
-        alt_bp2 = fragev.alt.bp2.ensure_read(is_read1)
-        ref_bp2 = fragev.ref.bp2.ensure_read(is_read1)
-        alt_bp1.is_split_evaluated = True
-        ref_bp1.is_split_evaluated = True
-        alt_bp2.is_split_evaluated = True
-        ref_bp2.is_split_evaluated = True
+    def _finish_split_batch(self, batch, idx, rows, rds, track, sample,
+                            min_mapq, min_tier2, alt_lnl, alt_ev,
+                            ref_lnl, ref_ev, bam_index, sv_id, support):
+        """(reference: getReadSplitScore:104-229) — vectorized evidence
+        update over the scanned reads from the per-(read, breakend) scan
+        winners; bank scatters replace the per-read object writes."""
+        mapqs = batch.mapq[idx].astype(np.int64)
+        nq = (batch.seq_off[idx + 1] - batch.seq_off[idx]).astype(np.int32)
+        track.sp_eval[rows, :, :, rds] = True
 
-        nq = batch.read_len(i)
-        set_read_evidence(min_mapq, min_tier2, int(batch.mapq[i]),
-                          nq, False, fragev.get_read(is_read1))
+        # setReadEvidence (first write wins per fragment read)
+        new = ~track.r_scanned[rows, rds]
+        r_new, d_new = rows[new], rds[new]
+        track.r_scanned[r_new, d_new] = True
+        track.r_mapq[r_new, d_new] = mapqs[new].astype(np.int32)
+        track.r_shadow[r_new, d_new] = False
+        track.r_anch[r_new, d_new] = mapqs[new] >= min_mapq
+        track.r_t2anch[r_new, d_new] = mapqs[new] >= min_tier2
+        track.r_size[r_new, d_new] = nq[new]
 
-        ref_bp1.split_ln_lhood = ref1_sr[0]
-        ref_bp2.split_ln_lhood = ref2_sr[0]
-        alt_bp1.split_ln_lhood = alt1_sr[0]
-        alt_bp2.split_ln_lhood = alt2_sr[0]
+        for bpi in (0, 1):
+            track.sp_lnl[rows, AL_REF, bpi, rds] = \
+                ref_lnl[:, bpi].astype(np.float64)
+            track.sp_lnl[rows, AL_ALT, bpi, rds] = \
+                alt_lnl[:, bpi].astype(np.float64)
 
-        ref_llh = max(ref1_sr[0], ref2_sr[0])
-        alt_llh = max(alt1_sr[0], alt2_sr[0])
-        read_mapq = int(batch.mapq[i])
+        ref_llh = np.maximum(ref_lnl[:, 0], ref_lnl[:, 1])
+        alt_llh = np.maximum(alt_lnl[:, 0], alt_lnl[:, 1])
+        if self.is_rna:
+            do_ref = do_alt = np.ones(len(idx), bool)
+        else:
+            do_ref = ref_llh > alt_llh
+            do_alt = alt_llh > ref_llh
 
-        def increment(bp1_sr, bp2_sr, evidence, allele, bp1_support,
-                      bp2_support):
-            if bp1_sr[1]:
-                bp1_support.is_split_support = True
-                bp1_support.split_evidence = bp1_sr[3]
-            if bp1_sr[2]:
-                bp1_support.is_tier2_split_support = True
-            if bp2_sr[1]:
-                bp2_support.is_split_support = True
-                bp2_support.split_evidence = bp2_sr[3]
-            if bp2_sr[2]:
-                bp2_support.is_tier2_split_support = True
-            if bp1_sr[1] or bp2_sr[1]:
-                allele.split_read_count += 1
-                allele.split_read_evidence += evidence
-                allele.split_read_mapq += read_mapq * read_mapq
+        for al, do, ev3, info in ((AL_REF, do_ref, ref_ev, sample.ref),
+                                  (AL_ALT, do_alt, alt_ev, sample.alt)):
+            is_ev, is_t2, evd = ev3
+            for bpi in (0, 1):
+                f = do & is_ev[:, bpi]
+                track.sp_sup[rows[f], al, bpi, rds[f]] = True
+                track.sp_ev[rows[f], al, bpi, rds[f]] = evd[f, bpi]
+                t = do & is_t2[:, bpi]
+                track.sp_t2[rows[t], al, bpi, rds[t]] = True
+            counted = do & (is_ev[:, 0] | is_ev[:, 1])
+            n_counted = int(counted.sum())
+            if n_counted:
+                info.split_read_count += n_counted
+                evm = np.maximum(np.where(is_ev[:, 0], evd[:, 0], 0.0),
+                                 np.where(is_ev[:, 1], evd[:, 1], 0.0))
+                for v in evm[counted]:
+                    info.split_read_evidence += float(v)
+                info.split_read_mapq += float((mapqs[counted] ** 2).sum())
 
-        if self.is_rna or ref_llh > alt_llh:
-            ev = max(ref1_sr[3] if ref1_sr[1] else 0,
-                     ref2_sr[3] if ref2_sr[1] else 0)
-            increment(ref1_sr, ref2_sr, ev, sample.ref, ref_bp1, ref_bp2)
-        if self.is_rna or alt_llh > ref_llh:
-            ev = max(alt1_sr[3] if alt1_sr[1] else 0,
-                     alt2_sr[3] if alt2_sr[1] else 0)
-            increment(alt1_sr, alt2_sr, ev, sample.alt, alt_bp1, alt_bp2)
-        if support is not None and sv_id is not None and \
-                (alt_bp1.is_split_support or alt_bp2.is_split_support):
+        if support is not None and sv_id is not None:
             # (reference: SVScorerSplit.cpp:254-256)
-            sfrag = support.get_fragment(bam_index, batch, i)
-            sfrag.add_split_support(is_read1, sv_id)
+            flagged = track.sp_sup[rows, AL_ALT, 0, rds] | \
+                track.sp_sup[rows, AL_ALT, 1, rds]
+            for k in np.flatnonzero(flagged):
+                sfrag = support.get_fragment(bam_index, batch, int(idx[k]))
+                sfrag.add_split_support(bool(rds[k] == 0), sv_id)
 
     # ------------------------------------------------------------------
     # models

@@ -15,6 +15,8 @@
 #include <cctype>
 #include <cstdint>
 #include <cstring>
+#include <cmath>
+#include <limits>
 #include <vector>
 #include <algorithm>
 
@@ -3509,4 +3511,283 @@ extern "C" int mt_bam_fill_multi(
     }
   }
   return (int)(k == n ? 0 : -1);
+}
+
+// ---------------------------------------------------------------------------
+// Fragment-evidence bank consumers (struct-of-arrays scoring hot loops).
+//
+// Behavioral parity targets (reference, studied not copied):
+//   - getRefAltFromFrag / addDiploidLoglhood / computeSomaticSampleLoghood
+//     (GenerateSVCandidates/SVScorer.cpp:679-801, 1143-1200)
+//   - sample support summaries (SVScorer.cpp addConservativeSplitReadSupport /
+//     addSpanningPairSupport / addConservativeSpanningPairSupport)
+//
+// Bank layout (row-major, n fragments):
+//   read fields   (n, 2)          index r*2 + rd          rd: 0=read1
+//   pair fields   (n, 2, 2)       index r*4 + al*2 + bp   al: 0=alt 1=ref
+//   split fields  (n, 2, 2, 2)    index r*8 + al*4 + bp*2 + rd
+//
+// All float math is double-precision libm (std::log/std::exp/std::log1p),
+// accumulated sequentially in the caller-provided row order, matching the
+// scalar Python/math-module path bit for bit.
+
+namespace {
+
+constexpr int FB_ALT = 0, FB_REF = 1;
+
+inline double fb_log_sum(double a, double b) {
+  if (a < b) std::swap(a, b);
+  return a + std::log1p(std::exp(b - a));
+}
+
+struct FbProbSet {
+  double prob, comp, ln_prob, ln_comp;
+  explicit FbProbSet(double p)
+      : prob(p), comp(1.0 - p), ln_prob(std::log(p)), ln_comp(std::log(1.0 - p)) {}
+};
+
+// _get_spanning_pair_allele_lhood
+inline double fb_pair_allele_lhood(const uint8_t* pair_sup, const double* pair_prob,
+                                   int64_t r, int al) {
+  double p = 0.0;
+  if (pair_sup[r * 4 + al * 2 + 0]) p = pair_prob[r * 4 + al * 2 + 0];
+  if (pair_sup[r * 4 + al * 2 + 1]) {
+    const double p2 = pair_prob[r * 4 + al * 2 + 1];
+    if (p2 > p) p = p2;
+  }
+  return p;
+}
+
+}  // namespace
+
+extern "C" int mt_frag_lhood(
+    int64_t n_sel, const int64_t* order,
+    const uint8_t* r_scanned, const uint8_t* r_anch, const uint8_t* r_t2anch,
+    const uint8_t* pair_sup, const double* pair_prob,
+    const uint8_t* sp_eval, const uint8_t* sp_sup, const uint8_t* sp_t2,
+    const double* sp_lnl,
+    double spanning_weight, double semi_mapped_power,
+    double ref_chim_prob, double alt_chim_prob,
+    double ref_map_prob, double alt_map_prob,
+    int32_t is_permissive,
+    int32_t n_gt, const double* alt_fraction,
+    double* loglhood) {
+  const FbProbSet ref_chim(ref_chim_prob), alt_chim(alt_chim_prob);
+  const FbProbSet ref_map(ref_map_prob), alt_map(alt_map_prob);
+  const double NEG_INF = -std::numeric_limits<double>::infinity();
+  for (int64_t s = 0; s < n_sel; s++) {
+    const int64_t r = order[s];
+    double frag_pair_ref = 0.0, frag_pair_alt = 0.0;
+    double rs_ref[2] = {0.0, 0.0}, rs_alt[2] = {0.0, 0.0};
+    bool r_eval[2] = {true, true};
+    bool frag_evaluated = false;
+
+    bool pair_usable;
+    if (is_permissive) {
+      pair_usable = (r_scanned[r * 2 + 0] && r_t2anch[r * 2 + 0]) ||
+                    (r_scanned[r * 2 + 1] && r_t2anch[r * 2 + 1]);
+    } else {
+      pair_usable = (r_scanned[r * 2 + 0] && r_scanned[r * 2 + 1]) &&
+                    (r_anch[r * 2 + 0] || r_anch[r * 2 + 1]);
+    }
+    bool any_span = false;
+    for (int k = 0; k < 4; k++) any_span |= (pair_sup[r * 4 + k] != 0);
+    if (pair_usable && any_span) {
+      const uint8_t* anch = is_permissive ? r_t2anch : r_anch;
+      const bool semi_mapped = !(anch[r * 2 + 0] && anch[r * 2 + 1]);
+      double span_power = spanning_weight;
+      const double ref_frag = fb_pair_allele_lhood(pair_sup, pair_prob, r, FB_REF);
+      const double alt_frag = fb_pair_allele_lhood(pair_sup, pair_prob, r, FB_ALT);
+      if (semi_mapped) {
+        if (alt_frag > ref_frag)
+          span_power *= semi_mapped_power;
+        else
+          span_power = 0.0;
+      }
+      frag_pair_ref += std::log(ref_chim.comp * ref_frag + alt_chim.prob) * span_power;
+      frag_pair_alt += std::log(alt_chim.comp * alt_frag + ref_chim.prob) * span_power;
+      frag_evaluated = true;
+    }
+
+    for (int rd = 0; rd < 2; rd++) {
+      const int64_t base = r * 8;
+      const uint8_t* supfield = is_permissive ? sp_t2 : sp_sup;
+      const bool s0 = supfield[base + FB_ALT * 4 + 0 * 2 + rd] ||
+                      supfield[base + FB_REF * 4 + 0 * 2 + rd];
+      const bool s1 = supfield[base + FB_ALT * 4 + 1 * 2 + rd] ||
+                      supfield[base + FB_REF * 4 + 1 * 2 + rd];
+      if (!s0 && !s1) {
+        r_eval[rd] = false;
+        continue;
+      }
+      const bool ev_ok = sp_eval[base + FB_ALT * 4 + 0 * 2 + rd] &&
+                         sp_eval[base + FB_ALT * 4 + 1 * 2 + rd] &&
+                         sp_eval[base + FB_REF * 4 + 0 * 2 + rd] &&
+                         sp_eval[base + FB_REF * 4 + 1 * 2 + rd];
+      auto pick = [&](int al) -> double {
+        const double l1 = sp_lnl[base + al * 4 + 0 * 2 + rd];
+        const double l2 = sp_lnl[base + al * 4 + 1 * 2 + rd];
+        bool use_bp1 = s0;
+        if (s0 && s1) use_bp1 = l1 >= l2;
+        return use_bp1 ? l1 : l2;
+      };
+      const double ref_align = pick(FB_REF);
+      const double alt_align = pick(FB_ALT);
+      if (!ev_ok) r_eval[rd] = false;
+      const double ref_split = fb_log_sum(ref_map.ln_comp + ref_align, alt_map.ln_prob);
+      const double alt_split = fb_log_sum(alt_map.ln_comp + alt_align, ref_map.ln_prob);
+      const double pseudo = 0.5;
+      if (ref_split < (alt_map.ln_prob + pseudo) && alt_split < (ref_map.ln_prob + pseudo))
+        continue;
+      rs_ref[rd] += ref_split;
+      rs_alt[rd] += alt_split;
+    }
+
+    if (!(frag_evaluated || r_eval[0] || r_eval[1])) continue;
+    double ref_lnl = frag_pair_ref;
+    double alt_lnl = frag_pair_alt;
+    if (r_eval[0]) {
+      if (r_eval[1]) {
+        ref_lnl += std::max(rs_ref[0], rs_ref[1]);
+        alt_lnl += std::max(rs_alt[0], rs_alt[1]);
+      } else {
+        ref_lnl += rs_ref[0];
+        alt_lnl += rs_alt[0];
+      }
+    } else if (r_eval[1]) {
+      ref_lnl += rs_ref[1];
+      alt_lnl += rs_alt[1];
+    }
+    for (int gt = 0; gt < n_gt; gt++) {
+      const double f = alt_fraction[gt];
+      const double ref_gt = (f < 1.0) ? ref_lnl + std::log(1.0 - f) : NEG_INF;
+      const double alt_gt = (f > 0.0) ? alt_lnl + std::log(f) : NEG_INF;
+      loglhood[gt] += fb_log_sum(ref_gt, alt_gt);
+    }
+  }
+  return 0;
+}
+
+// _get_sample_split_read_lnlhood(is_forced=false): returns false when
+// unsupported, else writes (ref_lnl, alt_lnl).
+namespace {
+inline bool fb_split_lnlhood(const uint8_t* sp_sup, const double* sp_lnl,
+                             int64_t r, int rd, bool forced,
+                             double* out_ref, double* out_alt) {
+  const int64_t base = r * 8;
+  const bool s0 = sp_sup[base + FB_ALT * 4 + 0 * 2 + rd] ||
+                  sp_sup[base + FB_REF * 4 + 0 * 2 + rd];
+  const bool s1 = sp_sup[base + FB_ALT * 4 + 1 * 2 + rd] ||
+                  sp_sup[base + FB_REF * 4 + 1 * 2 + rd];
+  if (!forced && !(s0 || s1)) return false;
+  bool use_bp1 = s0;
+  if (forced || (s0 == s1))
+    use_bp1 = sp_lnl[base + FB_ALT * 4 + 0 * 2 + rd] >=
+              sp_lnl[base + FB_ALT * 4 + 1 * 2 + rd];
+  *out_alt = sp_lnl[base + FB_ALT * 4 + (use_bp1 ? 0 : 1) * 2 + rd];
+  if (s0 && s1)
+    use_bp1 = sp_lnl[base + FB_REF * 4 + 0 * 2 + rd] >=
+              sp_lnl[base + FB_REF * 4 + 1 * 2 + rd];
+  *out_ref = sp_lnl[base + FB_REF * 4 + (use_bp1 ? 0 : 1) * 2 + rd];
+  return true;
+}
+}  // namespace
+
+// Per-sample support summaries. out_counts layout (int64):
+//   [al*6 + c] al: 0=alt 1=ref
+//   c: 0 spanning_pair, 1 confident_spanning_pair,
+//      2 confident_semi_mapped_spanning_pair, 3 confident_split_read,
+//      4 confident_split_read_and_pair_ref_bp1 (ref only),
+//      5 confident_split_read_and_pair_ref_bp2 (ref only)
+// Returns -1 on the "zero spanning likelihood" invariant violation.
+extern "C" int mt_frag_support(
+    int64_t n,
+    const uint8_t* r_scanned, const uint8_t* r_anch,
+    const uint8_t* pair_sup, const double* pair_prob,
+    const uint8_t* sp_sup, const double* sp_lnl,
+    int64_t* out_counts) {
+  for (int64_t r = 0; r < n; r++) {
+    // _add_conservative_split_read_support for read1/read2
+    for (int rd = 0; rd < 2; rd++) {
+      double ref_lnl, alt_lnl;
+      if (!fb_split_lnlhood(sp_sup, sp_lnl, r, rd, false, &ref_lnl, &alt_lnl))
+        continue;
+      if (alt_lnl > ref_lnl) {
+        const double lower = std::exp(ref_lnl - alt_lnl);
+        const double p = 1.0 / (lower + 1.0);
+        if (p > 0.999) out_counts[FB_ALT * 6 + 3] += 1;
+      } else {
+        const double lower = std::exp(alt_lnl - ref_lnl);
+        const double p = 1.0 / (lower + 1.0);
+        if (p > 0.999) {
+          out_counts[FB_REF * 6 + 3] += 1;
+          if (sp_sup[r * 8 + FB_REF * 4 + 0 * 2 + rd]) out_counts[FB_REF * 6 + 4] += 1;
+          if (sp_sup[r * 8 + FB_REF * 4 + 1 * 2 + rd]) out_counts[FB_REF * 6 + 5] += 1;
+        }
+      }
+    }
+    // _add_spanning_pair_support
+    const bool alt_pair = pair_sup[r * 4 + FB_ALT * 2 + 0] || pair_sup[r * 4 + FB_ALT * 2 + 1];
+    const bool ref_pair = pair_sup[r * 4 + FB_REF * 2 + 0] || pair_sup[r * 4 + FB_REF * 2 + 1];
+    if (alt_pair) out_counts[FB_ALT * 6 + 0] += 1;
+    if (ref_pair) out_counts[FB_REF * 6 + 0] += 1;
+    // _add_conservative_spanning_pair_support
+    if (!(alt_pair || ref_pair)) continue;
+    const double alt = fb_pair_allele_lhood(pair_sup, pair_prob, r, FB_ALT);
+    const double ref = fb_pair_allele_lhood(pair_sup, pair_prob, r, FB_REF);
+    if (alt <= 0.0 && ref <= 0.0) return -1;
+    const bool fully_mapped = (r_scanned[r * 2 + 0] && r_anch[r * 2 + 0]) &&
+                              (r_scanned[r * 2 + 1] && r_anch[r * 2 + 1]);
+    const double total = alt + ref;
+    if (alt > ref) {
+      if (alt / total > 0.9) {
+        out_counts[FB_ALT * 6 + 2] += 1;
+        if (fully_mapped) out_counts[FB_ALT * 6 + 1] += 1;
+      }
+    } else {
+      if (ref / total > 0.9) {
+        out_counts[FB_REF * 6 + 2] += 1;
+        if (fully_mapped) {
+          out_counts[FB_REF * 6 + 1] += 1;
+          if (pair_sup[r * 4 + FB_REF * 2 + 0]) out_counts[FB_REF * 6 + 4] += 1;
+          if (pair_sup[r * 4 + FB_REF * 2 + 1]) out_counts[FB_REF * 6 + 5] += 1;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// resolvePairSplitConflicts over the bank: clears all 4 pair-support
+// slots of fragments whose forced split winner contradicts the pair
+// winner (reference: SVScorer.cpp resolvePairSplitConflicts:476).
+extern "C" int mt_frag_pair_split_conflicts(
+    int64_t n,
+    uint8_t* pair_sup, double* pair_prob,
+    const uint8_t* sp_sup, const double* sp_lnl,
+    int32_t find_alt_pair_conflict) {
+  for (int64_t r = 0; r < n; r++) {
+    bool any_span = false;
+    for (int k = 0; k < 4; k++) any_span |= (pair_sup[r * 4 + k] != 0);
+    if (!any_span) continue;
+    const double ref_pair = fb_pair_allele_lhood(pair_sup, pair_prob, r, FB_REF);
+    const double alt_pair = fb_pair_allele_lhood(pair_sup, pair_prob, r, FB_ALT);
+    const bool is_ref_pair = ref_pair > alt_pair;
+    const bool is_alt_pair = alt_pair > ref_pair;
+    if (is_alt_pair && !find_alt_pair_conflict) continue;
+    bool clear = false;
+    for (int rd = 0; rd < 2; rd++) {
+      double ref_lnl, alt_lnl;
+      fb_split_lnlhood(sp_sup, sp_lnl, r, rd, true, &ref_lnl, &alt_lnl);
+      if (alt_lnl > ref_lnl && is_ref_pair) clear = true;
+      if (ref_lnl > alt_lnl && is_alt_pair) clear = true;
+    }
+    if (clear) {
+      for (int k = 0; k < 4; k++) {
+        pair_sup[r * 4 + k] = 0;
+        pair_prob[r * 4 + k] = 0.0;
+      }
+    }
+  }
+  return 0;
 }

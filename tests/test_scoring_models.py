@@ -8,40 +8,35 @@ import numpy as np
 from manta_tpu.core.svmodel import (
     BND_LEFT_OPEN, BND_RIGHT_OPEN, SVCandidate,
 )
-from manta_tpu.scoring.evidence import FragmentEvidence, set_read_evidence
+from manta_tpu.scoring.fragbank import AL_ALT, AL_REF, FragmentBank
 from manta_tpu.scoring.scorer import (
     DGT_HET, DGT_HOM, DGT_REF, DGT_SIZE, add_diploid_loglhood,
     get_spanning_pair_weight,
 )
 
 
-def _frag(alt_prob=None, ref_prob=None, split_alt=None, split_ref=None,
-          mapq=60):
+def _add_frag(bank, qname, alt_prob=None, ref_prob=None, split_alt=None,
+              split_ref=None, mapq=60):
     """A fragment with anchored reads and optional pair/split support."""
-    f = FragmentEvidence()
-    for is_r1 in (True, False):
-        set_read_evidence(15, 5, mapq, 100, False, f.get_read(is_r1))
+    r = bank.row(qname.encode())
+    for rd in (0, 1):
+        bank.set_read_evidence(r, rd, 15, 5, mapq, 100, False)
     if alt_prob is not None:
-        for bp in (f.alt.bp1, f.alt.bp2):
-            bp.is_fragment_support = True
-            bp.frag_length_prob = alt_prob
+        for bp in (0, 1):
+            bank.set_pair_support(r, AL_ALT, bp, alt_prob)
     if ref_prob is not None:
-        for bp in (f.ref.bp1, f.ref.bp2):
-            bp.is_fragment_support = True
-            bp.frag_length_prob = ref_prob
+        for bp in (0, 1):
+            bank.set_pair_support(r, AL_REF, bp, ref_prob)
     if split_alt is not None:
         # the scorer marks all four breakend-reads evaluated together
-        for allele, lnl in ((f.alt, split_alt),
-                            (f.ref, split_ref if split_ref is not None
-                             else -50.0)):
-            for bp in (allele.bp1, allele.bp2):
-                r = bp.ensure_read(True)
-                r.is_split_evaluated = True
-                r.split_ln_lhood = lnl
-        f.alt.bp1.ensure_read(True).is_split_support = True
+        ref_lnl = split_ref if split_ref is not None else -50.0
+        bank.sp_eval[r, :, :, 0] = True
+        bank.sp_lnl[r, AL_ALT, :, 0] = split_alt
+        bank.sp_lnl[r, AL_REF, :, 0] = ref_lnl
+        bank.sp_sup[r, AL_ALT, 0, 0] = True
         if split_ref is not None and split_ref > split_alt:
-            f.ref.bp1.ensure_read(True).is_split_support = True
-    return f
+            bank.sp_sup[r, AL_REF, 0, 0] = True
+    return r
 
 
 def _genotype(track):
@@ -51,30 +46,35 @@ def _genotype(track):
 
 
 def test_all_ref_pairs_genotype_ref():
-    track = {f"q{i}": _frag(ref_prob=0.4) for i in range(10)}
+    track = FragmentBank()
+    for i in range(10):
+        _add_frag(track, f"q{i}", ref_prob=0.4)
     gt, _ = _genotype(track)
     assert gt == DGT_REF
 
 
 def test_mixed_pairs_genotype_het():
-    track = {}
+    track = FragmentBank()
     for i in range(10):
-        track[f"r{i}"] = _frag(ref_prob=0.4)
-        track[f"a{i}"] = _frag(alt_prob=0.4)
+        _add_frag(track, f"r{i}", ref_prob=0.4)
+        _add_frag(track, f"a{i}", alt_prob=0.4)
     gt, lh = _genotype(track)
     assert gt == DGT_HET, lh
 
 
 def test_all_alt_pairs_genotype_hom():
-    track = {f"a{i}": _frag(alt_prob=0.4) for i in range(12)}
+    track = FragmentBank()
+    for i in range(12):
+        _add_frag(track, f"a{i}", alt_prob=0.4)
     gt, lh = _genotype(track)
     assert gt == DGT_HOM, lh
 
 
 def test_split_reads_drive_genotype():
     # strong alt split-read lhoods with no pair information
-    track = {f"s{i}": _frag(split_alt=-2.0, split_ref=-60.0)
-             for i in range(8)}
+    track = FragmentBank()
+    for i in range(8):
+        _add_frag(track, f"s{i}", split_alt=-2.0, split_ref=-60.0)
     gt, lh = _genotype(track)
     assert gt == DGT_HOM, lh
 
