@@ -69,8 +69,9 @@ class BreakendReadAssembler:
         if read_key in read_index:
             return False
         read_index[read_key] = len(reads)
-        masked = "".join(
-            "N" if q < self.opt.min_qval else c for c, q in zip(seq, qual))
+        arr = np.frombuffer(seq.encode(), np.uint8)
+        masked = np.where(qual[:len(arr)] < self.opt.min_qval,
+                          np.uint8(ord("N")), arr).tobytes().decode()
         if is_reversed:
             masked = revcomp(masked)
         reads.append(masked)

@@ -667,7 +667,11 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     and are reused on resume (reference: pyflow per-task records)."""
     import multiprocessing as mp
     import pickle
+    from .stats import EdgeStatsTracker
     from .tasks import content_digest
+    # the merged tracker's lifetime clock must span the whole parallel
+    # phase (SVGenTotalHours), not just the post-join merge
+    tracker = EdgeStatsTracker()
     if edge_bin_strategy == "jump":
         bins = _partition_edges_jump(locus_set, all_edges, n_jobs)
     else:
@@ -779,8 +783,6 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
             if merged is not None:
                 merged.close()
 
-    from .stats import EdgeStatsTracker
-    tracker = EdgeStatsTracker()
     log_lines = []
     for (_bi, lines, tr) in results:
         log_lines.extend(lines)
