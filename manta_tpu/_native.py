@@ -128,6 +128,11 @@ def get_lib():
     lib.mt_rans_uncompress.restype = ctypes.c_int
     lib.mt_rans_uncompress.argtypes = [
         u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.mt_align_jump_score_batch.restype = ctypes.c_int
+    lib.mt_align_jump_score_batch.argtypes = [
+        ctypes.c_int64, u8p, i64p, u8p, i64p, u8p, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, i32p]
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.mt_frag_lhood.restype = ctypes.c_int
     lib.mt_frag_lhood.argtypes = [

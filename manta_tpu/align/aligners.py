@@ -315,3 +315,36 @@ class GlobalLargeIndelAligner:
                                            al.ops, al.lens)
         return AlignmentResult(score=score.value, align=al,
                                is_jumped=bool(isj.value))
+
+
+def jump_score_batch(jobs, scores: AlignmentScores,
+                     jump_score: int) -> np.ndarray:
+    """Score-only batched jump alignment over (query, ref1, ref2) byte
+    triples (native mt_align_jump_score_batch). Max scores are identical
+    to GlobalJumpAligner.align().score, so winner selection on these
+    scores is bit-identical to aligning every job — only the winners
+    need the full traceback aligner."""
+    from .._native import get_lib, i32p, i64p, u8p
+    lib = _get_lib()
+    n = len(jobs)
+    out = np.zeros(n, np.int32)
+    if n == 0:
+        return out
+
+    def blob_of(seqs):
+        off = np.zeros(n + 1, np.int64)
+        for i, s in enumerate(seqs):
+            off[i + 1] = off[i] + len(s)
+        return np.frombuffer(b"".join(seqs), np.uint8), off
+
+    qb, qo = blob_of([j[0] for j in jobs])
+    r1b, r1o = blob_of([j[1] for j in jobs])
+    r2b, r2o = blob_of([j[2] for j in jobs])
+    rc = lib.mt_align_jump_score_batch(
+        n, qb.ctypes.data_as(u8p), qo.ctypes.data_as(i64p),
+        r1b.ctypes.data_as(u8p), r1o.ctypes.data_as(i64p),
+        r2b.ctypes.data_as(u8p), r2o.ctypes.data_as(i64p),
+        scores.match, scores.mismatch, scores.open, scores.extend,
+        scores.off_edge, jump_score, out.ctypes.data_as(i32p))
+    assert rc == 0, f"mt_align_jump_score_batch failed: {rc}"
+    return out

@@ -194,3 +194,51 @@ def jump_scores(queries, ref1s, ref2s, scores, jump_score):
         scores.match, scores.mismatch, scores.open, scores.extend,
         scores.off_edge, jump_score, nq, nr1, nr2)
     return np.asarray(out)
+
+
+def _bucket(n: int, tiers=(128, 256, 512, 1024, 2048, 4096)) -> int:
+    for t in tiers:
+        if n <= t:
+            return t
+    return ((n + 4095) // 4096) * 4096
+
+
+def make_bucketed_scorer(scores, jump_score: int):
+    """Production device scorer: pads job batches to shape buckets so a
+    handful of compiled programs serve every junction, and returns the
+    exact int32 max jump-alignment scores (bit-identical to the host
+    traceback aligner, so winner selection cannot change results)."""
+    import jax
+
+    def scorer(jobs):
+        B = len(jobs)
+        if B == 0:
+            return np.zeros(0, np.int32)
+        nq = _bucket(max(len(j[0]) for j in jobs))
+        nr1 = _bucket(max(len(j[1]) for j in jobs))
+        nr2 = _bucket(max(len(j[2]) for j in jobs))
+        Bp = _bucket(B, tiers=(8, 16, 32, 64, 128, 256))
+
+        def pad_to(seqs, n, fill):
+            out = np.full((Bp, n), fill, np.int32)
+            lens = np.zeros(Bp, np.int32)
+            for i, s in enumerate(seqs):
+                arr = np.frombuffer(bytes(s), np.uint8).astype(np.int32)
+                out[i, :len(arr)] = arr
+                lens[i] = len(arr)
+            return out, lens
+
+        # pad rows keep length >= 1 so the kernel's guards stay trivial;
+        # sentinel codes never equal real bases
+        q, ql = pad_to([j[0] for j in jobs] + [b"\x01"] * (Bp - B), nq, 1)
+        r1, r1l = pad_to([j[1] for j in jobs] + [b"\x02"] * (Bp - B), nr1, 2)
+        r2, r2l = pad_to([j[2] for j in jobs] + [b"\x02"] * (Bp - B), nr2, 2)
+        q, ql, r1, r1l, r2, r2l = (
+            jax.device_put(a) for a in (q, ql, r1, r1l, r2, r2l))
+        out = batched_jump_score(
+            q, ql, r1, r1l, r2, r2l,
+            scores.match, scores.mismatch, scores.open, scores.extend,
+            scores.off_edge, jump_score, nq, nr1, nr2)
+        return np.asarray(jax.device_get(out))[:B]
+
+    return scorer

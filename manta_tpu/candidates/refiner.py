@@ -619,7 +619,8 @@ class SVCandidateAssemblyRefiner:
                  min_candidate_variant_size: int = 8,
                  is_output_contig: bool = False,
                  is_rna: bool = False,
-                 is_unstranded_rna: bool = False):
+                 is_unstranded_rna: bool = False,
+                 jump_score_backend: str | None = "native"):
         self.opt = opt or RefinerOptions()
         self.is_output_contig = is_output_contig
         self.is_rna = is_rna
@@ -650,6 +651,25 @@ class SVCandidateAssemblyRefiner:
             self.opt.rna_intron_off_edge_score)
         self._contig_filter_scores = self.opt.contig_filter_scores
         self._span_to_complex_regions = IntervalTracker()
+        # spanning-contig score backend: all contigs are scored cheaply
+        # (score-only native DP or the device jump kernel, both bit-
+        # exact vs the traceback aligner), then only descending-score
+        # winners are tracebacked (reference hot loop:
+        # GlobalJumpAlignerImpl.hpp via alignJumpContigs:1524)
+        if jump_score_backend == "native":
+            from ..align.aligners import jump_score_batch
+
+            def backend(jobs):
+                return jump_score_batch(jobs, self.opt.spanning_scores,
+                                        self.opt.jump_score)
+            self._jump_score_backend = backend
+        elif jump_score_backend == "device":
+            from ..align.device_jumpscore import make_bucketed_scorer
+            self._jump_score_backend = make_bucketed_scorer(
+                self.opt.spanning_scores, self.opt.jump_score)
+        else:
+            assert jump_score_backend is None, jump_score_backend
+            self._jump_score_backend = None
 
     def clear_edge_data(self):
         self._span_to_complex_regions.clear()
@@ -685,6 +705,21 @@ class SVCandidateAssemblyRefiner:
 
     def _get_jump_assembly(self, sv: SVCandidate, is_find_large_insertions,
                            data: AssemblyData):
+        prep = self._prepare_jump_assembly(sv, is_find_large_insertions,
+                                           data)
+        if prep is not None:
+            self._finish_jump_assembly(sv, data, prep)
+
+    def _prepare_jump_assembly(self, sv: SVCandidate,
+                               is_find_large_insertions,
+                               data: AssemblyData):
+        """Front half of getJumpAssembly (reference:
+        getJumpAssembly:1745-1860): complex handoff, breakend
+        orientation, reference fetch, spanning assembly. Returns the
+        contig-alignment job context, or None when the candidate was
+        handed to the small-SV assembler. Split from the alignment/
+        selection stage so contig scoring can be batched across
+        junctions and edges (device or native score-only backends)."""
         # (reference: getJumpAssembly:1745-1760) RNA contigs may span
         # large introns, so the alignment reference is much wider
         extra_edge = 25000 if self.is_rna else 250
@@ -709,7 +744,7 @@ class SVCandidateAssemblyRefiner:
                                                   sv.bp2.interval.end)
                     self._get_small_sv_assembly(single,
                                                 is_find_large_insertions, data)
-                    return
+                    return None
 
         data.is_spanning = True
         bpo = data.bporient
@@ -743,7 +778,6 @@ class SVCandidateAssemblyRefiner:
             np.frombuffer(ref1.encode(), np.uint8), off1,
             np.frombuffer(ref2.encode(), np.uint8), off2)
 
-        # align contigs
         bp1_seq, bp2_seq = ref1, ref2
         if bpo.is_bp1_reversed:
             bp1_seq = revcomp(bp1_seq)
@@ -756,61 +790,132 @@ class SVCandidateAssemblyRefiner:
             align1_ref, align2_ref = align2_ref, align1_ref
             a1_lead, a2_lead = a2_lead, a1_lead
             a1_trail, a2_trail = a2_trail, a1_trail
+        return {
+            "align1_ref": align1_ref, "align2_ref": align2_ref,
+            "a1_lead": a1_lead, "a2_lead": a2_lead,
+            "a1_trail": a1_trail, "a2_trail": a2_trail,
+            "r1": align1_ref[a1_lead:len(align1_ref) - a1_trail],
+            "r2": align2_ref[a2_lead:len(align2_ref) - a2_trail],
+        }
 
-        for contig in data.contigs:
-            r1 = align1_ref[a1_lead:len(align1_ref) - a1_trail]
-            r2 = align2_ref[a2_lead:len(align2_ref) - a2_trail]
-            if self.is_rna:
-                res = self._align_rna_contig(sv, bpo, contig, r1, r2)
-                res.align1.begin_pos += a1_lead
-                res.align2.begin_pos += a2_lead
-                data.spanning_alignments.append(res)
-                ext1 = align1_ref[:res.align1.begin_pos]
-                a2_end = res.align2.begin_pos + cg.ref_length(
-                    res.align2.ops, res.align2.lens)
-                ext2 = align2_ref[a2_end:]
-                data.extended_contigs.append(ext1 + contig.seq + ext2)
-                continue
-            res = self._spanning_aligner.align(contig.seq.encode(),
-                                               r1.encode(), r2.encode())
-            used_a1_lead, used_a2_lead = a1_lead, a2_lead
-            if res.jump_insert_size > 0:
-                min_buffer = 5
-                ref1_end = len(r1) - 1
-                align1_end = res.align1.begin_pos + \
-                    cg.ref_length(res.align1.ops, res.align1.lens)
-                close1 = (ref1_end - align1_end) < min_buffer
-                close2 = res.align2.begin_pos < min_buffer
-                if close1 or close2:
-                    res = self._spanning_aligner.align(
-                        contig.seq.encode(), align1_ref.encode(),
-                        align2_ref.encode())
-                    used_a1_lead = used_a2_lead = 0
-            res.align1.begin_pos += used_a1_lead
-            res.align2.begin_pos += used_a2_lead
-            data.spanning_alignments.append(res)
-            ext1 = align1_ref[:res.align1.begin_pos]
-            a2_end = res.align2.begin_pos + cg.ref_length(res.align2.ops,
-                                                          res.align2.lens)
-            ext2 = align2_ref[a2_end:]
-            data.extended_contigs.append(ext1 + contig.seq + ext2)
+    def jump_jobs(self, data: AssemblyData, prep) -> list:
+        """(query, ref1, ref2) byte triples for the score backend."""
+        r1 = prep["r1"].encode()
+        r2 = prep["r2"].encode()
+        return [(c.seq.encode(), r1, r2) for c in data.contigs]
 
-        # contig selection
+    def _align_contig_full(self, data: AssemblyData, prep, ci: int):
+        """Full traceback alignment of one contig, including the
+        near-edge re-alignment fallback against the uncut references
+        (reference: alignJumpContigs:1524-1570)."""
+        contig = data.contigs[ci]
+        r1, r2 = prep["r1"], prep["r2"]
+        res = self._spanning_aligner.align(contig.seq.encode(),
+                                           r1.encode(), r2.encode())
+        used_a1_lead, used_a2_lead = prep["a1_lead"], prep["a2_lead"]
+        if res.jump_insert_size > 0:
+            min_buffer = 5
+            ref1_end = len(r1) - 1
+            align1_end = res.align1.begin_pos + \
+                cg.ref_length(res.align1.ops, res.align1.lens)
+            close1 = (ref1_end - align1_end) < min_buffer
+            close2 = res.align2.begin_pos < min_buffer
+            if close1 or close2:
+                res = self._spanning_aligner.align(
+                    contig.seq.encode(), prep["align1_ref"].encode(),
+                    prep["align2_ref"].encode())
+                used_a1_lead = used_a2_lead = 0
+        res.align1.begin_pos += used_a1_lead
+        res.align2.begin_pos += used_a2_lead
+        return res
+
+    def _extend_contig(self, data: AssemblyData, prep, ci: int, res) -> str:
+        ext1 = prep["align1_ref"][:res.align1.begin_pos]
+        a2_end = res.align2.begin_pos + cg.ref_length(res.align2.ops,
+                                                      res.align2.lens)
+        ext2 = prep["align2_ref"][a2_end:]
+        return ext1 + data.contigs[ci].seq + ext2
+
+    def _finish_jump_assembly(self, sv: SVCandidate, data: AssemblyData,
+                              prep, scores=None):
+        """Back half of getJumpAssembly: contig alignment + selection
+        (reference: alignJumpContigs:1524 + selectJumpContigDNA:1364).
+
+        With batch scores (device or native score-only backend), contigs
+        are tracebacked in descending effective-score order and the
+        first segment-QC pass wins — identical selection to aligning
+        everything, since max scores are tie-order independent and the
+        scalar tie-break (lowest index among equal scores) is preserved
+        by the (-score, index) heap order."""
+        contig_count = len(data.contigs)
         if self.is_rna:
+            for contig in data.contigs:
+                res = self._align_rna_contig(sv, data.bporient, contig,
+                                             prep["r1"], prep["r2"])
+                res.align1.begin_pos += prep["a1_lead"]
+                res.align2.begin_pos += prep["a2_lead"]
+                data.spanning_alignments.append(res)
+                data.extended_contigs.append(
+                    self._extend_contig(data, prep,
+                                        len(data.extended_contigs), res))
             if not self._select_jump_contig_rna(data):
                 return
         else:
-            best = -1
-            for ci, res in enumerate(data.spanning_alignments):
-                if _is_jump_segment_qc_fail(res.align1) or \
-                        _is_jump_segment_qc_fail(res.align2):
-                    continue
-                if best == -1 or \
-                        res.score > data.spanning_alignments[best].score:
+            if scores is None and self._jump_score_backend is not None \
+                    and contig_count > 1:
+                # a single contig needs the full traceback regardless,
+                # so pre-scoring it would only add work
+                scores = self._jump_score_backend(self.jump_jobs(data, prep))
+            if scores is None:
+                # legacy path: full-align every contig, select among
+                # QC passes by max score (first index wins ties)
+                for ci in range(contig_count):
+                    res = self._align_contig_full(data, prep, ci)
+                    data.spanning_alignments.append(res)
+                    data.extended_contigs.append(
+                        self._extend_contig(data, prep, ci, res))
+                best = -1
+                best_res = None
+                for ci, res in enumerate(data.spanning_alignments):
+                    if _is_jump_segment_qc_fail(res.align1) or \
+                            _is_jump_segment_qc_fail(res.align2):
+                        continue
+                    if best == -1 or res.score > best_res.score:
+                        best = ci
+                        best_res = res
+            else:
+                import heapq
+                heap = [(-int(scores[ci]), ci)
+                        for ci in range(contig_count)]
+                heapq.heapify(heap)
+                aligned: dict[int, object] = {}
+                best = -1
+                best_res = None
+                while heap:
+                    negs, ci = heapq.heappop(heap)
+                    res = aligned.get(ci)
+                    if res is None:
+                        res = self._align_contig_full(data, prep, ci)
+                        aligned[ci] = res
+                        if res.score != -negs:
+                            # the near-edge fallback re-aligned against
+                            # the uncut refs; re-rank with its score
+                            heapq.heappush(heap, (-res.score, ci))
+                            continue
+                    if _is_jump_segment_qc_fail(res.align1) or \
+                            _is_jump_segment_qc_fail(res.align2):
+                        continue
                     best = ci
+                    best_res = res
+                    break
+                data.spanning_alignments = [aligned.get(ci)
+                                            for ci in range(contig_count)]
+                data.extended_contigs = [
+                    "" if aligned.get(ci) is None else
+                    self._extend_contig(data, prep, ci, aligned[ci])
+                    for ci in range(contig_count)]
             if best == -1 or _is_low_quality_jump_alignment(
-                    data.spanning_alignments[best],
-                    self._contig_filter_scores):
+                    best_res, self._contig_filter_scores):
                 return
             data.best_alignment_index = best
 

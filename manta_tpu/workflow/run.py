@@ -96,6 +96,36 @@ def get_sample_name(reader: BamReader, default: str) -> str:
     return name.replace(" ", "_")
 
 
+def resolve_device_scoring(mode):
+    """Resolve the device-scoring request to None | 'exact' | 'mxu'.
+
+    'auto' (the default) turns device scoring ON (exact kernels, bit-
+    identical results) when the default JAX backend is a co-located TPU,
+    and OFF otherwise: on 'cpu' the native host scan is faster, and on
+    tunneled experimental platforms (e.g. 'axon') device->host readbacks
+    cost seconds each, orders of magnitude too slow for the per-edge
+    scoring loop. 'exact'/'mxu' force the device path regardless."""
+    if mode in (None, False, "off"):
+        return None
+    if mode in ("exact", "mxu"):
+        return mode
+    if mode is True:
+        return "exact"
+    assert mode == "auto", mode
+    # only probe JAX when a co-located TPU is plausibly present: on
+    # hosts without local accelerator device nodes, importing jax can
+    # initialize a slow remote/tunneled platform just to answer "no"
+    import glob
+    if not (glob.glob("/dev/accel*") or glob.glob("/dev/vfio/[0-9]*")):
+        return None
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:
+        return None
+    return "exact" if backend == "tpu" else None
+
+
 def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  reference: str, run_dir: str,
                  regions: list[str] | None = None,
@@ -111,7 +141,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  cmdline: str | None = None,
                  is_rescore: bool = False,
                  locus_index: int | None = None,
-                 use_device_scoring: bool | str = False,
+                 use_device_scoring: bool | str = "auto",
                  edge_bin_strategy: str = "contiguous",
                  existing_align_stats: str | None = None,
                  use_existing_chrom_depths: bool = False,
@@ -140,6 +170,11 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     is_tumor = [False] * len(normal_bams) + [True] * len(tumor_bams)
     is_somatic = bool(tumor_bams) and bool(normal_bams)
     is_tumor_only = bool(tumor_bams) and not normal_bams
+    device_scoring = resolve_device_scoring(use_device_scoring)
+    # contig jump scoring rides the same device decision; the native
+    # score-only batch is the host fallback (both are bit-exact vs the
+    # traceback aligner, so this is purely a performance choice)
+    jump_backend = "device" if device_scoring else "native"
 
     fasta = FastaReader(reference)
     readers = [open_alignment_reader(p, reference) for p in bams]
@@ -367,12 +402,13 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             min_candidate_variant_size=min_candidate_variant_size,
             is_output_contig=is_output_contig, is_rna=is_rna,
             is_unstranded_rna=is_unstranded_rna,
-            enable_remote_read_retrieval=enable_remote_retrieval)
+            enable_remote_read_retrieval=enable_remote_retrieval,
+            jump_score_backend=jump_backend)
         from ..scoring.scorer import CallOptionsDiploid, CallOptionsSomatic
         scorer = SVScorer(
             scanner, finder.readers, is_tumor, comp_fasta,
             chrom_depths=chrom_depths, is_rna=is_rna,
-            use_device_scoring=use_device_scoring,
+            use_device_scoring=device_scoring,
             diploid_opt=CallOptionsDiploid(
                 min_output_alt_score=adv["min_diploid_variant_score"],
                 min_pass_alt_score=adv["min_pass_diploid_variant_score"],
@@ -986,11 +1022,14 @@ def main(argv=None):
     ap.add_argument("--locus-index", type=int, default=None,
                     help="debug: process only edges of one graph locus")
     ap.add_argument("--device-scoring", nargs="?", const="exact",
-                    default=None, choices=("exact", "mxu"),
-                    help="route split-read scoring through the attached "
-                         "TPU/accelerator: 'exact' (default; bit-identical "
-                         "results) or 'mxu' (matmul formulation, ~1e-6 "
-                         "relative score error)")
+                    default="auto", choices=("auto", "exact", "mxu", "off"),
+                    help="route split-read scanning and contig jump "
+                         "scoring through the attached TPU: 'auto' "
+                         "(default; on when the default JAX backend is a "
+                         "co-located TPU), 'exact' (force on; "
+                         "bit-identical results), 'mxu' (matmul "
+                         "formulation, ~1e-6 relative score error), or "
+                         "'off'")
     ap.add_argument("--existing-align-stats", default=None,
                     help="fallback alignment stats JSON used when "
                          "direct estimation from a sample fails "

@@ -3791,3 +3791,98 @@ extern "C" int mt_frag_pair_split_conflicts(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Score-only batched jump alignment (host winner-selection fast path).
+//
+// Same integer recurrences as mt_align_jump (reference, studied not
+// copied: alignment/GlobalJumpAlignerImpl.hpp) without pointer-byte
+// storage or backtrace: the refiner scores every contig x (ref1, ref2)
+// pair cheaply, then runs the full traceback aligner only on the
+// descending-score winners. Max scores are tie-order independent, so
+// selection is bit-identical to aligning everything.
+
+extern "C" int mt_align_jump_score_batch(
+    int64_t n,
+    const uint8_t* q_blob, const int64_t* q_off,
+    const uint8_t* r1_blob, const int64_t* r1_off,
+    const uint8_t* r2_blob, const int64_t* r2_off,
+    int32_t s_match, int32_t s_mismatch, int32_t s_open, int32_t s_extend,
+    int32_t s_off_edge, int32_t jump_score,
+    int32_t* out_scores) {
+  std::vector<int32_t> buf;
+  for (int64_t b = 0; b < n; b++) {
+    const char* query = (const char*)(q_blob + q_off[b]);
+    const int32_t nq = (int32_t)(q_off[b + 1] - q_off[b]);
+    const char* ref1 = (const char*)(r1_blob + r1_off[b]);
+    const int32_t nr1 = (int32_t)(r1_off[b + 1] - r1_off[b]);
+    const char* ref2 = (const char*)(r2_blob + r2_off[b]);
+    const int32_t nr2 = (int32_t)(r2_off[b + 1] - r2_off[b]);
+    if (nq <= 0 || nr1 <= 0 || nr2 <= 0) return -2;
+    buf.assign((size_t)8 * (nq + 1), 0);
+    int32_t* m0 = buf.data();
+    int32_t* d0 = m0 + (nq + 1);
+    int32_t* i0 = d0 + (nq + 1);
+    int32_t* j0 = i0 + (nq + 1);
+    int32_t* m1 = j0 + (nq + 1);
+    int32_t* d1 = m1 + (nq + 1);
+    int32_t* i1 = d1 + (nq + 1);
+    int32_t* j1 = i1 + (nq + 1);
+    int32_t *pm = m0, *pd = d0, *pi = i0, *pj = j0;
+    int32_t *cm = m1, *cd = d1, *ci = i1, *cj = j1;
+    const int32_t jmp = jump_score;
+    for (int q = 0; q <= nq; q++) {
+      cm[q] = q * s_off_edge;
+      cd[q] = BAD; ci[q] = BAD; cj[q] = BAD;
+    }
+    Btrace bt;
+    for (int r = 0; r < nr1; r++) {
+      std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi); std::swap(cj, pj);
+      cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cj[0] = BAD;
+      const char rc = ref1[r];
+      for (int q = 0; q < nq; q++) {
+        int32_t vm, vd, vi, vj;
+        best3(vm, pm[q], pd[q], pi[q]);
+        vm += (query[q] == rc ? s_match : s_mismatch);
+        best3(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1]);
+        vd += s_extend;
+        if (q == 0) vd = BAD;
+        best3(vi, cm[q] + s_open, BAD, ci[q]);
+        vi += s_extend;
+        if (q == 0) vi = BAD;
+        best4(vj, vm + jmp, BAD, vi + jmp, pj[q + 1]);
+        cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cj[q + 1] = vj;
+      }
+      upd_btrace(bt, cm[nq], r + 1, nq);
+    }
+    for (int q = 0; q < nq; q++) {
+      upd_btrace(bt, cm[q] + (nq - q) * s_off_edge, nr1, q);
+    }
+    for (int q = 0; q <= nq; q++) {
+      cm[q] = q * s_off_edge;
+      cd[q] = BAD; ci[q] = BAD;
+    }
+    for (int r = 0; r < nr2; r++) {
+      std::swap(cm, pm); std::swap(cd, pd); std::swap(ci, pi); std::swap(cj, pj);
+      cm[0] = 0; cd[0] = BAD; ci[0] = BAD; cj[0] = BAD;
+      const char rc = ref2[r];
+      for (int q = 0; q < nq; q++) {
+        int32_t vm, vd, vi, vj;
+        best4(vm, pm[q], pd[q], pi[q], pj[q]);
+        vm += (query[q] == rc ? s_match : s_mismatch);
+        best3(vd, pm[q + 1] + s_open, pd[q + 1], pi[q + 1]);
+        vd += s_extend;
+        best4(vi, cm[q] + s_open, BAD, ci[q], cj[q]);
+        vi += s_extend;
+        vj = pj[q + 1];
+        cm[q + 1] = vm; cd[q + 1] = vd; ci[q + 1] = vi; cj[q + 1] = vj;
+      }
+      upd_btrace(bt, cm[nq], nr1 + r + 1, nq);
+    }
+    for (int q = 0; q < nq; q++) {
+      upd_btrace(bt, cm[q] + (nq - q) * s_off_edge, nr1 + nr2, q);
+    }
+    out_scores[b] = bt.max;
+  }
+  return 0;
+}

@@ -210,3 +210,21 @@ def test_joint_multi_sample_germline(tmp_path_factory, demo_fasta,
     assert cols[9:] == ["HCC1954_BL", "HCC1954"]
     cand = _records(f"{run_dir}/results/variants/candidateSV.vcf.gz")
     assert len(cand) == 6
+
+
+def test_device_scoring_matches_oracle(tmp_path_factory, demo_fasta,
+                                       normal_bam, tumor_bam):
+    """Full workflow with the device path forced on — split-read
+    scanning through the XLA scan kernel and contig jump scoring through
+    the device jump-score kernel (winner-only host traceback) — must be
+    bit-identical to the oracle. Both kernels reproduce the host math
+    exactly (float32 accumulation order / int32 DP), so device routing
+    is purely a performance choice (reference: SVScorerSplit.cpp:130,
+    GlobalJumpAlignerImpl.hpp). Runs on whatever the session JAX backend
+    is (CPU in CI, TPU on hardware)."""
+    run_dir = str(tmp_path_factory.mktemp("device_run"))
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
+                 is_exome=True, verbose=False, use_device_scoring="exact")
+    got = _records(f"{run_dir}/results/variants/somaticSV.vcf.gz")
+    want = _records(EXPECTED)
+    assert got == want
