@@ -76,19 +76,54 @@ class ReadGroupStats:
 
 
 class ReadGroupStatsSet:
-    """Per-alignment-file stats collection (one group per BAM, matching
-    the reference's non-READ_GROUPS build)."""
+    """Per-(alignment file, read group) stats collection (reference:
+    manta/ReadGroupStatsSet.hpp keyed by ReadGroupLabel =
+    (bamFilename, RG tag); an empty RG refers to the file's default
+    group). Labels are "path" for a file's single/default group and
+    "path\\t<RG>" for per-read-group entries."""
+
+    SEP = "\t"
 
     def __init__(self):
         self._stats: dict[str, ReadGroupStats] = {}
 
+    @staticmethod
+    def label_for(path: str, rg: str = "") -> str:
+        return f"{path}{ReadGroupStatsSet.SEP}{rg}" if rg else path
+
     def set_stats(self, label: str, stats: ReadGroupStats):
         self._stats[label] = stats
 
+    def set_file_stats(self, path: str, per_rg: dict):
+        """Store one entry per read group of a file (insertion order =
+        estimation order, first group is the file's representative)."""
+        for rg, stats in per_rg.items():
+            self._stats[self.label_for(path, rg)] = stats
+
+    def file_groups(self, path: str) -> list[tuple[str, ReadGroupStats]]:
+        """All (rg, stats) entries of one file, in insertion order."""
+        out = []
+        prefix = path + self.SEP
+        for k, v in self._stats.items():
+            if k == path:
+                out.append(("", v))
+            elif k.startswith(prefix):
+                out.append((k[len(prefix):], v))
+        return out
+
     def get_stats(self, label_or_index) -> ReadGroupStats:
+        """Representative stats for a file (its first group; reference
+        consumers index one CachedReadGroupStats per alignment file,
+        SVLocusScanner.cpp:1495), or an entry by exact label/index."""
         if isinstance(label_or_index, int):
             return list(self._stats.values())[label_or_index]
-        return self._stats[label_or_index]
+        hit = self._stats.get(label_or_index)
+        if hit is not None:
+            return hit
+        groups = self.file_groups(label_or_index)
+        if not groups:
+            raise KeyError(label_or_index)
+        return groups[0][1]
 
     @property
     def labels(self) -> list[str]:
@@ -306,9 +341,54 @@ class _Tracker:
         self.stats.frag_stats.filter_observations_over_quantile(0.9995)
 
 
+def batch_rg_keep_mask(batch, rg: str) -> "np.ndarray":
+    """Per-read mask: read's RG tag == rg (absent tag matches '')."""
+    out = np.zeros(batch.n, bool)
+    for i in range(batch.n):
+        v = batch.get_tag(i, b"RG")
+        out[i] = (v if v is not None else "") == rg
+    return out
+
+
+def extract_read_group_stats_set(bam_path: str,
+                                 chunk_size: int = 4_000_000,
+                                 reference: str | None = None,
+                                 default_stats: str | None = None,
+                                 per_read_group: bool = True) -> dict:
+    """Per-read-group fragment statistics for one alignment file
+    (reference: ReadGroupStatsUtil.cpp ReadGroupManager — one
+    ReadGroupTracker per RG with its own convergence, orientation vote,
+    and counters; note the reference ships with READ_GROUPS undefined,
+    ReadGroupStatsUtil.cpp:855-898, so its production binaries pool one
+    default group per file). Files with at most one @RG line keep the
+    single-pass default-group path (label ""); multi-RG files run one
+    independent convergent-sampling pass per group. When any group has
+    too few high-confidence pairs to stand alone (common for files
+    merely split into sequencing lanes), the whole file falls back to
+    the pooled per-file estimate — the reference's shipped behavior."""
+    reader = open_alignment_reader(bam_path, reference)
+    rgs = reader.header.read_group_ids() if per_read_group else []
+    if len(rgs) <= 1:
+        return {"": extract_read_group_stats(
+            bam_path, chunk_size, reference, default_stats)}
+    out = {}
+    try:
+        for rg in rgs:
+            out[rg] = extract_read_group_stats(
+                bam_path, chunk_size, reference, rg=rg)
+    except RuntimeError as e:
+        import sys
+        print(f"Per-read-group stats unavailable for {bam_path} "
+              f"({e}); pooling all read groups", file=sys.stderr)
+        return {"": extract_read_group_stats(
+            bam_path, chunk_size, reference, default_stats)}
+    return out
+
+
 def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
                              reference: str | None = None,
-                             default_stats: str | None = None
+                             default_stats: str | None = None,
+                             rg: str | None = None
                              ) -> ReadGroupStats:
     """Estimate fragment stats for one BAM by convergent sampling.
 
@@ -335,7 +415,8 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
     try:
         return _extract_loop(bam_path, reader, chrom_count, chrom_size,
                              highest, tracker, lib, frag_state, chunk_size,
-                             i8p, i32p, i64p, u8p, ctypes, default_stats)
+                             i8p, i32p, i64p, u8p, ctypes, default_stats,
+                             rg=rg)
     finally:
         lib.mt_frag_free(frag_state)
 
@@ -421,7 +502,8 @@ class _ChunkWindows:
 
 def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                   tracker, lib, frag_state, chunk_size,
-                  i8p, i32p, i64p, u8p, ctypes, default_stats=None):
+                  i8p, i32p, i64p, u8p, ctypes, default_stats=None,
+                  rg=None):
     stop = False
     active = True
     windows = _ChunkWindows(reader, chunk_size)
@@ -461,9 +543,13 @@ def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                     # walk runs in C (mt_frag_scan), returning at each
                     # tracker buffer boundary so commit/convergence
                     # decisions happen at the exact scalar read
-                    skip_mask = np.ascontiguousarray(
-                        core_bad | nss | ~chrom_pair | (batch.mapq == 0) |
-                        sa | ~align_ok, dtype=np.uint8)
+                    rg_keep = None if rg is None \
+                        else batch_rg_keep_mask(batch, rg)
+                    skip = core_bad | nss | ~chrom_pair | \
+                        (batch.mapq == 0) | sa | ~align_ok
+                    if rg_keep is not None:
+                        skip |= ~rg_keep
+                    skip_mask = np.ascontiguousarray(skip, dtype=np.uint8)
                     orient8 = np.ascontiguousarray(orient, np.int8)
                     skip32 = np.ascontiguousarray(skip_len, np.int32)
                     first8 = np.ascontiguousarray(
@@ -496,11 +582,18 @@ def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                             active = True
                             highest[ci] = int(batch.pos[k - 1])
                             cnt = tracker.stats.counter
-                            pr = is_paired[i0:k]
+                            if rg_keep is None:
+                                n_tot = k - i0
+                                pr = is_paired[i0:k]
+                            else:
+                                # per-RG pass: count only this group's
+                                # records in its ReadCounter
+                                n_tot = int(rg_keep[i0:k].sum())
+                                pr = is_paired[i0:k] & rg_keep[i0:k]
                             n_pr = int(pr.sum())
-                            cnt.total += k - i0
+                            cnt.total += n_tot
                             cnt.paired += n_pr
-                            cnt.unpaired += (k - i0) - n_pr
+                            cnt.unpaired += n_tot - n_pr
                             cnt.paired_low_mapq += int(
                                 (pr & (batch.mapq[i0:k] == 0)).sum())
                         if rc != 0:

@@ -471,6 +471,17 @@ class BamHeader:
                         out.append(f[3:])
         return out
 
+    def read_group_ids(self) -> list[str]:
+        """@RG ID values in header order (reference: ReadGroupLabel —
+        a read group is (bamFilename, RG tag))."""
+        out = []
+        for line in self.text.splitlines():
+            if line.startswith("@RG"):
+                for f in line.split("\t"):
+                    if f.startswith("ID:") and f[3:] not in out:
+                        out.append(f[3:])
+        return out
+
 
 class BamReader:
     """Indexed BAM reader: whole-file or region-query access.

@@ -231,6 +231,12 @@ class SVScanner:
         self.opt = opt
         self.stats = [build_cached_stats(d, opt) for d in frag_dists]
         self.frag_dists = frag_dists
+        # optional per-file {RG id -> SizeDistribution} maps for multi-
+        # read-group files: pair-support likelihoods route each fragment
+        # through its own group's distribution (reference estimates per
+        # (file, RG), ReadGroupStatsUtil.cpp:751-946; scanner-level
+        # range caches stay per file, SVLocusScanner.cpp:1495)
+        self.rg_frag_dists: list = [None] * len(frag_dists)
         self.chrom_lengths = chrom_lengths
         self.chrom_names = chrom_names
         self.name_to_tid = {n: i for i, n in enumerate(chrom_names)}

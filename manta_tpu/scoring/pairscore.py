@@ -53,6 +53,28 @@ def _set_allele_frag(frag_distro, size: int, track, row: int, allele: int,
     track.set_pair_support(row, allele, bp, frag_prob)
 
 
+def read_rg_distro(rg_distros, default_distro, batch, i: int):
+    """Fragment-size distribution for one read: its own read group's
+    when the file has several (per-(file, RG) stats; reference:
+    ReadGroupLabel.hpp:38), else the file's distribution."""
+    if not rg_distros:
+        return default_distro
+    v = batch.get_tag(i, b"RG")
+    return rg_distros.get(v if v is not None else "", default_distro)
+
+
+def _cdf_per_rg(proc, batch, idx, sizes) -> np.ndarray:
+    """Per-read fragment-size cdf routed through each read's RG
+    distribution (float64, matching the scalar path)."""
+    if not getattr(proc, "rg_distros", None):
+        return proc.frag_distro.cdf_arr(sizes).astype(np.float64)
+    out = np.empty(len(idx), np.float64)
+    for j, i in enumerate(idx):
+        d = read_rg_distro(proc.rg_distros, proc.frag_distro, batch, int(i))
+        out[j] = d.cdf(int(sizes[j]))
+    return out
+
+
 def _is_first_read(batch, i) -> bool:
     """The upstream read of a pair (reference:
     htsapi/bam_record_util.hpp:70-75): pos < mate pos, with the
@@ -92,6 +114,7 @@ class PairProcessorParams:
         self.min_frag = int(st.evidence_pair[0])
         self.max_frag = int(st.evidence_pair[1])
         self.frag_distro = self.scanner.frag_dists[bam_index]
+        self.rg_distros = self.scanner.rg_frag_dists[bam_index]
         max_supported = self.max_frag - self.pair_opt.min_frag_support
         beg = self.center_pos - max_supported
         end = self.center_pos + max_supported + 1
@@ -157,7 +180,7 @@ class RefPairProcessor(PairProcessorParams):
             return
         idx = np.asarray(order, np.int64)
         ts = np.abs(batch.tlen[idx].astype(np.int64))
-        p32 = self.frag_distro.cdf_arr(ts).astype(np.float64)
+        p32 = _cdf_per_rg(self, batch, idx, ts)
         frag_prob = np.minimum(p32, 1.0 - p32)
         if self.pair_opt.rna:
             frag_prob = np.maximum(frag_prob, self.pair_opt.min_frag_prob)
@@ -205,7 +228,9 @@ class RefPairProcessor(PairProcessorParams):
         rd = 0 if (batch.flag[i] & FLAG_READ1) else 1
         track.set_read_evidence(row, rd, self.min_mapq, self.min_tier2_mapq,
                                 int(batch.mapq[i]), batch.read_len(i), False)
-        _set_allele_frag(self.frag_distro, template_size, track, row,
+        distro = read_rg_distro(getattr(self, "rg_distros", None),
+                                self.frag_distro, batch, i)
+        _set_allele_frag(distro, template_size, track, row,
                          AL_REF, 0 if self.is_bp1 else 1,
                          self.pair_opt.rna, self.pair_opt.min_frag_prob)
 
@@ -307,9 +332,9 @@ class AltPairProcessor(PairProcessorParams):
         idx = np.asarray(order, np.int64)
         ts = np.abs(batch.tlen[idx].astype(np.int64))
         alt_ts = ts - self.alt_shift
-        p_alt = self.frag_distro.cdf_arr(alt_ts).astype(np.float64)
+        p_alt = _cdf_per_rg(self, batch, idx, alt_ts)
         alt_prob = np.minimum(p_alt, 1.0 - p_alt)
-        p_ref = self.frag_distro.cdf_arr(ts).astype(np.float64)
+        p_ref = _cdf_per_rg(self, batch, idx, ts)
         ref_prob = np.minimum(p_ref, 1.0 - p_ref)
         if self.pair_opt.rna:
             alt_prob = np.maximum(alt_prob, self.pair_opt.min_frag_prob)
@@ -530,7 +555,9 @@ class AltPairProcessor(PairProcessorParams):
                                     self.min_tier2_mapq, mapq, read_size,
                                     is_realigned)
         bp = 0 if self.is_bp1 else 1
-        _set_allele_frag(self.frag_distro, alt_template_size, track, row,
+        distro = read_rg_distro(getattr(self, "rg_distros", None),
+                                self.frag_distro, batch, i)
+        _set_allele_frag(distro, alt_template_size, track, row,
                          AL_ALT, bp, self.pair_opt.rna,
                          self.pair_opt.min_frag_prob)
         if self.support is not None and self.sv_id is not None:
@@ -538,7 +565,7 @@ class AltPairProcessor(PairProcessorParams):
             sfrag = self.support.get_fragment(bam_index, batch, i)
             sfrag.add_spanning_support(self.sv_id)
         if not is_realigned:
-            _set_allele_frag(self.frag_distro, template_size, track, row,
+            _set_allele_frag(distro, template_size, track, row,
                              AL_REF, bp, self.pair_opt.rna,
                              self.pair_opt.min_frag_prob)
 

@@ -16,11 +16,14 @@ import sys
 
 def cmd_get_stats(args):
     """(reference: GetAlignmentStats.cpp:28-56)."""
-    from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats
+    from ..core.fragstats import (
+        ReadGroupStatsSet, extract_read_group_stats_set,
+    )
     out = ReadGroupStatsSet()
     for path in args.align_files:
-        out.set_stats(path, extract_read_group_stats(
-            path, reference=args.ref))
+        out.set_file_stats(path, extract_read_group_stats_set(
+            path, reference=args.ref,
+            per_read_group=args.per_read_group))
     out.save(args.output_file)
     return 0
 
@@ -135,6 +138,9 @@ def main(argv=None):
     p.add_argument("--align-file", dest="align_files", action="append",
                    required=True)
     p.add_argument("--ref", default=None)
+    p.add_argument("--per-read-group", action="store_true",
+                   help="estimate one distribution per (file, RG) "
+                        "instead of pooling per file")
     p.add_argument("--output-file", required=True)
     p.set_defaults(fn=cmd_get_stats)
 

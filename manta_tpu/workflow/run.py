@@ -13,7 +13,7 @@ import argparse
 import os
 import sys
 
-from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats
+from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats_set
 from ..graph.finder import estimate_sv_loci
 from ..graph.locusgraph import SVLocusSetOptions
 from ..io.bam import BamReader, open_alignment_reader
@@ -145,6 +145,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  edge_bin_strategy: str = "contiguous",
                  existing_align_stats: str | None = None,
                  use_existing_chrom_depths: bool = False,
+                 per_read_group_stats: bool = False,
                  advanced: dict | None = None,
                  verbose: bool = True):
     # advanced defaults tier (reference: configManta.py.ini values
@@ -207,6 +208,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         "is_output_contig": is_output_contig,
         "is_unstranded_rna": is_unstranded_rna,
         "locus_index": locus_index, "advanced": adv,
+        "per_read_group_stats": per_read_group_stats,
         "existing_align_stats": existing_align_stats,
         "use_existing_chrom_depths": use_existing_chrom_depths,
     }
@@ -223,7 +225,6 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     else:
         log("estimating fragment-size statistics")
         stats_set = ReadGroupStatsSet()
-        stats_list = []
         if n_jobs > 1 and len(bams) > 1:
             # per-BAM estimates are independent; fan out like the
             # reference's per-BAM GetAlignmentStats tasks
@@ -234,10 +235,12 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             queue = ctx.SimpleQueue()
 
             def stats_worker(i, p):
-                s = extract_read_group_stats(
+                per_rg = extract_read_group_stats_set(
                     p, reference=reference,
-                    default_stats=existing_align_stats)
-                queue.put((i, s.to_dict()))
+                    default_stats=existing_align_stats,
+                    per_read_group=per_read_group_stats)
+                queue.put((i, {rg: s.to_dict()
+                               for rg, s in per_rg.items()}))
 
             # in-flight scheduling — see parallel.forkpool.drain_fork_result for why
             # is_alive() gating deadlocks
@@ -258,17 +261,17 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                 results[i] = d
             for pr in procs:
                 pr.join()
-            stats_list = [ReadGroupStats.from_dict(results[i])
-                          for i in range(len(bams))]
-            for p, s in zip(bams, stats_list):
-                stats_set.set_stats(p, s)
+            for i, p in enumerate(bams):
+                stats_set.set_file_stats(
+                    p, {rg: ReadGroupStats.from_dict(d)
+                        for rg, d in results[i].items()})
         else:
             for p in bams:
-                s = extract_read_group_stats(
+                stats_set.set_file_stats(p, extract_read_group_stats_set(
                     p, reference=reference,
-                    default_stats=existing_align_stats)
-                stats_set.set_stats(p, s)
-                stats_list.append(s)
+                    default_stats=existing_align_stats,
+                    per_read_group=per_read_group_stats))
+        stats_list = [stats_set.get_stats(p) for p in bams]
         stats_set.save(stats_path)
         tasks.mark_done("alignmentStats", [stats_path])
     from .stats import (
@@ -287,6 +290,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         scan_opt, [s.frag_stats for s in stats_list],
         header.ref_lengths, header.ref_names, is_rna=is_rna,
         is_transcript_strand_known=(is_rna and not is_unstranded_rna))
+    scanner.rg_frag_dists = [
+        ({rg: s.frag_stats for rg, s in stats_set.file_groups(p)}
+         if len(stats_set.file_groups(p)) > 1 else None)
+        for p in bams]
 
     # chrom depth (WGS only; reference: mantaGetDepthFromAlignments uses
     # normal BAMs when present, else tumor BAMs)
@@ -1034,6 +1041,13 @@ def main(argv=None):
                     help="fallback alignment stats JSON used when "
                          "direct estimation from a sample fails "
                          "(reference: --existingAlignStatsFile)")
+    ap.add_argument("--per-read-group-stats", action="store_true",
+                    help="estimate fragment-size statistics per "
+                         "(file, RG) and route pair-support "
+                         "likelihoods through each fragment's own "
+                         "group (default pools one group per file, "
+                         "the reference's shipped READ_GROUPS-off "
+                         "behavior)")
     ap.add_argument("--use-existing-chrom-depths", action="store_true",
                     help="use pre-calculated workspace/chromDepth.txt "
                          "(reference: --useExistingChromDepths)")
@@ -1058,7 +1072,8 @@ def main(argv=None):
                  use_device_scoring=args.device_scoring,
                  edge_bin_strategy=args.edge_bin_strategy,
                  existing_align_stats=args.existing_align_stats,
-                 use_existing_chrom_depths=args.use_existing_chrom_depths)
+                 use_existing_chrom_depths=args.use_existing_chrom_depths,
+                 per_read_group_stats=args.per_read_group_stats)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,88 @@ def test_default_stats_fallback(tmp_path, tumor_bam):
     assert sub.frag_stats.total_observations == \
         full.frag_stats.total_observations
     assert sub.counter.total == full.counter.total
+
+
+def test_two_read_group_stats(tmp_path):
+    """Per-(file, RG) estimation: a BAM mixing two libraries with
+    distinct insert sizes yields one converged distribution per read
+    group, keyed (path, RG) in the stats set, with the file's first
+    group as its representative (reference: ReadGroupLabel.hpp:38,
+    ReadGroupStatsUtil.cpp:751-946)."""
+    from batchutil import encode_tag, make_batch
+    from manta_tpu.core.fragstats import extract_read_group_stats_set
+    from manta_tpu.io.bamwriter import BamWriter
+
+    rlen = 100
+    reads = []
+    rng = np.random.default_rng(7)
+    for k in range(260):
+        # spread pairs out so the read-pair depth filter keeps them
+        p = 1000 + k * 700
+        for rg, base in (("A", 200), ("B", 400)):
+            isize = base + int(rng.integers(-20, 21))
+            mpos = p + isize - rlen
+            tag = encode_tag(b"RG", "Z", rg)
+            common = dict(refid=0, next_refid=0, cigar=f"{rlen}M",
+                          seq="A" * rlen, qual=30, tags=tag, mapq=40)
+            reads.append(dict(common, pos=p, next_pos=mpos, tlen=isize,
+                              flag=0x1 | 0x40 | 0x20,
+                              name=f"frag{k}{rg}"))
+            reads.append(dict(common, pos=mpos, next_pos=p, tlen=-isize,
+                              flag=0x1 | 0x80 | 0x10,
+                              name=f"frag{k}{rg}"))
+    reads.sort(key=lambda r: r["pos"])
+    batch = make_batch(reads)
+    path = str(tmp_path / "two_rg.bam")
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              "@SQ\tSN:chrT\tLN:1000000\n"
+              "@RG\tID:A\tSM:S1\n"
+              "@RG\tID:B\tSM:S1\n")
+    w = BamWriter(path, header, ["chrT"], [1000000])
+    for i in range(batch.n):
+        w.add_record(batch, i)
+    w.close()
+
+    per_rg = extract_read_group_stats_set(path)
+    assert sorted(per_rg) == ["A", "B"]
+    med_a = per_rg["A"].frag_stats.quantile(0.5)
+    med_b = per_rg["B"].frag_stats.quantile(0.5)
+    assert 180 <= med_a <= 220, med_a
+    assert 380 <= med_b <= 420, med_b
+    assert per_rg["A"].counter.total == per_rg["B"].counter.total
+
+    from manta_tpu.core.fragstats import ReadGroupStatsSet
+    ss = ReadGroupStatsSet()
+    ss.set_file_stats(path, per_rg)
+    # representative = first group; per-group entries retrievable
+    assert ss.get_stats(path) is per_rg["A"]
+    assert dict(ss.file_groups(path)) == per_rg
+    # save/load round-trip preserves the per-RG keying
+    p2 = str(tmp_path / "stats.json")
+    ss.save(p2)
+    ss2 = ReadGroupStatsSet.load(p2)
+    assert [rg for rg, _ in ss2.file_groups(path)] == ["A", "B"]
+    got_b = ss2.file_groups(path)[1][1]
+    assert got_b.frag_stats.quantile(0.5) == med_b
+
+
+def test_rg_routed_pair_distro():
+    """Pair-support likelihoods route each read through its own read
+    group's fragment-size distribution when the file has several."""
+    from batchutil import encode_tag, make_batch
+    from manta_tpu.scoring.pairscore import read_rg_distro
+
+    sd_a = SizeDistribution()
+    sd_b = SizeDistribution()
+    for s in range(180, 220):
+        sd_a.add_observation(s, 10)
+    for s in range(380, 420):
+        sd_b.add_observation(s, 10)
+    batch = make_batch([
+        dict(refid=0, pos=100, cigar="50M", seq="A" * 50, qual=30,
+             name="x", tags=encode_tag(b"RG", "Z", "B"), mapq=40,
+             flag=0x1, next_refid=0, next_pos=300, tlen=250),
+    ])
+    rg_map = {"A": sd_a, "B": sd_b}
+    assert read_rg_distro(rg_map, sd_a, batch, 0) is sd_b
+    assert read_rg_distro(None, sd_a, batch, 0) is sd_a
