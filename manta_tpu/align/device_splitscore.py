@@ -93,7 +93,16 @@ def batched_split_score(reads, quals, targets, bp_beg, bp_end,
         (tpos <= score_end[:, None, None])
     terms = jnp.where(base_valid & in_range, terms, jnp.float32(0))
 
-    lnl = jnp.cumsum(terms, axis=-1)[..., -1]                    # (B,S)
+    # strict left-to-right float32 accumulation over bases: XLA's cumsum
+    # lowers to a log-depth parallel prefix whose addition order differs
+    # from the host scan's sequential loop by a few ULPs, so a lax.scan
+    # over the (short) base axis keeps lnlhoods bit-identical while the
+    # (B, S) planes stay fully vectorized
+    def _acc(carry, plane):
+        return carry + plane, None
+
+    lnl, _ = jax.lax.scan(_acc, jnp.zeros((B, n_scan), jnp.float32),
+                          jnp.moveaxis(terms, -1, 0))             # (B,S)
     scan_valid = k[None, :] <= (scan_end - scan_start)[:, None]
     lnl = jnp.where(scan_valid, lnl, -jnp.inf)
     best_k = jnp.argmax(lnl, axis=-1).astype(jnp.int32)

@@ -168,3 +168,49 @@ def finalize_phase1(shared_dir: str, n_groups: int):
     merged = merge_saved_graphs(paths)
     merged.finalize()
     return merged
+
+
+def bootstrap_shared_run(normal_bams: list[str], tumor_bams: list[str],
+                         reference: str, run_dir: str, **kw):
+    """Host-0 phase-0/1 bootstrap on the shared run directory: fragment
+    stats, chromosome depth, and the merged breakend graph are written
+    as the standard workspace checkpoints, then the run stops before
+    candidate generation (reference: the pyflow DAG's stats/graph tasks
+    feeding one GenerateSVCandidates stage, mantaWorkflow.py:832-849)."""
+    from ..workflow.run import run_workflow
+    return run_workflow(normal_bams, tumor_bams, reference, run_dir,
+                        stop_after="graph", **kw)
+
+
+def run_host_phase2(host_id: int, n_hosts: int,
+                    normal_bams: list[str], tumor_bams: list[str],
+                    reference: str, run_dir: str, n_jobs: int = 1, **kw):
+    """Process this host's slice of the GLOBAL phase-2 edge-bin plan
+    against the shared run directory (phases 0-1 artifacts must already
+    exist; see bootstrap_shared_run). The plan is n_hosts * n_jobs
+    observation-weighted bins derived identically on every host
+    (reference: EdgeRetrieverBin.cpp:38-61 equal-work binning +
+    the legacy --bin-index/--bin-count multi-process fan-out,
+    mantaWorkflow.py:510-511); host h owns bins [h*n_jobs, (h+1)*n_jobs)
+    and writes per-bin VCF/evidence shards + completion pickles."""
+    from ..workflow.run import run_workflow
+    return run_workflow(
+        normal_bams, tumor_bams, reference, run_dir,
+        n_jobs=n_jobs, is_rescore=False,
+        hygen_bin_count=n_hosts * n_jobs,
+        hygen_bin_range=(host_id * n_jobs, (host_id + 1) * n_jobs),
+        tracker_tag=f".host{host_id:04d}", **kw)
+
+
+def finalize_phase2(n_hosts: int,
+                    normal_bams: list[str], tumor_bams: list[str],
+                    reference: str, run_dir: str, n_jobs: int = 1, **kw):
+    """Host-0 ordered reduce of phase 2: merge every host's per-bin
+    shards in global bin order, write the aggregate edge stats and
+    runtime log, and run the final sort/filter/bgzip/tabix output stage
+    (reference: SVWriter's single-process output + mantaWorkflow.py
+    sortAllVcfs). Raises if any host's bins are missing or stale."""
+    from ..workflow.run import run_workflow
+    return run_workflow(
+        normal_bams, tumor_bams, reference, run_dir,
+        n_jobs=n_jobs, hygen_bin_count=n_hosts * n_jobs, **kw)

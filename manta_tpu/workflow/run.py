@@ -146,6 +146,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                  existing_align_stats: str | None = None,
                  use_existing_chrom_depths: bool = False,
                  per_read_group_stats: bool = False,
+                 hygen_bin_count: int | None = None,
+                 hygen_bin_range: tuple | None = None,
+                 tracker_tag: str = "",
+                 stop_after: str | None = None,
                  advanced: dict | None = None,
                  verbose: bool = True):
     # advanced defaults tier (reference: configManta.py.ini values
@@ -212,7 +216,9 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         "existing_align_stats": existing_align_stats,
         "use_existing_chrom_depths": use_existing_chrom_depths,
     }
-    tasks = TaskTracker(workspace_dir, tracker_sig)
+    tasks = TaskTracker(
+        workspace_dir, tracker_sig,
+        state_name=f"taskState{tracker_tag}.json" if tracker_tag else None)
 
     # phase 0: alignment stats (reusable checkpoint; reference:
     # pyflow task resume + --rescore, mantaWorkflow.py)
@@ -365,6 +371,10 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     locus_set = SVLocusSet.load(graph_path)
     log(f"graph complete: {locus_set.non_empty_size()} loci, "
         f"{locus_set.total_node_count()} nodes")
+    if stop_after == "graph":
+        log("stopping after graph phase (multi-host bootstrap)")
+        log_fp.close()
+        return run_dir
 
     # phase 2: candidate generation and scoring
     log("generating and scoring SV candidates")
@@ -565,13 +575,22 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
     if tasks.is_done("hygen"):
         log("resume: reusing candidate generation and scoring results")
     else:
-        if n_jobs > 1 and len(all_edges) > 1:
+        if (n_jobs > 1 or hygen_bin_count is not None) \
+                and len(all_edges) > 1:
             tracker, edge_runtime_log = _run_edges_parallel(
                 all_edges, locus_set, build_components, run_edges,
                 vcf_names, unsorted_dir, n_jobs, generate_evidence_bam,
                 os.path.join(run_dir, "results", "evidence"), bams,
                 edge_bin_strategy=edge_bin_strategy,
-                tasks=tasks, log=log)
+                tasks=tasks, log=log,
+                n_bins=hygen_bin_count, bin_range=hygen_bin_range,
+                do_merge=(hygen_bin_range is None))
+            if hygen_bin_range is not None:
+                log(f"host bins {hygen_bin_range[0]}.."
+                    f"{hygen_bin_range[1] - 1} complete "
+                    "(multi-host phase 2)")
+                log_fp.close()
+                return run_dir
         else:
             comps = build_components()
             edge_runtime_log = run_edges(comps, all_edges)
@@ -701,13 +720,23 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
                         vcf_names, unsorted_dir, n_jobs,
                         generate_evidence_bam, evidence_dir, bams,
                         edge_bin_strategy: str = "contiguous",
-                        tasks=None, log=None):
+                        tasks=None, log=None,
+                        n_bins: int | None = None,
+                        bin_range: tuple | None = None,
+                        do_merge: bool = True):
     """Fork-based phase-2 scale-out: observation-weighted edge bins per
     worker, per-bin VCF shards merged in bin order afterwards
     (reference: GenerateSVCandidates thread pool + legacy
     --bin-index/--bin-count multi-process mode). With a task tracker,
     each completed bin's shards + runtime stats persist in the workspace
-    and are reused on resume (reference: pyflow per-task records)."""
+    and are reused on resume (reference: pyflow per-task records).
+
+    Multi-host mode (parallel/distributed.run_host_phase2): n_bins is
+    the GLOBAL bin count over all hosts, bin_range selects this host's
+    slice, and do_merge=False defers the shard merge to the host-0
+    finalize pass. Each bin's pickle carries its edge-content digest, so
+    the finalize pass (a different process with its own task state)
+    recognizes completed bins and never reuses a stale work plan."""
     import multiprocessing as mp
     import pickle
     from .stats import EdgeStatsTracker
@@ -715,10 +744,12 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     # the merged tracker's lifetime clock must span the whole parallel
     # phase (SVGenTotalHours), not just the post-join merge
     tracker = EdgeStatsTracker()
+    if n_bins is None:
+        n_bins = n_jobs
     if edge_bin_strategy == "jump":
-        bins = _partition_edges_jump(locus_set, all_edges, n_jobs)
+        bins = _partition_edges_jump(locus_set, all_edges, n_bins)
     else:
-        bins = _partition_edges(locus_set, all_edges, n_jobs)
+        bins = _partition_edges(locus_set, all_edges, n_bins)
     ctx = mp.get_context("fork")
     queue = ctx.SimpleQueue()
 
@@ -734,6 +765,21 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
         paths.append(os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl"))
         return paths
 
+    bin_digests = [content_digest(edges) for edges in bins]
+
+    def pkl_path(bi):
+        return os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl")
+
+    def pkl_done(bi):
+        """Bin complete per its persisted pickle (cross-host/cross-
+        process completion marker; the digest guards stale plans)."""
+        try:
+            with open(pkl_path(bi), "rb") as f:
+                digest, _lines, _tr = pickle.load(f)
+            return digest == bin_digests[bi]
+        except (OSError, ValueError, EOFError, pickle.UnpicklingError):
+            return False
+
     def worker(bi, edges):
         comps = build_components(f".{bi:04d}")
         log_lines = run_edges(comps, edges)
@@ -743,39 +789,57 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
             comps["evidence_writer"].close()
         # persist the bin's runtime log + edge stats so a resumed run
         # can reuse this bin without recomputing it
-        pkl = os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl")
+        pkl = pkl_path(bi)
         with open(pkl + ".tmp", "wb") as f:
-            pickle.dump((log_lines, comps["tracker"]), f)
+            pickle.dump((bin_digests[bi], log_lines, comps["tracker"]), f)
         os.replace(pkl + ".tmp", pkl)
         queue.put(bi)
 
-    task_names = [f"hygen.bin.{bi:04d}.{content_digest(edges)}"
-                  for bi, edges in enumerate(bins)]
+    task_names = [f"hygen.bin.{bi:04d}.{bin_digests[bi]}"
+                  for bi in range(len(bins))]
+    lo, hi = bin_range if bin_range is not None else (0, len(bins))
     pending = []
     n_reused = 0
-    for bi, edges in enumerate(bins):
-        if tasks is not None and tasks.is_done(task_names[bi]):
+    for bi in range(lo, hi):
+        if (tasks is not None and tasks.is_done(task_names[bi])) or \
+                pkl_done(bi):
             n_reused += 1
         else:
-            pending.append((bi, edges))
+            pending.append((bi, bins[bi]))
     if n_reused and log is not None:
-        log(f"resume: reusing {n_reused}/{len(bins)} candidate-"
+        log(f"resume: reusing {n_reused}/{hi - lo} candidate-"
             "generation bins")
-    procs = [ctx.Process(target=worker, args=(bi, edges))
-             for bi, edges in pending]
-    for pr in procs:
-        pr.start()
-    for _ in procs:
-        bi = queue.get()
+    # bounded in-flight forks (a host may own more bins than cores)
+    pi = 0
+    in_flight = 0
+    done = 0
+    procs = []
+    while done < len(pending):
+        while pi < len(pending) and in_flight < max(1, n_jobs):
+            bi, edges = pending[pi]
+            pr = ctx.Process(target=worker, args=(bi, edges))
+            pr.start()
+            procs.append(pr)
+            in_flight += 1
+            pi += 1
+        bi = drain_fork_result(queue, procs)
+        in_flight -= 1
+        done += 1
         if tasks is not None:
             tasks.mark_done(task_names[bi], bin_artifacts(bi))
     for pr in procs:
         pr.join()
+    if not do_merge:
+        return None, None
     results = []
     for bi in range(len(bins)):
-        pkl = os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl")
-        with open(pkl, "rb") as f:
-            log_lines, bin_tracker = pickle.load(f)
+        if not pkl_done(bi):
+            raise FileNotFoundError(
+                f"phase-2 bin {bi} incomplete (missing/stale "
+                f"{pkl_path(bi)}); run every host's phase-2 pass "
+                "before finalizing")
+        with open(pkl_path(bi), "rb") as f:
+            _digest, log_lines, bin_tracker = pickle.load(f)
         results.append((bi, log_lines, bin_tracker))
 
     # merge per-bin vcf shards in bin order (header from shard 0);
@@ -832,7 +896,7 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
         tracker.self_edges.merge(tr.self_edges)
         tracker.remote_edges.merge(tr.remote_edges)
     for bi in range(len(bins)):
-        cleanup.append(os.path.join(unsorted_dir, f"hygenBin.{bi:04d}.pkl"))
+        cleanup.append(pkl_path(bi))
     for path in cleanup:
         if os.path.exists(path):
             os.remove(path)

@@ -41,8 +41,13 @@ class TaskTracker:
 
     STATE_NAME = "taskState.json"
 
-    def __init__(self, workspace_dir: str, signature_params: dict):
-        self.path = os.path.join(workspace_dir, self.STATE_NAME)
+    def __init__(self, workspace_dir: str, signature_params: dict,
+                 state_name: str | None = None):
+        # multi-host runs give each host its own state file so shared-
+        # workspace hosts never race on one record file (cross-host
+        # completion is carried by the per-bin artifacts themselves)
+        self.path = os.path.join(workspace_dir,
+                                 state_name or self.STATE_NAME)
         self.signature = signature_digest(signature_params)
         self.tasks: dict[str, dict] = {}
         self._load()

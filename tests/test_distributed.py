@@ -78,3 +78,38 @@ def test_barrier_times_out(tmp_path):
 
 def test_init_runtime_single_process_noop():
     dist.init_runtime(num_processes=1)  # must not require a coordinator
+
+
+def test_phase2_two_hosts_match_single_host(tmp_path, demo_fasta,
+                                            normal_bam, tumor_bam):
+    """Full multi-host pipeline parity: host-0 bootstrap (phases 0-1 on
+    the shared run dir), both hosts processing their global edge-bin
+    slices, then the host-0 finalize merge — final VCFs must be
+    byte-identical to a plain single-host run (and hence to the demo
+    oracle)."""
+    import gzip
+
+    kw = dict(is_exome=True, verbose=False)
+    shared = str(tmp_path / "shared_run")
+    dist.bootstrap_shared_run([normal_bam], [tumor_bam], demo_fasta,
+                              shared, **kw)
+    assert os.path.exists(os.path.join(shared, "workspace",
+                                       "svLocusGraph.npz"))
+    for h in range(2):
+        dist.run_host_phase2(h, 2, [normal_bam], [tumor_bam], demo_fasta,
+                             shared, **kw)
+        dist.barrier(shared, "phase2", h, h + 1)
+    dist.finalize_phase2(2, [normal_bam], [tumor_bam], demo_fasta,
+                         shared, **kw)
+
+    single = str(tmp_path / "single_run")
+    from manta_tpu.workflow.run import run_workflow
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, single, **kw)
+
+    def records(run, name):
+        with gzip.open(f"{run}/results/variants/{name}", "rt") as f:
+            return [l for l in f if not l.startswith("#")]
+
+    for name in ("candidateSV.vcf.gz", "diploidSV.vcf.gz",
+                 "somaticSV.vcf.gz"):
+        assert records(shared, name) == records(single, name), name
