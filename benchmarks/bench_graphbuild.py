@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--bam", default="/tmp/stress.bam")
     ap.add_argument("--fasta", default="/tmp/stress.fa")
     ap.add_argument("--scan-size-mb", type=int, default=12)
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="fork workers (host-level reads/s)")
     args = ap.parse_args()
 
     from manta_tpu.core.fragstats import extract_read_group_stats
@@ -53,9 +55,17 @@ def main():
         args.scan_size_mb * 1_000_000)
 
     t0 = time.perf_counter()
-    locus_set = estimate_sv_loci(
-        [args.bam], [False], scanner,
-        SVLocusSetOptions(observation_weight=3), regions, fasta)
+    if args.jobs > 1:
+        from manta_tpu.workflow.run import _estimate_sv_loci_parallel
+        locus_set = _estimate_sv_loci_parallel(
+            [args.bam], [False], scanner,
+            SVLocusSetOptions(observation_weight=3), regions,
+            args.fasta, None, args.jobs)
+        locus_set.finalize()
+    else:
+        locus_set = estimate_sv_loci(
+            [args.bam], [False], scanner,
+            SVLocusSetOptions(observation_weight=3), regions, fasta)
     t_graph = time.perf_counter() - t0
 
     n_reads = sum(c.get("total", 0) + c.get("split_supplementary_segment", 0)
@@ -71,6 +81,7 @@ def main():
         "loci": locus_set.non_empty_size(),
         "nodes": locus_set.total_node_count(),
         "edges": locus_set.total_edge_count(),
+        "jobs": args.jobs,
     }))
 
 

@@ -168,6 +168,10 @@ def get_lib():
     lib.mt_graph_clean_region.restype = ctypes.c_int
     lib.mt_graph_clean_region.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.mt_graph_clean_stride.restype = ctypes.c_int
+    lib.mt_graph_clean_stride.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64]
     lib.mt_graph_merge_graph.restype = ctypes.c_int
     lib.mt_graph_merge_graph.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.mt_graph_load.restype = ctypes.c_int

@@ -135,12 +135,18 @@ class SVLocusSetFinder:
             self._denoise_start = self.dn_beg
         if self._in_denoise_region:
             # fire at every d = start + (MIN_SIZE-1) crossing within region
-            while True:
-                d = self._denoise_start + (MIN_DENOISE_REGION_SIZE - 1)
-                if d > min(d_max, self.dn_end - 1):
-                    break
-                self.locus_set.clean_region(self.tid, self._denoise_start, d + 1)
-                self._denoise_start = d + 1
+            limit = min(d_max, self.dn_end - 1)
+            step = MIN_DENOISE_REGION_SIZE
+            count = (limit - (self._denoise_start + step - 1)) // step + 1
+            if count > 0:
+                stride = getattr(self.locus_set, "clean_stride", None)
+                if stride is not None:
+                    stride(self.tid, self._denoise_start, step, count)
+                else:
+                    for k in range(count):
+                        s = self._denoise_start + k * step
+                        self.locus_set.clean_region(self.tid, s, s + step)
+                self._denoise_start += count * step
         if d_max >= self.dn_end:
             if self._in_denoise_region:
                 if self.dn_end - self._denoise_start > 0:

@@ -52,6 +52,13 @@ class NativeLocusSet:
         rc = self._lib.mt_graph_clean_region(self._h, tid, beg, end)
         assert rc == 0
 
+    def clean_stride(self, tid: int, start: int, step: int, count: int):
+        """count consecutive fixed-step clean_region fires in one native
+        call (identical region sequence, one ctypes crossing)."""
+        rc = self._lib.mt_graph_clean_stride(self._h, tid, start, step,
+                                             count)
+        assert rc == 0
+
     def merge_native(self, other: "NativeLocusSet"):
         rc = self._lib.mt_graph_merge_graph(self._h, other._h)
         assert rc == 0, f"mt_graph_merge_graph failed: {rc}"

@@ -12,6 +12,7 @@ htsapi layer (reference: src/c++/lib/htsapi/bam_streamer.hpp).
 from __future__ import annotations
 
 import io
+import os
 import struct
 import zlib
 
@@ -115,7 +116,6 @@ _CACHE_BLOCKS = 3072  # x ~64KB uncompressed = ~192 MB cap
 
 def _shared_file_data(path: str):
     import mmap
-    import os
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     data = _FILE_DATA.get(key)
@@ -134,6 +134,31 @@ def _shared_file_data(path: str):
                 data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         _FILE_DATA[key] = data
     return key, data
+
+
+_INFLATE_POOL = None
+
+
+def _drop_inflate_pool():
+    # fork() in a process with live executor threads leaves the child a
+    # dead pool whose queue locks may be held — the child must build a
+    # fresh one (the parent's stays valid in the parent)
+    global _INFLATE_POOL
+    _INFLATE_POOL = None
+
+
+os.register_at_fork(after_in_child=_drop_inflate_pool)
+
+
+def _inflate_pool():
+    """Shared block-inflation thread pool (zlib drops the GIL)."""
+    global _INFLATE_POOL
+    if _INFLATE_POOL is None:
+        import concurrent.futures
+        _INFLATE_POOL = concurrent.futures.ThreadPoolExecutor(
+            min(4, os.cpu_count() or 1),
+            thread_name_prefix="bgzf-inflate")
+    return _INFLATE_POOL
 
 
 class BgzfReader:
@@ -172,10 +197,52 @@ class BgzfReader:
         _BLOCK_CACHE[ck] = out
         return out
 
+    def _prefetch_range(self, cstart: int, cend: int):
+        """Decompress the range's uncached blocks concurrently: BGZF
+        blocks are independent deflate streams and zlib releases the
+        GIL, so a small thread pool overlaps block inflation (the
+        dominant cost of large region reads) across cores."""
+        jobs = []
+        n = len(self._data)
+        coff = cstart
+        while coff < n:
+            ck = (self._key, coff)
+            hit = _BLOCK_CACHE.get(ck)
+            if hit is not None:
+                nxt = hit[1]
+            else:
+                try:
+                    payload_off, bsize = _parse_block_header(self._data,
+                                                             coff)
+                except (struct.error, IndexError, ValueError):
+                    return  # block_at re-raises with context
+                jobs.append((ck, coff, payload_off, bsize))
+                nxt = coff + bsize
+            if coff == cend or nxt > cend:
+                break
+            coff = nxt
+        if len(jobs) < 4:
+            return
+
+        data = self._data
+
+        def inflate(job):
+            ck, coff, payload_off, bsize = job
+            comp = data[payload_off : coff + bsize - 8]
+            payload = zlib.decompress(comp, wbits=-15) if comp else b""
+            return ck, (payload, coff + bsize)
+
+        for ck, out in _inflate_pool().map(inflate, jobs):
+            if len(_BLOCK_CACHE) >= _CACHE_BLOCKS:
+                for k in list(_BLOCK_CACHE)[:_CACHE_BLOCKS // 2]:
+                    del _BLOCK_CACHE[k]
+            _BLOCK_CACHE[ck] = out
+
     def read_range(self, vstart: int, vend: int) -> bytes:
         """Read the uncompressed bytes between two virtual offsets."""
         cstart, ustart = vstart >> 16, vstart & 0xFFFF
         cend, uend = vend >> 16, vend & 0xFFFF
+        self._prefetch_range(cstart, cend)
         out = []
         coff = cstart
         first = True

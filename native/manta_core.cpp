@@ -3886,3 +3886,18 @@ extern "C" int mt_align_jump_score_batch(
   }
   return 0;
 }
+
+// Strided rolling-denoise fan: N consecutive fixed-step cleanRegion
+// fires in one call (reference: SVLocusSetFinderActiveRegionManager's
+// stage_manager crossings at MIN_DENOISE_REGION_SIZE boundaries) —
+// identical region sequence to N individual mt_graph_clean_region
+// calls, without N ctypes crossings.
+extern "C" int mt_graph_clean_stride(void* h, int32_t tid, int32_t start,
+                                     int32_t step, int64_t count) {
+  for (int64_t k = 0; k < count; k++) {
+    const int rc = mt_graph_clean_region(h, tid, start + (int32_t)(k * step),
+                                         start + (int32_t)((k + 1) * step));
+    if (rc != 0) return rc;
+  }
+  return 0;
+}
