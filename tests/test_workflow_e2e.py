@@ -228,3 +228,69 @@ def test_device_scoring_matches_oracle(tmp_path_factory, demo_fasta,
     got = _records(f"{run_dir}/results/variants/somaticSV.vcf.gz")
     want = _records(EXPECTED)
     assert got == want
+
+
+def test_five_sample_joint_germline_genotypes(tmp_path_factory,
+                                              demo_fasta):
+    """Joint diploid calling at N=5 (reference: germline mode scales to
+    ~10 diploid samples, docs/userGuide/README.md:50-69) on a simulated
+    heterozygous 500 b deletion carried by samples S1-S3: the deletion
+    must be emitted with per-sample genotypes 0/1 in every carrier and
+    0/0 in both non-carriers, with PASS-grade quality in carriers."""
+    import re
+
+    from simdata import make_deletion_dataset
+
+    d = tmp_path_factory.mktemp("five_sample")
+    fa, bams, names = make_deletion_dataset(d)
+    run_dir = str(d / "run")
+    run_workflow(bams, [], fa, run_dir, is_exome=True, verbose=False)
+    with gzip.open(f"{run_dir}/results/variants/diploidSV.vcf.gz",
+                   "rt") as f:
+        lines = f.readlines()
+    header = [l for l in lines if l.startswith("#CHROM")][0]
+    assert header.rstrip("\n").split("\t")[9:] == names
+    records = [l for l in lines if not l.startswith("#")]
+    dels = [r for r in records if "SVTYPE=DEL" in r]
+    assert dels, f"no deletion called: {records}"
+    rec = dels[0].rstrip("\n").split("\t")
+    pos = int(rec[1])
+    assert abs(pos - 10000) < 50, rec[:8]
+    fmt = rec[8].split(":")
+    gt_i = fmt.index("GT")
+    gts = [rec[9 + si].split(":")[gt_i] for si in range(5)]
+    assert gts[:3] == ["0/1", "0/1", "0/1"], gts
+    assert gts[3:] == ["0/0", "0/0"], gts
+
+
+def test_large_insertion_semi_assembled(tmp_path_factory):
+    """Semi-assembled large-insertion path (reference:
+    SVCandidateAssemblyRefiner processLargeInsertion:833 +
+    isLargeInsertAlignment:611): a 400 b novel insertion whose interior
+    reads surface only as unmapped shadows must be emitted as an <INS>
+    with LEFT/RIGHT_SVINSSEQ flanks that are true prefixes/suffixes of
+    the planted sequence, PASS in the diploid output."""
+    import re
+
+    from simdata import make_insertion_dataset
+
+    d = tmp_path_factory.mktemp("large_ins")
+    fa, bams, names, ins_seq = make_insertion_dataset(d)
+    run_dir = str(d / "run")
+    run_workflow(bams, [], fa, run_dir, is_exome=True, verbose=False)
+    with gzip.open(f"{run_dir}/results/variants/diploidSV.vcf.gz",
+                   "rt") as f:
+        records = [l for l in f if not l.startswith("#")]
+    ins = [r for r in records if "SVTYPE=INS" in r]
+    assert ins, records
+    rec = ins[0].rstrip("\n").split("\t")
+    assert rec[4] == "<INS>"
+    assert abs(int(rec[1]) - 10000) <= 2, rec[:2]
+    assert rec[6] == "PASS", rec[6]
+    info = dict(kv.split("=", 1) for kv in rec[7].split(";")
+                if "=" in kv)
+    left = info["LEFT_SVINSSEQ"]
+    right = info["RIGHT_SVINSSEQ"]
+    assert len(left) >= 20 and len(right) >= 20
+    assert ins_seq.startswith(left), "left flank not an insertion prefix"
+    assert ins_seq.endswith(right), "right flank not an insertion suffix"
