@@ -50,6 +50,26 @@ class ProcessorOptions:
     is_skip_scoring: bool = False
 
 
+@dataclass
+class EdgeState:
+    """Per-edge processing state, split from the processor instance so
+    many edges can sit between the prepare and finish stages while
+    their contig-alignment jobs ride one batched backend dispatch
+    (SURVEY §2.4 P3: batch many edges per device step)."""
+    edge: tuple
+    mj_groups: list
+    svfinder_groups: list
+    is_self_edge: bool = False
+    find_large_insertions: bool = False
+    mj_datas: list = None
+    pending: list = None
+    assembly_time: object = None
+    scoring_time: object = None
+    assembled_count: int = 0
+    assembled_complex_count: int = 0
+    edge_support: object = None
+
+
 class SVCandidateProcessor:
     def __init__(self, opt: ProcessorOptions, refiner, scorer, writer,
                  locus_set, is_somatic: bool, is_tumor_only: bool,
@@ -78,9 +98,33 @@ class SVCandidateProcessor:
             self.edge_support = SupportSamples(self.scorer.sample_count)
 
     def evaluate_candidates(self, edge, mj_groups, svfinder_groups):
-        """(reference: evaluateCandidates:54-96)."""
+        """(reference: evaluateCandidates:54-96) — single-edge
+        convenience: prepare, flush the (at most one edge's) deferred
+        alignment jobs, finish."""
+        st = self.prepare_candidates(edge, mj_groups, svfinder_groups)
+        self.flush_pending([st])
+        self.finish_candidates(st)
+        return st
+
+    # ------------------------------------------------------------------
+    # staged pipeline
+
+    def prepare_candidates(self, edge, mj_groups,
+                           svfinder_groups) -> EdgeState:
+        """Stage 1: per-junction breakend assembly with the spanning
+        contig alignment deferred (refiner defer_spanning)."""
+        from ..workflow.stats import CpuTimes, TimeBlock
         li, n1, n2 = edge
-        self._reset_edge_state(n1 == n2)
+        st = EdgeState(edge=edge, mj_groups=mj_groups,
+                       svfinder_groups=svfinder_groups,
+                       is_self_edge=(n1 == n2))
+        st.assembly_time = CpuTimes()
+        st.scoring_time = CpuTimes()
+        st.mj_datas = []
+        st.pending = []
+        if self.evidence_enabled:
+            from ..scoring.evidence_bam import SupportSamples
+            st.edge_support = SupportSamples(self.scorer.sample_count)
         is_isolated = test_isolated_edge(self.locus_set, li, n1, n2)
         find_large_insertions = is_isolated
         if find_large_insertions:
@@ -88,38 +132,87 @@ class SVCandidateProcessor:
                 for sv in junctions:
                     if not is_complex_sv(sv):
                         find_large_insertions = False
+        st.find_large_insertions = find_large_insertions
         self.refiner.clear_edge_data()
         for junctions in mj_groups:
-            self._evaluate_candidate(edge, junctions, svfinder_groups,
-                                     find_large_insertions)
-
-    def _evaluate_candidate(self, edge, junctions, svfinder_groups,
-                            find_large_insertions):
-        """(reference: evaluateCandidate:271-363)."""
-        junction_count = len(junctions)
-        mj_assembly_data = []
-        any_small_assembler = False
-        if not self.opt.is_skip_assembly:
-            from ..workflow.stats import TimeBlock
+            datas = []
             for sv in junctions:
+                if self.opt.is_skip_assembly:
+                    from .refiner import AssemblyData
+                    datas.append(AssemblyData())
+                    continue
                 tb = TimeBlock()
                 with tb:
                     data = self.refiner.get_candidate_assembly_data(
-                        sv, find_large_insertions)
-                self.assembly_time.merge(tb.times)
-                mj_assembly_data.append(data)
-                if data.svs and not data.is_spanning:
-                    any_small_assembler = True
-                self.assembled_count += len(data.svs)
-                if data.svs and not data.is_spanning:
-                    self.assembled_complex_count += len(data.svs)
-                if self.edge_tracker is not None:
-                    self.edge_tracker.update_assembly_count(
-                        self._is_self_edge, len(data.svs),
-                        data.is_spanning)
-        else:
-            from .refiner import AssemblyData
-            mj_assembly_data = [AssemblyData() for _ in junctions]
+                        sv, find_large_insertions, defer_spanning=True)
+                st.assembly_time.merge(tb.times)
+                if data.pending_prep is not None:
+                    st.pending.append((sv, data))
+                datas.append(data)
+            st.mj_datas.append(datas)
+        return st
+
+    def flush_pending(self, states: list):
+        """Stage 2: score every deferred contig-alignment job across
+        all prepared edges in one backend dispatch (device jump kernel
+        or native score batch), then complete each junction's selection
+        and refinement. Dispatch wall time is attributed back to each
+        edge's assembly time by job share."""
+        pendings = [(st, sv, data) for st in states
+                    for (sv, data) in st.pending]
+        if not pendings:
+            return
+        from ..workflow.stats import TimeBlock
+        jobs = []
+        spans = []
+        for (_st, _sv, data) in pendings:
+            j = self.refiner.jump_jobs(data, data.pending_prep)
+            spans.append((len(jobs), len(jobs) + len(j)))
+            jobs.extend(j)
+        tb = TimeBlock()
+        with tb:
+            scores = self.refiner._jump_score_backend(jobs)
+            for (st, sv, data), (lo, hi) in zip(pendings, spans):
+                self.refiner.finish_deferred(sv, data, scores[lo:hi])
+        total_jobs = max(1, len(jobs))
+        for st in states:
+            n_st = sum(hi - lo for (s2, _, _), (lo, hi)
+                       in zip(pendings, spans) if s2 is st)
+            if n_st:
+                share = tb.times.scaled(n_st / total_jobs)
+                st.assembly_time.merge(share)
+                st.flush_wall = getattr(st, "flush_wall", 0.0) + share.wall
+
+    def finish_candidates(self, st: EdgeState):
+        """Stage 3: multi-assembly round-robin, filtering, scoring and
+        output for one prepared edge (runs in edge order)."""
+        self._is_self_edge = st.is_self_edge
+        self.assembly_time = st.assembly_time
+        self.scoring_time = st.scoring_time
+        self.assembled_count = 0
+        self.assembled_complex_count = 0
+        self.edge_support = st.edge_support
+        for junctions, datas in zip(st.mj_groups, st.mj_datas):
+            if not self.opt.is_skip_assembly:
+                for data in datas:
+                    self.assembled_count += len(data.svs)
+                    if data.svs and not data.is_spanning:
+                        self.assembled_complex_count += len(data.svs)
+                    if self.edge_tracker is not None:
+                        self.edge_tracker.update_assembly_count(
+                            st.is_self_edge, len(data.svs),
+                            data.is_spanning)
+            self._evaluate_candidate(st.edge, junctions,
+                                     st.svfinder_groups, datas)
+        st.assembled_count = self.assembled_count
+        st.assembled_complex_count = self.assembled_complex_count
+
+    def _evaluate_candidate(self, edge, junctions, svfinder_groups,
+                            mj_assembly_data):
+        """(reference: evaluateCandidate:271-363)."""
+        junction_count = len(junctions)
+        any_small_assembler = any(
+            data.svs and not data.is_spanning for data in mj_assembly_data)
 
         trackers = [0] * junction_count
         while True:

@@ -193,6 +193,8 @@ class AssemblyData:
     small_sv_segments: list = field(default_factory=list)
     large_insert_info: list = field(default_factory=list)
     extended_contigs: list = field(default_factory=list)
+    # deferred spanning-alignment job context (cross-edge batching)
+    pending_prep: dict | None = None
     best_alignment_index: int = 0
     # reference segments: (seq bytes, offset)
     bp1ref: tuple | None = None
@@ -688,17 +690,40 @@ class SVCandidateAssemblyRefiner:
         return seq, cbeg, lead, trail
 
     def get_candidate_assembly_data(self, sv: SVCandidate,
-                                    is_find_large_insertions: bool) -> AssemblyData:
+                                    is_find_large_insertions: bool,
+                                    defer_spanning: bool = False
+                                    ) -> AssemblyData:
+        """defer_spanning: stop the spanning (DNA jump) path after
+        assembly and record the alignment-job context on the returned
+        data (pending_prep) so contig scoring can be batched across
+        junctions and edges in one backend dispatch; the caller then
+        completes it with finish_deferred. RNA and complex paths always
+        run to completion."""
         data = AssemblyData()
         if is_spanning_sv(sv):
             data.is_candidate_spanning = True
-            self._get_jump_assembly(sv, is_find_large_insertions, data)
+            prep = self._prepare_jump_assembly(sv, is_find_large_insertions,
+                                               data)
+            if prep is not None:
+                if defer_spanning and not self.is_rna and \
+                        self._jump_score_backend is not None and \
+                        len(data.contigs) > 1:
+                    data.pending_prep = prep
+                else:
+                    self._finish_jump_assembly(sv, data, prep)
         elif is_complex_sv(sv):
             data.is_candidate_spanning = False
             self._get_small_sv_assembly(sv, is_find_large_insertions, data)
         else:
             raise AssertionError("Unknown candidate SV type")
         return data
+
+    def finish_deferred(self, sv: SVCandidate, data: AssemblyData, scores):
+        """Complete a deferred spanning path with pre-computed batch
+        scores (one slice of the cross-edge dispatch)."""
+        prep = data.pending_prep
+        data.pending_prep = None
+        self._finish_jump_assembly(sv, data, prep, scores=scores)
 
     # ------------------------------------------------------------------
     # spanning path

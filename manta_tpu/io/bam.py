@@ -543,8 +543,8 @@ class BamReader:
         buf = self._bgzf.decompress_all()
         return parse_records(buf, self._records_ustart)
 
-    _FETCH_CACHE_SIZE = 96
-    _FETCH_COVER_SIZE = 32
+    _FETCH_CACHE_SIZE = 192
+    _FETCH_COVER_SIZE = 64
     _FETCH_COVER_PAD = 4096
     _FETCH_COVER_MAX_SPAN = 65536
 

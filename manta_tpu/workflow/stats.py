@@ -32,6 +32,9 @@ class CpuTimes:
     user: float = 0.0
     system: float = 0.0
 
+    def scaled(self, f: float) -> "CpuTimes":
+        return CpuTimes(self.wall * f, self.user * f, self.system * f)
+
     def merge(self, o: "CpuTimes"):
         self.wall += o.wall
         self.user += o.user
