@@ -165,8 +165,17 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         # candidate size floor with the RNA-specific value)
         min_candidate_variant_size = adv["rna_min_candidate_variant_size"]
     if n_jobs <= 0:
-        # auto-detect (reference: estimateHardware.py core detection)
+        # memory/core-aware auto sizing (reference: estimateHardware.py
+        # core + getNodeMemMb detection feeding pyflow's memMb-
+        # constrained scheduler; per-worker guidance is < 2 GB/core,
+        # docs/userGuide/README.md:481-484)
         n_jobs = os.cpu_count() or 1
+        try:
+            mem_gb = (os.sysconf("SC_PAGE_SIZE")
+                      * os.sysconf("SC_PHYS_PAGES")) / 1e9
+            n_jobs = max(1, min(n_jobs, int(mem_gb // 2)))
+        except (ValueError, OSError):
+            pass
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "workspace"), exist_ok=True)
@@ -832,22 +841,47 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     if n_reused and log is not None:
         log(f"resume: reusing {n_reused}/{hi - lo} candidate-"
             "generation bins")
-    # bounded in-flight forks (a host may own more bins than cores)
+    # bounded in-flight forks (a host may own more bins than cores),
+    # with one per-bin retry on worker death (reference: pyflow task
+    # retry, redist/pyflow README "Task restart/retry")
+    attempts = {bi: 0 for bi, _ in pending}
+    comp: set = set()
+    work = list(pending)
     pi = 0
     in_flight = 0
-    done = 0
     procs = []
-    while done < len(pending):
-        while pi < len(pending) and in_flight < max(1, n_jobs):
-            bi, edges = pending[pi]
+    while len(comp) < len(attempts):
+        while pi < len(work) and in_flight < max(1, n_jobs):
+            bi, edges = work[pi]
             pr = ctx.Process(target=worker, args=(bi, edges))
             pr.start()
             procs.append(pr)
             in_flight += 1
             pi += 1
-        bi = drain_fork_result(queue, procs)
+        try:
+            bi = drain_fork_result(queue, procs)
+        except RuntimeError as e:
+            # a worker died without reporting; the drain terminated all
+            # live workers, so requeue every unreported launched bin
+            retry = []
+            for item in work[:pi]:
+                if item[0] in comp:
+                    continue
+                attempts[item[0]] += 1
+                if attempts[item[0]] > 1:
+                    raise
+                retry.append(item)
+            if log is not None:
+                log(f"retrying {len(retry)} failed candidate-"
+                    f"generation bin(s): {e}")
+            work = retry + work[pi:]
+            pi = 0
+            in_flight = 0
+            procs = []
+            queue = ctx.SimpleQueue()
+            continue
+        comp.add(bi)
         in_flight -= 1
-        done += 1
         if tasks is not None:
             tasks.mark_done(task_names[bi], bin_artifacts(bi))
     for pr in procs:
