@@ -47,7 +47,8 @@ def get_lib():
     so = os.path.abspath(os.path.join(_NATIVE_DIR, name))
     if (not os.path.exists(so)) or \
             os.path.getmtime(so) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so, src]
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so, src,
+               "-ldeflate", "-lpthread"]
         if is_asan:
             cmd[1:1] = ["-g", "-fsanitize=address",
                         "-fno-omit-frame-pointer"]
@@ -168,6 +169,9 @@ def get_lib():
     lib.mt_graph_clean_region.restype = ctypes.c_int
     lib.mt_graph_clean_region.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.mt_bgzf_inflate_batch.restype = ctypes.c_int
+    lib.mt_bgzf_inflate_batch.argtypes = [
+        ctypes.c_int64, u8p, i64p, i32p, u8p, i64p, ctypes.c_int32]
     lib.mt_graph_clean_stride.restype = ctypes.c_int
     lib.mt_graph_clean_stride.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

@@ -111,7 +111,26 @@ class BgzfWriter:
 # never serves stale blocks
 _FILE_DATA: dict[tuple, "mmap.mmap"] = {}
 _BLOCK_CACHE: dict[tuple, tuple[bytes, int]] = {}
-_CACHE_BLOCKS = 3072  # x ~64KB uncompressed = ~192 MB cap
+
+
+def _default_cache_blocks() -> int:
+    """Decompressed-block LRU capacity (~64 KB per block), sized to the
+    node: production TPU hosts have hundreds of GB, where a larger
+    cache eliminates whole re-inflation passes of the input at
+    multi-Mread scale; small nodes keep the reference-like ~192 MB."""
+    try:
+        mem_gb = (os.sysconf("SC_PAGE_SIZE")
+                  * os.sysconf("SC_PHYS_PAGES")) / 1e9
+    except (ValueError, OSError, AttributeError):
+        return 3072
+    if mem_gb >= 64:
+        return 24576   # ~1.5 GB
+    if mem_gb >= 16:
+        return 8192    # ~512 MB
+    return 3072        # ~192 MB
+
+
+_CACHE_BLOCKS = _default_cache_blocks()
 
 
 def _shared_file_data(path: str):
@@ -159,6 +178,44 @@ def _inflate_pool():
             min(4, os.cpu_count() or 1),
             thread_name_prefix="bgzf-inflate")
     return _INFLATE_POOL
+
+
+def _native_inflate_batch(data, jobs) -> bool:
+    """Inflate a job list through the native threaded libdeflate batch
+    (mt_bgzf_inflate_batch); returns False to fall back to zlib. Each
+    block's exact output size comes from its trailing ISIZE word."""
+    try:
+        import numpy as np
+
+        from .._native import get_lib, i32p, i64p, u8p
+        lib = get_lib()
+    except Exception:
+        return False
+    n = len(jobs)
+    comp_off = np.empty(n, np.int64)
+    comp_len = np.empty(n, np.int32)
+    out_off = np.zeros(n + 1, np.int64)
+    for k, (_ck, coff, payload_off, bsize) in enumerate(jobs):
+        comp_off[k] = payload_off
+        comp_len[k] = (coff + bsize - 8) - payload_off
+        isize = struct.unpack_from("<I", data, coff + bsize - 4)[0]
+        out_off[k + 1] = out_off[k] + isize
+    out_blob = np.empty(int(out_off[-1]), np.uint8)
+    arr = np.frombuffer(data, np.uint8)
+    rc = lib.mt_bgzf_inflate_batch(
+        n, arr.ctypes.data_as(u8p), comp_off.ctypes.data_as(i64p),
+        comp_len.ctypes.data_as(i32p), out_blob.ctypes.data_as(u8p),
+        out_off.ctypes.data_as(i64p),
+        min(4, os.cpu_count() or 1))
+    if rc != 0:
+        return False
+    for k, (ck, coff, _payload_off, bsize) in enumerate(jobs):
+        if len(_BLOCK_CACHE) >= _CACHE_BLOCKS:
+            for kk in list(_BLOCK_CACHE)[:_CACHE_BLOCKS // 2]:
+                del _BLOCK_CACHE[kk]
+        payload = out_blob[int(out_off[k]):int(out_off[k + 1])].tobytes()
+        _BLOCK_CACHE[ck] = (payload, coff + bsize)
+    return True
 
 
 class BgzfReader:
@@ -222,6 +279,8 @@ class BgzfReader:
                 break
             coff = nxt
         if len(jobs) < 4:
+            return
+        if _native_inflate_batch(self._data, jobs):
             return
 
         data = self._data

@@ -3901,3 +3901,61 @@ extern "C" int mt_graph_clean_stride(void* h, int32_t tid, int32_t start,
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Threaded BGZF block inflation via libdeflate.
+//
+// BGZF blocks are independent raw-deflate members with the uncompressed
+// size recorded in the trailing ISIZE word, which is exactly the shape
+// libdeflate's deflate_decompress wants (known output size, no stream
+// state). Blocks fan out over a small thread pool. Replaces the Python
+// zlib path for large region reads (reference analogue: htslib's
+// multi-threaded bgzf reader, bgzf.c + thread pool).
+
+#include <thread>
+#include <atomic>
+
+extern "C" {
+// minimal libdeflate ABI (linked against libdeflate.so.0)
+struct libdeflate_decompressor;
+struct libdeflate_decompressor* libdeflate_alloc_decompressor(void);
+void libdeflate_free_decompressor(struct libdeflate_decompressor*);
+int libdeflate_deflate_decompress(struct libdeflate_decompressor*,
+                                  const void* in, size_t in_nbytes,
+                                  void* out, size_t out_nbytes_avail,
+                                  size_t* actual_out_nbytes_ret);
+}
+
+extern "C" int mt_bgzf_inflate_batch(
+    int64_t n_blocks,
+    const uint8_t* file_data,
+    const int64_t* comp_off, const int32_t* comp_len,
+    uint8_t* out_blob, const int64_t* out_off,
+    int32_t n_threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+  auto work = [&]() {
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) { err.store(-3); return; }
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= n_blocks || err.load() != 0) break;
+      const size_t want = (size_t)(out_off[b + 1] - out_off[b]);
+      if (want == 0) continue;
+      size_t got = 0;
+      const int rc = libdeflate_deflate_decompress(
+          d, file_data + comp_off[b], (size_t)comp_len[b],
+          out_blob + out_off[b], want, &got);
+      if (rc != 0 || got != want) err.store(-1);
+    }
+    libdeflate_free_decompressor(d);
+  };
+  if (n_threads <= 1 || n_blocks < 4) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+  return err.load();
+}
