@@ -213,3 +213,104 @@ def make_insertion_dataset(tmp_dir, ins_beg: int = 10000,
         bams.append(p_out)
         names.append(name)
     return fa, bams, names, ins_seq
+
+
+def write_multi_fasta(path: str, seqs: dict):
+    with open(path, "w") as f:
+        offs = {}
+        off = 0
+        for name, seq in seqs.items():
+            f.write(f">{name}\n")
+            off += len(name) + 2
+            offs[name] = off
+            for i in range(0, len(seq), 70):
+                f.write(seq[i:i + 70] + "\n")
+            off += len(seq) + (len(seq) + 69) // 70
+    with open(path + ".fai", "w") as f:
+        for name, seq in seqs.items():
+            f.write(f"{name}\t{len(seq)}\t{offs[name]}\t70\t71\n")
+
+
+def make_fusion_dataset(tmp_dir, seed: int = 13, depth: int = 40):
+    """RNA fusion: a transcript joining chrA[4000:6000] to
+    chrB[6000:8000]. Junction-crossing reads soft-clip at the fusion
+    point and straddling pairs emit as interchromosomal mates — the
+    evidence the RNA mode's spanning/split machinery consumes
+    (reference: --rna fusion calling, scoreRNASV). Returns
+    (fasta, bam, junction) with junction = ("chrA", 6000, "chrB", 6000)."""
+    rng = np.random.default_rng(seed)
+    ref_a = random_ref(rng, 12000)
+    ref_b = random_ref(rng, 12000)
+    fa = str(tmp_dir / "fusion.fa")
+    write_multi_fasta(fa, {"chrA": ref_a, "chrB": ref_b})
+    LA = 2000
+    transcript = ref_a[4000:6000] + ref_b[6000:8000]
+
+    def map_t(t):
+        """(refid, pos, cigar) for a transcript read at t; None if the
+        aligned stub would be too short."""
+        end = t + READ_LEN
+        if end <= LA:
+            return 0, 4000 + t, f"{READ_LEN}M"
+        if t >= LA:
+            return 1, 6000 + (t - LA), f"{READ_LEN}M"
+        left = LA - t
+        if left >= 20:
+            return 0, 4000 + t, f"{left}M{READ_LEN - left}S"
+        if READ_LEN - left >= 20:
+            return 1, 6000, f"{left}S{READ_LEN - left}M"
+        return None
+
+    reads = []
+    k = 0
+
+    def emit_pair(m1, seq1, m2, seq2):
+        nonlocal k
+        k += 1
+        name = f"fus{k}"
+        tid1, pos1, cig1 = m1
+        tid2, pos2, cig2 = m2
+        same = tid1 == tid2
+        tlen = (pos2 + READ_LEN) - pos1 if same else 0
+        common = dict(mapq=60, qual=35)
+        reads.append(dict(common, name=name, refid=tid1, pos=pos1,
+                          cigar=cig1, seq=seq1, next_refid=tid2,
+                          next_pos=pos2, tlen=tlen,
+                          flag=0x1 | 0x40 | 0x20 | (0x2 if same else 0)))
+        reads.append(dict(common, name=name, refid=tid2, pos=pos2,
+                          cigar=cig2, seq=seq2, next_refid=tid1,
+                          next_pos=pos1, tlen=-tlen,
+                          flag=0x1 | 0x80 | 0x10 | (0x2 if same else 0)))
+
+    # transcript (fusion) fragments
+    n_frags = depth * len(transcript) // (2 * READ_LEN)
+    for _ in range(n_frags):
+        frag = int(np.clip(rng.normal(300, 25), 220, 420))
+        t = int(rng.integers(0, len(transcript) - frag - 1))
+        m1 = map_t(t)
+        m2 = map_t(t + frag - READ_LEN)
+        if m1 is None or m2 is None:
+            continue
+        emit_pair(m1, transcript[t:t + READ_LEN],
+                  m2, transcript[t + frag - READ_LEN:t + frag])
+    # background expression over both source genes (wild-type alleles
+    # and fragment-size statistics)
+    for refid, ref_seq in ((0, ref_a), (1, ref_b)):
+        for _ in range(depth * len(ref_seq) // (2 * READ_LEN)):
+            frag = int(np.clip(rng.normal(300, 25), 220, 420))
+            p = int(rng.integers(0, len(ref_seq) - frag - 1))
+            emit_pair((refid, p, f"{READ_LEN}M"),
+                      ref_seq[p:p + READ_LEN],
+                      (refid, p + frag - READ_LEN, f"{READ_LEN}M"),
+                      ref_seq[p + frag - READ_LEN:p + frag])
+    reads.sort(key=lambda r: (r["refid"], r["pos"]))
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              "@SQ\tSN:chrA\tLN:12000\n@SQ\tSN:chrB\tLN:12000\n"
+              "@RG\tID:rg1\tSM:RNA1\n")
+    batch = make_batch(reads)
+    bam = str(tmp_dir / "fusion.bam")
+    w = BamWriter(bam, header, ["chrA", "chrB"], [12000, 12000])
+    for i in range(batch.n):
+        w.add_record(batch, i)
+    w.close()
+    return fa, bam, ("chrA", 6000, "chrB", 6000)

@@ -294,3 +294,39 @@ def test_large_insertion_semi_assembled(tmp_path_factory):
     assert len(left) >= 20 and len(right) >= 20
     assert ins_seq.startswith(left), "left flank not an insertion prefix"
     assert ins_seq.endswith(right), "right flank not an insertion suffix"
+
+
+def test_rna_fusion_e2e(tmp_path_factory):
+    """RNA fusion mode end-to-end (reference: --rna fusion calling,
+    scoreRNASV + RNA spanning assembly/intron aligner): a simulated
+    chrA->chrB fusion transcript must produce a reciprocal PASS BND
+    pair at the exact junction with split + spanning support and the
+    RNA-specific annotations."""
+    from simdata import make_fusion_dataset
+
+    d = tmp_path_factory.mktemp("rna_fusion")
+    fa, bam, (c1, p1, c2, p2) = make_fusion_dataset(d)
+    run_dir = str(d / "run")
+    run_workflow([bam], [], fa, run_dir, is_rna=True, verbose=False)
+    with gzip.open(f"{run_dir}/results/variants/rnaSV.vcf.gz", "rt") as f:
+        records = [l.rstrip("\n").split("\t") for l in f
+                   if not l.startswith("#")]
+    assert len(records) == 2, records
+    by_chrom = {r[0]: r for r in records}
+    ra, rb = by_chrom[c1], by_chrom[c2]
+    assert int(ra[1]) == p1 and abs(int(rb[1]) - p2) <= 1
+    assert ra[6] == "PASS" and rb[6] == "PASS"
+    # reciprocal MATEID linkage
+    def info(r):
+        return dict(kv.split("=", 1) for kv in r[7].split(";") if "=" in kv)
+    ia, ib = info(ra), info(rb)
+    assert ia["MATEID"] == rb[2] and ib["MATEID"] == ra[2]
+    # transcript starts on chrA: the 5' partner carries RNA_FIRST
+    assert "RNA_FIRST" in ra[7] and "RNA_FIRST" not in rb[7]
+    # split + spanning support present in the sample column
+    fmt = ra[8].split(":")
+    vals = ra[9].split(":")
+    support = dict(zip(fmt, vals))
+    pr = int(support["PR"].split(",")[1])
+    sr = int(support["SR"].split(",")[1])
+    assert pr > 10 and sr > 10, support
