@@ -10,6 +10,7 @@ cigar/seq/qual/tag payloads carried as offset-indexed blobs.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -543,8 +544,18 @@ class BamReader:
         buf = self._bgzf.decompress_all()
         return parse_records(buf, self._records_ustart)
 
-    _FETCH_CACHE_SIZE = 192
-    _FETCH_COVER_SIZE = 64
+    # parsed-batch cache capacities scale with node memory like the
+    # BGZF block LRU (bgzf._default_cache_blocks): phase 2 walks the
+    # genome in edge order, and on large-memory production hosts
+    # keeping more parsed cover windows resident removes whole
+    # re-parse passes of the hot regions
+    try:
+        _MEM_GB = (os.sysconf("SC_PAGE_SIZE")
+                   * os.sysconf("SC_PHYS_PAGES")) / 1e9
+    except (ValueError, OSError, AttributeError):
+        _MEM_GB = 8.0
+    _FETCH_CACHE_SIZE = 1536 if _MEM_GB >= 64 else 192
+    _FETCH_COVER_SIZE = 512 if _MEM_GB >= 64 else 64
     _FETCH_COVER_PAD = 4096
     _FETCH_COVER_MAX_SPAN = 65536
 
