@@ -368,17 +368,56 @@ class SVScanner:
         use_overlap_pair_evidence=False semantics: returns (lead, trail)
         int32 arrays over the whole batch (zeros where gated out or not
         selected)."""
-        import ctypes
-        from .._native import get_lib, i32p, i64p, u8p, u32p
         overlap = getattr(batch, "_overlap_mask", None)
         if overlap is None:
             overlap = self._overlapping_pair_mask(batch)
             batch._overlap_mask = overlap
+        if min_bq == 20 and min_hq_frac == 0.75:
+            # the per-row result cache is window-independent (the fetch
+            # window always covers the read); several pipeline users
+            # scan the same batch, so only not-yet-done rows hit native
+            cache = getattr(batch, "_semi_cache", None)
+            if cache is not None:
+                todo = sel & ~cache[4]
+                if todo.any():
+                    self._semi_aligned_values_uncached(
+                        batch, todo, overlap, refseq, ref_offset,
+                        min_bq, min_hq_frac)
+            else:
+                self._semi_aligned_values_uncached(
+                    batch, sel, overlap, refseq, ref_offset, min_bq,
+                    min_hq_frac)
+                cache = batch._semi_cache
+            keep = sel & ~overlap
+            return (np.where(keep, cache[0], 0).astype(np.int32),
+                    np.where(keep, cache[2], 0).astype(np.int32))
+        return self._semi_aligned_values_uncached(
+            batch, sel, overlap, refseq, ref_offset, min_bq, min_hq_frac)
+
+    @staticmethod
+    def _ensure_semi_cache(batch: ReadBatch):
+        cache = getattr(batch, "_semi_cache", None)
+        if cache is None:
+            cache = batch._semi_cache = [
+                np.zeros(batch.n, np.int32), np.zeros(batch.n, np.int32),
+                np.zeros(batch.n, np.int32), np.zeros(batch.n, np.int32),
+                np.zeros(batch.n, bool)]
+        return cache
+
+    def _semi_aligned_values_uncached(self, batch: ReadBatch,
+                                      sel: np.ndarray, overlap: np.ndarray,
+                                      refseq: np.ndarray, ref_offset: int,
+                                      min_bq: int, min_hq_frac: float):
+        import ctypes
+        from .._native import get_lib, i32p, i64p, u8p, u32p
         idx = np.flatnonzero(sel & ~overlap).astype(np.int64)
         out_lead = np.zeros(batch.n, np.int32)
         out_trail = np.zeros(batch.n, np.int32)
         m = len(idx)
         if m == 0:
+            if min_bq == 20 and min_hq_frac == 0.75:
+                cache = self._ensure_semi_cache(batch)
+                cache[4][sel & overlap] = True
             return out_lead, out_trail
         lib = get_lib()
         lead = np.empty(m, np.int32)
@@ -418,14 +457,7 @@ class SVScanner:
         # instead of re-running the scalar edge walk (values are
         # window-independent: the fetch window always covers the read)
         if min_bq == 20 and min_hq_frac == 0.75:
-            cache = getattr(batch, "_semi_cache", None)
-            if cache is None:
-                cache = [np.zeros(batch.n, np.int32),
-                         np.zeros(batch.n, np.int32),
-                         np.zeros(batch.n, np.int32),
-                         np.zeros(batch.n, np.int32),
-                         np.zeros(batch.n, bool)]
-                batch._semi_cache = cache
+            cache = self._ensure_semi_cache(batch)
             c_lead, c_lead_ref, c_trail, c_trail_ref, done = cache
             c_lead[idx] = out_lead[idx]
             c_trail[idx] = out_trail[idx]
