@@ -204,6 +204,50 @@ def mate_align_stats_batch(batch: ReadBatch):
     return batch._mate_align_stats
 
 
+
+def _unaligned_edge_sizes_batch(batch: ReadBatch):
+    """Per-read unaligned-edge read lengths (S/I runs at either cigar
+    end; H consumes nothing), vectorized and cached on the batch —
+    the apath_read_lead/trail_size inputs of the pair analyzer."""
+    cached = getattr(batch, "_unal_edges", None)
+    if cached is not None:
+        return cached
+    n = batch.n
+    pre = np.zeros(n, np.int64)
+    suf = np.zeros(n, np.int64)
+    if n == 0 or len(batch.cigar) == 0:
+        batch._unal_edges = (pre, suf)
+        return pre, suf
+    ops = (batch.cigar & 0xF).astype(np.int32)
+    lens = (batch.cigar >> 4).astype(np.int64)
+    off = batch.cigar_off
+    nseg = (off[1:] - off[:-1]).astype(np.int64)
+    is_unal = (ops == C_I) | (ops == 5) | (ops == C_S)   # I/H/S
+    readlen = (ops == C_M) | (ops == C_I) | (ops == C_S) | \
+        (ops == 7) | (ops == 8)                          # M/I/S/=/X
+    contrib = np.where(is_unal & readlen, lens, 0)
+    top = len(ops) - 1
+    K = int(nseg.max())
+    act = nseg > 0
+    for k in range(K):
+        idx = np.minimum(off[:-1] + k, top)
+        u = act & (k < nseg) & is_unal[idx]
+        pre += np.where(u, contrib[idx], 0)
+        act = u
+        if not act.any():
+            break
+    act = nseg > 0
+    for k in range(K):
+        idx = np.maximum(np.minimum(off[1:] - 1 - k, top), 0)
+        u = act & (k < nseg) & is_unal[idx]
+        suf += np.where(u, contrib[idx], 0)
+        act = u
+        if not act.any():
+            break
+    batch._unal_edges = (pre, suf)
+    return pre, suf
+
+
 def _read_has_sa(batch: ReadBatch, i: int) -> bool:
     """SA-tag presence for one read via the cached batch mask."""
     return bool(has_sa_tag(batch)[i])
@@ -709,12 +753,113 @@ class SVScanner:
             out.append(self._split_candidate(
                 tid, trail_ref, trail_ref, EV_SEMIALIGN, frag_source, is_complex=True))
 
+
+    def _pair_candidate_table(self, batch: ReadBatch, rg: int):
+        """Vectorized getSVCandidatesFromPair/AlignmentPairAnalyzer for
+        the whole batch (local-mate case; remote-read recovery keeps the
+        scalar path). Cached on the batch: per-read validity plus the
+        two breakend intervals, so the per-evidence-read loop only
+        constructs the observation object."""
+        cached = getattr(batch, "_pair_cand", None)
+        if cached is not None and cached[0] == rg:
+            return cached[1]
+        f = batch.flag.astype(np.int64)
+        sa = has_sa_tag(batch)
+        valid = (f & FLAG_PAIRED) != 0
+        valid &= ~(((f & FLAG_SUPPLEMENTARY) != 0) |
+                   (((f & FLAG_SECONDARY) != 0) & sa))
+        valid &= (f & (FLAG_UNMAPPED | FLAG_MATE_UNMAPPED)) == 0
+        if self.opt.is_ignore_anom_proper_pair:
+            valid &= (f & FLAG_PROPER_PAIR) == 0
+
+        m_ref, m_read, m_pre, m_suf = mate_align_stats_batch(batch)
+        r_tid = batch.next_refid.astype(np.int64)
+        r_pos = batch.next_pos.astype(np.int64)
+        r_fwd = (f & FLAG_MATE_REVERSE) == 0
+        remote_noninsert = m_read.astype(np.int64) - \
+            np.where(r_fwd, m_suf, m_pre).astype(np.int64)
+        remote_end = r_pos + m_ref.astype(np.int64)
+
+        st = self.stats[rg]
+        fwd = (f & FLAG_REVERSE) == 0
+        pre, suf = _unaligned_edge_sizes_batch(batch)
+        read_len = (batch.seq_off[1:] - batch.seq_off[:-1]).astype(np.int64)
+        local_noninsert = read_len - np.where(fwd, suf, pre)
+        total_noninsert = local_noninsert + remote_noninsert
+        pos = batch.pos.astype(np.int64)
+        local_end = pos + batch.aligned_lengths.astype(np.int64)
+
+        # setLargeEventRegionScale; scale < 0 marks non-anomalous pairs
+        same_opp = (batch.refid.astype(np.int64) == r_tid) & (fwd != r_fwd)
+        ins_beg = np.where(fwd, local_end, remote_end)
+        ins_end = np.where(fwd, r_pos, pos)
+        cigar_adj = (total_noninsert + ins_end - ins_beg).astype(np.float64)
+        thresh = st.proper_pair[1] + self.opt.min_candidate_variant_size
+        in_range = same_opp & (cigar_adj >= 0)
+        denom = max(1e-30, float(st.large_event_region_max
+                                 - st.large_event_region_min))
+        sc = np.clip((cigar_adj - st.large_event_region_min) / denom,
+                     0.0, 1.0)
+        scale = np.where(in_range & (cigar_adj > thresh), sc, 1.0)
+        valid &= ~(in_range & ~(cigar_adj > thresh))
+
+        # isAlignedToChromEnds
+        chrom_arr = np.asarray(self.chrom_lengths, np.int64)
+        lchrom = chrom_arr[batch.refid]
+        rchrom = chrom_arr[np.maximum(r_tid, 0)]
+        valid &= ~np.where(fwd, local_end >= lchrom, pos <= 0)
+        valid &= ~np.where(r_fwd, remote_end >= rchrom, r_pos <= 0)
+
+        max_frag = scale * st.large_scale_breakend_region[1] + \
+            (1.0 - scale) * st.breakend_region[1]
+        bk = np.maximum(self.opt.min_pair_breakend_size,
+                        (max_frag - total_noninsert).astype(np.int64))
+
+        bp1_beg = np.where(fwd, np.minimum(lchrom, local_end),
+                           np.maximum(0, pos - bk))
+        bp1_end = np.where(fwd, np.minimum(lchrom, local_end + bk), pos)
+        bp2_beg = np.where(r_fwd, np.minimum(rchrom, remote_end),
+                           np.maximum(0, r_pos - bk))
+        bp2_end = np.where(r_fwd, np.minimum(rchrom, remote_end + bk),
+                           r_pos)
+        tbl = (valid, fwd, r_fwd, r_tid, bp1_beg, bp1_end, bp2_beg,
+               bp2_end)
+        batch._pair_cand = (rg, tbl)
+        return tbl
+
     def _pair_candidate(self, batch: ReadBatch, i: int, al: SimpleAlign, rg: int,
                         remote: tuple[ReadBatch, int] | None,
                         out: list[SVObservation]) -> None:
         """getSVCandidatesFromPair + AlignmentPairAnalyzer
         (SVLocusScanner.cpp:547-918)."""
         f = int(batch.flag[i])
+        if remote is None:
+            # local-mate case: all per-read math precomputed in one
+            # vectorized pass (_pair_candidate_table); only the
+            # observation object is built here
+            (valid, fwd_a, r_fwd_a, r_tid_a, b1b, b1e, b2b,
+             b2e) = self._pair_candidate_table(batch, rg)
+            if not valid[i]:
+                return
+            sv = SVObservation()
+            sv.ev_type = EV_LOCAL_PAIR
+            sv.frag_source = FRAG_READ_PAIR
+            sv.bp1.add_evidence(EV_LOCAL_PAIR)
+            if self.is_transcript_strand_known:
+                if f & FLAG_READ1:
+                    sv.forward_transcript_strand_read_count += 1
+                else:
+                    sv.reverse_transcript_strand_read_count += 1
+            sv.bp1.interval.tid = int(batch.refid[i])
+            sv.bp1.state = BND_RIGHT_OPEN if fwd_a[i] else BND_LEFT_OPEN
+            sv.bp1.interval.beg = int(b1b[i])
+            sv.bp1.interval.end = int(b1e[i])
+            sv.bp2.interval.tid = int(r_tid_a[i])
+            sv.bp2.state = BND_RIGHT_OPEN if r_fwd_a[i] else BND_LEFT_OPEN
+            sv.bp2.interval.beg = int(b2b[i])
+            sv.bp2.interval.end = int(b2e[i])
+            out.append(sv)
+            return
         if not (f & FLAG_PAIRED):
             return
         sa_split = _read_has_sa(batch, i)
