@@ -24,10 +24,7 @@ from ..core.svmodel import (
 )
 from ..io.bam import FLAG_READ1
 from ..scan.scanner import get_alignment
-from .evidence import (
-    QscoreSnp, SRAlignmentInfo, SVAlignmentInfo, SampleInfo,
-    ScoreInfo, split_read_aligner,
-)
+from .evidence import QscoreSnp, SVAlignmentInfo, SampleInfo, ScoreInfo
 from .fragbank import (
     AL_ALT, AL_REF, FragmentBank, accumulate_lhood,
     resolve_pair_split_conflicts, support_counts,
@@ -150,8 +147,9 @@ class TumorResult:
 
 @dataclass
 class RnaResult:
-    """(reference: manta/SVScoreInfoRna.hpp) — placeholder RNA scoring
-    model: fixed alt score with evidence/span filters."""
+    """(reference: manta/SVScoreInfoRna.hpp + SVScorer.cpp
+    scoreRNASV:1158): the reference's RNA fusion model — fixed default
+    alt score with Imprecise/Local/LowEvidence filter branches."""
     alt_score: int = 0
     filters: set = field(default_factory=set)
 
