@@ -201,6 +201,9 @@ def get_lib():
         i32p, i32p, i32p, i32p, u8p, u8p, i8p, i32p, i64p, u8p,
         ctypes.c_int32, ctypes.c_int64,
         i8p, i32p, i64p, i64p]
+    lib.mt_gather_ragged.restype = ctypes.c_int
+    lib.mt_gather_ragged.argtypes = [
+        ctypes.c_int64, i64p, i64p, u8p, ctypes.c_int32, i64p, u8p]
     lib.mt_semi_aligned_batch_idx.restype = ctypes.c_int
     lib.mt_semi_aligned_batch_idx.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, u32p, i64p, u8p,

@@ -174,26 +174,32 @@ class ReadBatch:
                 bool((np.diff(idx) == 1).all()):
             return self.slice_rows(int(idx[0]), int(idx[-1]) + 1)
 
-        # consecutive kept rows form runs; copying per run replaces the
-        # per-byte gather with a few large memcpys when the selection is
-        # dense (the common case for positional filters)
-        run_starts = np.flatnonzero(
-            np.diff(idx, prepend=idx[0] - 2) != 1) if n else np.zeros(0, int)
-        run_ends = np.append(run_starts[1:], n)  # idx[s:e] is one run
+        # one native memcpy pass per column (mt_gather_ragged) replaces
+        # the per-run Python copy loop
+        import ctypes
+        from .._native import get_lib, i64p, u8p
+        lib = get_lib()
+        idx64 = np.ascontiguousarray(idx, dtype=np.int64)
 
         def ragged(off, blob):
-            lens = off[idx + 1] - off[idx]
+            off = np.ascontiguousarray(off, dtype=np.int64)
+            lens = off[idx64 + 1] - off[idx64]
             new_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=new_off[1:])
             total = int(new_off[-1])
             if total == 0:
                 return new_off, (b"" if isinstance(blob, bytes)
                                  else blob[:0])
-            arr = np.frombuffer(blob, np.uint8) if isinstance(blob, bytes) \
-                else blob
-            parts = [arr[off[idx[s]]:off[idx[e - 1] + 1]]
-                     for s, e in zip(run_starts, run_ends)]
-            out = np.concatenate(parts)
+            if isinstance(blob, bytes):
+                arr, elem = np.frombuffer(blob, np.uint8), 1
+            else:
+                arr = np.ascontiguousarray(blob)
+                elem = arr.dtype.itemsize
+            out = np.empty(total, dtype=arr.dtype)
+            lib.mt_gather_ragged(
+                n, idx64.ctypes.data_as(i64p), off.ctypes.data_as(i64p),
+                arr.ctypes.data_as(u8p), elem,
+                new_off.ctypes.data_as(i64p), out.ctypes.data_as(u8p))
             if isinstance(blob, bytes):
                 return new_off, out.tobytes()
             return new_off, out

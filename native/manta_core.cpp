@@ -3959,3 +3959,23 @@ extern "C" int mt_bgzf_inflate_batch(
   }
   return err.load();
 }
+
+// ---------------------------------------------------------------------------
+// Ragged row gather: copy the payload runs of selected rows into a dense
+// output blob. Replaces ReadBatch.subset's per-run Python copy loop
+// (io/bam.py) with one memcpy pass; offsets are element counts, elem_size
+// converts to bytes. out_off must already hold the destination offsets
+// (exclusive cumsum of the selected lengths, in elements).
+extern "C" int mt_gather_ragged(
+    int64_t n_idx, const int64_t* idx,
+    const int64_t* off, const uint8_t* blob, int32_t elem_size,
+    const int64_t* out_off, uint8_t* out_blob) {
+  for (int64_t i = 0; i < n_idx; i++) {
+    const int64_t r = idx[i];
+    const int64_t nb = (off[r + 1] - off[r]) * elem_size;
+    if (nb > 0)
+      memcpy(out_blob + out_off[i] * elem_size,
+             blob + off[r] * elem_size, (size_t)nb);
+  }
+  return 0;
+}
