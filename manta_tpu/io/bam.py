@@ -80,11 +80,23 @@ class ReadBatch:
         return self.qual[self.qual_off[i]:self.qual_off[i + 1]]
 
     def name_str(self, i: int) -> str:
-        return self.name[self.name_off[i]:self.name_off[i + 1]].tobytes().decode()
+        return self.name_bytes(i).decode()
+
+    def name_blob(self) -> bytes:
+        """The flat qname blob as bytes, converted once per batch: the
+        scoring/evidence passes key fragments by qname for most reads of
+        a batch, so per-read numpy tobytes() slices dominate without
+        this memo. Batches are immutable after parse."""
+        blob = self.__dict__.get("_name_blob")
+        if blob is None:
+            blob = self.name.tobytes()
+            self.__dict__["_name_blob"] = blob
+        return blob
 
     def name_bytes(self, i: int) -> bytes:
         """Raw qname; preferred as a dict key on hot paths (no decode)."""
-        return self.name[self.name_off[i]:self.name_off[i + 1]].tobytes()
+        return self.name_blob()[int(self.name_off[i]):
+                                int(self.name_off[i + 1])]
 
     def cigar_arr(self, i: int) -> np.ndarray:
         return self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]]
