@@ -257,18 +257,27 @@ class _Tracker:
         self.converged = False
         self.checked = False
         self._old: SizeDistribution | None = None
-        # buffer
-        self.buf: list[tuple[int, int]] = []
+        # buffer (columnar: per-add_batch orientation/size arrays)
+        self.buf_ori: list[np.ndarray] = []
+        self.buf_sz: list[np.ndarray] = []
         self.buf_rp = 0
         self.buf_abnormal = 0
 
-    def add_observation(self, ori: int, sz: int) -> bool:
-        """Returns False if the buffered region looked abnormal."""
-        self.buf.append((ori, sz))
-        if ori == ORIENT_RP:
-            self.buf_rp += 1
-            if sz >= 5000:
-                self.buf_abnormal += 1
+    def add_batch(self, oris: np.ndarray, szs: np.ndarray) -> bool:
+        """Vectorized add for one native-scan return; returns False if
+        the buffered region looked abnormal. The native scan stops at
+        the exact RP-buffer boundary (mt_frag_scan is handed the
+        remaining capacity), so a commit or abnormal check can only
+        trigger on the batch's final observation — intermediate
+        observations just accumulate, matching the reference's
+        per-observation loop."""
+        if len(oris) == 0:
+            return True
+        rp = oris == ORIENT_RP
+        self.buf_ori.append(oris)
+        self.buf_sz.append(szs)
+        self.buf_rp += int(rp.sum())
+        self.buf_abnormal += int((szs[rp] >= 5000).sum())
         normal = True
         if self.buf_rp >= 1000:
             if self.buf_abnormal / self.buf_rp < 0.01:
@@ -277,19 +286,29 @@ class _Tracker:
                     self.checked = True
             else:
                 normal = False
-            self.buf.clear()
+            self.buf_ori.clear()
+            self.buf_sz.clear()
             self.buf_rp = 0
             self.buf_abnormal = 0
         return normal
 
     def _commit(self):
-        for ori, sz in self.buf:
-            if self.total_orient < 100000 and ori != 0:
-                self.orient_counts[ori] += 1
-                self.total_orient += 1
-            self.stats.counter.high_confidence_pairs += 1
-            if ori == ORIENT_RP:
-                self.stats.frag_stats.add_observation(sz)
+        if not self.buf_ori:
+            return
+        oris = np.concatenate(self.buf_ori)
+        szs = np.concatenate(self.buf_sz)
+        # orientation votes: first (100000 - total_orient) non-unknown
+        # observations in stream order (the reference caps the counter,
+        # so truncation order matters)
+        nz = np.flatnonzero(oris != 0)
+        room = 100000 - self.total_orient
+        if room > 0 and len(nz):
+            take = oris[nz[:room]]
+            self.orient_counts += np.bincount(
+                take.astype(np.int64), minlength=5)
+            self.total_orient += len(take)
+        self.stats.counter.high_confidence_pairs += len(oris)
+        self.stats.frag_stats.add_observations(szs[oris == ORIENT_RP])
 
     def update_convergence(self):
         if self._old is not None and self._old.total_observations > 0:
@@ -299,7 +318,8 @@ class _Tracker:
     def finalize(self, label: str, default_stats_path: str | None = None):
         if self.buf_rp > 0 and self.buf_abnormal / self.buf_rp < 0.01:
             self._commit()
-        self.buf.clear()
+        self.buf_ori.clear()
+        self.buf_sz.clear()
         if default_stats_path and (
                 self.total_orient < self.MIN_OBS or
                 self.stats.frag_stats.total_observations < self.MIN_OBS):
@@ -601,10 +621,9 @@ def _extract_loop(bam_path, reader, chrom_count, chrom_size, highest,
                             raise RuntimeError(
                                 f"Unexpected fragment size ({raw}) in "
                                 f"{bam_path}")
-                        last_normal = True
-                        for j in range(int(c_nobs.value)):
-                            last_normal = tracker.add_observation(
-                                int(obs_ori[j]), int(obs_frag[j]))
+                        nobs = int(c_nobs.value)
+                        last_normal = tracker.add_batch(
+                            obs_ori[:nobs].copy(), obs_frag[:nobs].copy())
                         # only the boundary (last) observation can flag
                         # an abnormal buffer or arm a convergence check
                         if not last_normal:

@@ -649,9 +649,10 @@ class BamReader:
         chunks = self.index.query(tid, beg, end)
         # chunk ranges from the index are merged/disjoint, so records
         # cannot repeat across chunks; one native pass parses + filters
-        # them all into a single batch
+        # them all into a single batch. read_range_arr inflates each
+        # chunk straight into one buffer (no per-block split/re-join).
         return parse_records_multi(
-            [self._bgzf.read_range(vs, ve) for vs, ve in chunks],
+            [self._bgzf.read_range_arr(vs, ve) for vs, ve in chunks],
             (tid, beg, end))
 
 

@@ -318,6 +318,109 @@ class BgzfReader:
                 break
         return b"".join(out)
 
+    def read_range_arr(self, vstart: int, vend: int):
+        """Uncompressed bytes between two virtual offsets, as a numpy
+        uint8 view over one output buffer. Unlike read_range, blocks
+        inflate natively straight into the output (no per-block
+        split/re-join and no LRU churn) — the fast path for BAI chunk
+        reads, whose consumers parse once and never revisit blocks."""
+        import numpy as np
+
+        try:
+            from .._native import get_lib, i32p, i64p, u8p
+            lib = get_lib()
+        except Exception:
+            return np.frombuffer(self.read_range(vstart, vend), np.uint8)
+        cstart, ustart = vstart >> 16, vstart & 0xFFFF
+        cend, uend = vend >> 16, vend & 0xFFFF
+        data = self._data
+        nfile = len(data)
+        # walk the block chain once, collecting sizes and cache hits
+        coffs, pay_offs, isizes, cached = [], [], [], []
+        coff = cstart
+        total = 0
+        last_coff = -1
+        while coff < nfile:
+            hit = _BLOCK_CACHE.get((self._key, coff))
+            if hit is not None:
+                payload, nxt = hit
+                isize = len(payload)
+                pay_off = -1
+            else:
+                try:
+                    pay_off, bsize = _parse_block_header(data, coff)
+                except (struct.error, IndexError, ValueError):
+                    # corrupt chain: let read_range raise with context
+                    return np.frombuffer(self.read_range(vstart, vend),
+                                         np.uint8)
+                isize = struct.unpack_from("<I", data, coff + bsize - 4)[0]
+                nxt = coff + bsize
+                payload = None
+            coffs.append(coff)
+            pay_offs.append(pay_off)
+            isizes.append(isize)
+            cached.append(payload)
+            total += isize
+            last_coff = coff
+            if coff == cend or nxt > cend:
+                break
+            coff = nxt
+        # same bounds as read_range: trim the last block at uend only
+        # when the chain actually reached the cend block
+        tail = (isizes[-1] - uend) if (coffs and last_coff == cend) else 0
+        out = np.empty(total, np.uint8)
+        out_off = np.zeros(len(coffs) + 1, np.int64)
+        np.cumsum(isizes, out=out_off[1:])
+        jobs = [k for k, p in enumerate(cached) if p is None]
+        if jobs:
+            comp_off = np.empty(len(jobs), np.int64)
+            comp_len = np.empty(len(jobs), np.int32)
+            for m, k in enumerate(jobs):
+                comp_off[m] = pay_offs[k]
+                _, bsize_hdr = _parse_block_header(data, coffs[k])
+                comp_len[m] = (coffs[k] + bsize_hdr - 8) - pay_offs[k]
+            # the native kernel derives each job's output span from
+            # consecutive offset-table entries, so non-contiguous job
+            # destinations (cache hits interleaved) go through a dense
+            # scratch buffer instead
+            want = np.array([isizes[k] for k in jobs], np.int64)
+            span_off = np.zeros(len(jobs) + 1, np.int64)
+            np.cumsum(want, out=span_off[1:])
+            if len(jobs) == len(coffs):
+                # common case: nothing cached — inflate straight in
+                rc = lib.mt_bgzf_inflate_batch(
+                    len(jobs), np.frombuffer(data, np.uint8)
+                    .ctypes.data_as(u8p),
+                    comp_off.ctypes.data_as(i64p),
+                    comp_len.ctypes.data_as(i32p),
+                    out.ctypes.data_as(u8p),
+                    out_off.ctypes.data_as(i64p),
+                    min(4, os.cpu_count() or 1))
+                if rc != 0:
+                    return np.frombuffer(self.read_range(vstart, vend),
+                                         np.uint8)
+            else:
+                scratch = np.empty(int(span_off[-1]), np.uint8)
+                rc = lib.mt_bgzf_inflate_batch(
+                    len(jobs), np.frombuffer(data, np.uint8)
+                    .ctypes.data_as(u8p),
+                    comp_off.ctypes.data_as(i64p),
+                    comp_len.ctypes.data_as(i32p),
+                    scratch.ctypes.data_as(u8p),
+                    span_off.ctypes.data_as(i64p),
+                    min(4, os.cpu_count() or 1))
+                if rc != 0:
+                    return np.frombuffer(self.read_range(vstart, vend),
+                                         np.uint8)
+                for m, k in enumerate(jobs):
+                    out[int(out_off[k]):int(out_off[k + 1])] = \
+                        scratch[int(span_off[m]):int(span_off[m + 1])]
+        for k, payload in enumerate(cached):
+            if payload is not None and isizes[k]:
+                out[int(out_off[k]):int(out_off[k + 1])] = \
+                    np.frombuffer(payload, np.uint8)
+        return out[ustart:total - tail]
+
     def decompress_all(self) -> bytes:
         try:
             return bgzf_decompress_all(self._data)
