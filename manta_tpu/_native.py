@@ -201,6 +201,10 @@ def get_lib():
         i32p, i32p, i32p, i32p, u8p, u8p, i8p, i32p, i64p, u8p,
         ctypes.c_int32, ctypes.c_int64,
         i8p, i32p, i64p, i64p]
+    lib.mt_tag_zmatch.restype = ctypes.c_int
+    lib.mt_tag_zmatch.argtypes = [
+        ctypes.c_int64, i64p, u8p, ctypes.c_char, ctypes.c_char,
+        u8p, ctypes.c_int32, u8p]
     lib.mt_gather_ragged.restype = ctypes.c_int
     lib.mt_gather_ragged.argtypes = [
         ctypes.c_int64, i64p, i64p, u8p, ctypes.c_int32, i64p, u8p]

@@ -362,12 +362,22 @@ class _Tracker:
 
 
 def batch_rg_keep_mask(batch, rg: str) -> "np.ndarray":
-    """Per-read mask: read's RG tag == rg (absent tag matches '')."""
-    out = np.zeros(batch.n, bool)
-    for i in range(batch.n):
-        v = batch.get_tag(i, b"RG")
-        out[i] = (v if v is not None else "") == rg
-    return out
+    """Per-read mask: read's RG tag == rg (absent tag matches '');
+    one native pass over the batch's tag blob (mt_tag_zmatch)."""
+    import ctypes
+
+    from .._native import get_lib, i64p, u8p
+    lib = get_lib()
+    out = np.empty(batch.n, np.uint8)
+    tags = np.frombuffer(batch.tags, np.uint8) if batch.n else \
+        np.zeros(0, np.uint8)
+    want = np.frombuffer(rg.encode(), np.uint8)
+    tag_off = np.ascontiguousarray(batch.tag_off, np.int64)
+    lib.mt_tag_zmatch(
+        batch.n, tag_off.ctypes.data_as(i64p), tags.ctypes.data_as(u8p),
+        b"R", b"G", want.ctypes.data_as(u8p), len(want),
+        out.ctypes.data_as(u8p))
+    return out.astype(bool)
 
 
 def extract_read_group_stats_set(bam_path: str,

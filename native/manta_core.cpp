@@ -3979,3 +3979,26 @@ extern "C" int mt_gather_ragged(
   }
   return 0;
 }
+
+// Per-read Z-tag equality mask: out[r] = 1 iff read r's (t0,t1) tag is
+// a Z string equal to want; want_len == 0 also matches an absent tag.
+// Replaces the per-read Python tag walk in read-group routing
+// (core/fragstats.py batch_rg_keep_mask).
+extern "C" int mt_tag_zmatch(
+    int64_t n, const int64_t* tag_off, const uint8_t* tags,
+    char t0, char t1, const uint8_t* want, int32_t want_len,
+    uint8_t* out) {
+  for (int64_t r = 0; r < n; r++) {
+    uint8_t ty;
+    const int64_t len = tag_off[r + 1] - tag_off[r];
+    const uint8_t* v = find_tag_value(tags + tag_off[r], len, t0, t1, &ty);
+    if (v == nullptr) { out[r] = (uint8_t)(want_len == 0); continue; }
+    if (ty != 'Z') { out[r] = 0; continue; }
+    const uint8_t* end = tags + tag_off[r + 1];
+    int32_t m = 0;
+    const uint8_t* p = v;
+    while (p < end && *p != 0 && m < want_len && *p == want[m]) { p++; m++; }
+    out[r] = (uint8_t)(m == want_len && p < end && *p == 0);
+  }
+  return 0;
+}
