@@ -649,11 +649,16 @@ class BamReader:
         chunks = self.index.query(tid, beg, end)
         # chunk ranges from the index are merged/disjoint, so records
         # cannot repeat across chunks; one native pass parses + filters
-        # them all into a single batch. read_range_arr inflates each
-        # chunk straight into one buffer (no per-block split/re-join).
+        # them all into a single batch. Large spans (phase-0/1 scans,
+        # same cutoff as the one-shot fetch-cache rule above) inflate
+        # straight into one buffer (read_range_arr: no per-block
+        # split/re-join, no LRU churn); small spans keep the block LRU
+        # warm for phase 2's repeated breakend-neighborhood reads.
+        rd = self._bgzf.read_range_arr \
+            if end - beg > self._FETCH_COVER_MAX_SPAN \
+            else self._bgzf.read_range
         return parse_records_multi(
-            [self._bgzf.read_range_arr(vs, ve) for vs, ve in chunks],
-            (tid, beg, end))
+            [rd(vs, ve) for vs, ve in chunks], (tid, beg, end))
 
 
 def open_alignment_reader(path: str, reference=None):
