@@ -158,6 +158,22 @@ def _shared_file_data(path: str):
 _INFLATE_POOL = None
 
 
+def _inflate_threads() -> int:
+    """Block-inflation concurrency: MANTA_TPU_IO_THREADS when set (the
+    workflow driver exports cpu/n_jobs so forked edge/segment workers
+    don't oversubscribe), else up to 16 — BGZF blocks are independent
+    deflate streams, and segment-scale reads on many-core hosts are
+    decompression-bound (the reference leans on htslib's bgzf thread
+    pool the same way)."""
+    env = os.environ.get("MANTA_TPU_IO_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(16, os.cpu_count() or 1)
+
+
 def _drop_inflate_pool():
     # fork() in a process with live executor threads leaves the child a
     # dead pool whose queue locks may be held — the child must build a
@@ -175,7 +191,7 @@ def _inflate_pool():
     if _INFLATE_POOL is None:
         import concurrent.futures
         _INFLATE_POOL = concurrent.futures.ThreadPoolExecutor(
-            min(4, os.cpu_count() or 1),
+            _inflate_threads(),
             thread_name_prefix="bgzf-inflate")
     return _INFLATE_POOL
 
@@ -206,7 +222,7 @@ def _native_inflate_batch(data, jobs) -> bool:
         n, arr.ctypes.data_as(u8p), comp_off.ctypes.data_as(i64p),
         comp_len.ctypes.data_as(i32p), out_blob.ctypes.data_as(u8p),
         out_off.ctypes.data_as(i64p),
-        min(4, os.cpu_count() or 1))
+        _inflate_threads())
     if rc != 0:
         return False
     for k, (ck, coff, _payload_off, bsize) in enumerate(jobs):
@@ -395,7 +411,7 @@ class BgzfReader:
                     comp_len.ctypes.data_as(i32p),
                     out.ctypes.data_as(u8p),
                     out_off.ctypes.data_as(i64p),
-                    min(4, os.cpu_count() or 1))
+                    _inflate_threads())
                 if rc != 0:
                     return np.frombuffer(self.read_range(vstart, vend),
                                          np.uint8)
@@ -408,7 +424,7 @@ class BgzfReader:
                     comp_len.ctypes.data_as(i32p),
                     scratch.ctypes.data_as(u8p),
                     span_off.ctypes.data_as(i64p),
-                    min(4, os.cpu_count() or 1))
+                    _inflate_threads())
                 if rc != 0:
                     return np.frombuffer(self.read_range(vstart, vend),
                                          np.uint8)

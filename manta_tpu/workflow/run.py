@@ -176,6 +176,13 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             n_jobs = max(1, min(n_jobs, int(mem_gb // 2)))
         except (ValueError, OSError):
             pass
+    # IO-thread budget for forked workers: the native BGZF inflater
+    # scales to min(16, cpus) by default, which oversubscribes when
+    # n_jobs workers inflate concurrently — hand each worker its share
+    # (inherited through fork; see io/bgzf._inflate_threads)
+    if "MANTA_TPU_IO_THREADS" not in os.environ and n_jobs > 1:
+        os.environ["MANTA_TPU_IO_THREADS"] = str(
+            max(1, min(16, (os.cpu_count() or 1) // n_jobs)))
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "workspace"), exist_ok=True)
