@@ -364,8 +364,6 @@ class _Tracker:
 def batch_rg_keep_mask(batch, rg: str) -> "np.ndarray":
     """Per-read mask: read's RG tag == rg (absent tag matches '');
     one native pass over the batch's tag blob (mt_tag_zmatch)."""
-    import ctypes
-
     from .._native import get_lib, i64p, u8p
     lib = get_lib()
     out = np.empty(batch.n, np.uint8)

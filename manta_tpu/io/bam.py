@@ -188,7 +188,6 @@ class ReadBatch:
 
         # one native memcpy pass per column (mt_gather_ragged) replaces
         # the per-run Python copy loop
-        import ctypes
         from .._native import get_lib, i64p, u8p
         lib = get_lib()
         idx64 = np.ascontiguousarray(idx, dtype=np.int64)

@@ -174,6 +174,17 @@ def _inflate_threads() -> int:
     return min(16, os.cpu_count() or 1)
 
 
+def set_worker_io_threads(n_workers: int):
+    """Called as the first action inside a forked phase worker: cap
+    this worker's inflation threads at its share of the host so
+    n_workers concurrent workers don't oversubscribe (the parent's
+    sequential phases keep the full min(16, cpus) budget). A user-set
+    MANTA_TPU_IO_THREADS, inherited through the fork, wins."""
+    os.environ.setdefault(
+        "MANTA_TPU_IO_THREADS",
+        str(max(1, min(16, (os.cpu_count() or 1) // max(1, n_workers)))))
+
+
 def _drop_inflate_pool():
     # fork() in a process with live executor threads leaves the child a
     # dead pool whose queue locks may be held — the child must build a
@@ -352,7 +363,7 @@ class BgzfReader:
         data = self._data
         nfile = len(data)
         # walk the block chain once, collecting sizes and cache hits
-        coffs, pay_offs, isizes, cached = [], [], [], []
+        coffs, pay_offs, pay_lens, isizes, cached = [], [], [], [], []
         coff = cstart
         total = 0
         last_coff = -1
@@ -361,19 +372,23 @@ class BgzfReader:
             if hit is not None:
                 payload, nxt = hit
                 isize = len(payload)
-                pay_off = -1
+                pay_off = pay_len = -1
             else:
                 try:
                     pay_off, bsize = _parse_block_header(data, coff)
+                    isize = struct.unpack_from(
+                        "<I", data, coff + bsize - 4)[0]
                 except (struct.error, IndexError, ValueError):
-                    # corrupt chain: let read_range raise with context
+                    # corrupt/truncated chain: let read_range raise
+                    # with file/offset context
                     return np.frombuffer(self.read_range(vstart, vend),
                                          np.uint8)
-                isize = struct.unpack_from("<I", data, coff + bsize - 4)[0]
+                pay_len = (coff + bsize - 8) - pay_off
                 nxt = coff + bsize
                 payload = None
             coffs.append(coff)
             pay_offs.append(pay_off)
+            pay_lens.append(pay_len)
             isizes.append(isize)
             cached.append(payload)
             total += isize
@@ -389,12 +404,8 @@ class BgzfReader:
         np.cumsum(isizes, out=out_off[1:])
         jobs = [k for k, p in enumerate(cached) if p is None]
         if jobs:
-            comp_off = np.empty(len(jobs), np.int64)
-            comp_len = np.empty(len(jobs), np.int32)
-            for m, k in enumerate(jobs):
-                comp_off[m] = pay_offs[k]
-                _, bsize_hdr = _parse_block_header(data, coffs[k])
-                comp_len[m] = (coffs[k] + bsize_hdr - 8) - pay_offs[k]
+            comp_off = np.array([pay_offs[k] for k in jobs], np.int64)
+            comp_len = np.array([pay_lens[k] for k in jobs], np.int32)
             # the native kernel derives each job's output span from
             # consecutive offset-table entries, so non-contiguous job
             # destinations (cache hits interleaved) go through a dense

@@ -176,13 +176,6 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             n_jobs = max(1, min(n_jobs, int(mem_gb // 2)))
         except (ValueError, OSError):
             pass
-    # IO-thread budget for forked workers: the native BGZF inflater
-    # scales to min(16, cpus) by default, which oversubscribes when
-    # n_jobs workers inflate concurrently — hand each worker its share
-    # (inherited through fork; see io/bgzf._inflate_threads)
-    if "MANTA_TPU_IO_THREADS" not in os.environ and n_jobs > 1:
-        os.environ["MANTA_TPU_IO_THREADS"] = str(
-            max(1, min(16, (os.cpu_count() or 1) // n_jobs)))
     os.makedirs(os.path.join(run_dir, "results", "variants"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results", "stats"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "workspace"), exist_ok=True)
@@ -257,6 +250,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             queue = ctx.SimpleQueue()
 
             def stats_worker(i, p):
+                from ..io.bgzf import set_worker_io_threads
+                set_worker_io_threads(min(n_jobs, len(bams)))
                 per_rg = extract_read_group_stats_set(
                     p, reference=reference,
                     default_stats=existing_align_stats,
@@ -820,6 +815,8 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
             return False
 
     def worker(bi, edges):
+        from ..io.bgzf import set_worker_io_threads
+        set_worker_io_threads(min(max(1, n_jobs), len(bins)))
         comps = build_components(f".{bi:04d}")
         log_lines = run_edges(comps, edges)
         for w in comps["writers"]:
@@ -1006,6 +1003,8 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         # one fork serves a CHUNK of groups, but each group still gets
         # its own independent graph + file (per-group merge semantics);
         # results stream back as each group finishes
+        from ..io.bgzf import set_worker_io_threads
+        set_worker_io_threads(min(n_jobs, len(groups)))
         fasta = FastaReader(reference)
         for gi, regions in chunk:
             part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,

@@ -3950,11 +3950,14 @@ extern "C" int mt_bgzf_inflate_batch(
     }
     libdeflate_free_decompressor(d);
   };
-  if (n_threads <= 1 || n_blocks < 4) {
+  // never spawn more threads than blocks: small prefetches on
+  // many-core hosts would otherwise churn mostly-idle threads
+  const int nt = (int)std::min<int64_t>(n_threads, n_blocks);
+  if (nt <= 1 || n_blocks < 4) {
     work();
   } else {
     std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+    for (int t = 0; t < nt; t++) ts.emplace_back(work);
     for (auto& t : ts) t.join();
   }
   return err.load();
