@@ -145,3 +145,67 @@ def test_bai_indexed_bounds(tumor_bam):
         assert int(batch.pos[sel].max()) < hi
         # declared chromosome far exceeds the data span in the demo BAM
         assert hi < r.header.ref_lengths[tid]
+
+
+def test_read_range_arr_matches_read_range(tumor_bam):
+    """Direct-buffer chunk inflation (read_range_arr) is byte-identical
+    to the per-block read_range path, cold and with interleaved cache
+    hits (reference: htslib bgzf_read over virtual offsets)."""
+    from manta_tpu.io.bam import BamReader
+    r = BamReader(tumor_bam)
+    bg = r.index, r._bgzf
+    idx, bg = bg
+    batch = r.read_all()
+    chunks = []
+    for tid in range(len(r.header.ref_names)):
+        sel = batch.refid == tid
+        if not sel.any():
+            continue
+        lo = int(batch.pos[sel].min())
+        for beg in range(lo, lo + 12000, 3700):
+            chunks.extend(idx.query(tid, beg, beg + 2500))
+    assert chunks
+    # cold: arr first
+    arrs = [bg.read_range_arr(vs, ve) for vs, ve in chunks]
+    for (vs, ve), a in zip(chunks, arrs):
+        assert bytes(bg.read_range(vs, ve)) == a.tobytes()
+    # warm/mixed: LRU now holds these blocks
+    vs0, ve0 = chunks[0][0], chunks[-1][1]
+    assert bytes(bg.read_range(vs0, ve0)) == \
+        bg.read_range_arr(vs0, ve0).tobytes()
+
+
+def test_subset_native_gather_random(normal_bam):
+    """mt_gather_ragged subset parity against per-row slicing for a
+    random non-contiguous selection."""
+    from manta_tpu.io.bam import BamReader
+    r = BamReader(normal_bam)
+    b = r.read_all()
+    rng = np.random.default_rng(7)
+    idx = np.sort(rng.choice(b.n, min(b.n, 257), replace=False))
+    s = b.subset(idx)
+    assert s.n == len(idx)
+    for si, bi in enumerate(idx.tolist()):
+        assert s.name_bytes(si) == b.name_bytes(bi)
+        assert s.tags[s.tag_off[si]:s.tag_off[si + 1]] == \
+            b.tags[b.tag_off[bi]:b.tag_off[bi + 1]]
+        np.testing.assert_array_equal(
+            s.cigar[s.cigar_off[si]:s.cigar_off[si + 1]],
+            b.cigar[b.cigar_off[bi]:b.cigar_off[bi + 1]])
+        np.testing.assert_array_equal(
+            s.seq[s.seq_off[si]:s.seq_off[si + 1]],
+            b.seq[b.seq_off[bi]:b.seq_off[bi + 1]])
+
+
+def test_rg_keep_mask_native(tumor_bam):
+    """mt_tag_zmatch RG routing parity against the per-read tag walk."""
+    from manta_tpu.io.bam import BamReader
+    from manta_tpu.core.fragstats import batch_rg_keep_mask
+    r = BamReader(tumor_bam)
+    b = r.read_all()
+    rgs = r.header.read_group_ids()
+    for rg in (list(rgs[:2]) + ["", "no-such-group"]):
+        got = batch_rg_keep_mask(b, rg)
+        want = np.array([(b.get_tag(i, b"RG") or "") == rg
+                         for i in range(b.n)])
+        np.testing.assert_array_equal(got, want)
