@@ -26,6 +26,13 @@ from ..scan.scanner import (
 )
 from .locusgraph import SVLocus, SVLocusSet, SVLocusSetOptions
 
+# phase-1 scan streaming grain: regions larger than this are fetched
+# and processed in position-partitioned sub-windows so a segment's
+# reads never sit fully parsed in memory (peak ~ depth x 2 Mb instead
+# of depth x 12 Mb; partitioning cannot change results — see the
+# streaming comment in estimate_sv_loci)
+_SCAN_SUBWINDOW = 2 << 20
+
 DENOISE_BORDER = 5000
 MIN_DENOISE_REGION_SIZE = 1000
 DEPTH_COMPRESSION = 16
@@ -273,11 +280,32 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
             # own +/-500 window (reference_contig_segment.hpp get_base)
             # and the semi-aligned test counts 'N' as a match
             # (SVLocusScannerSemiAligned.cpp:45-50), matching our
-            # scanner's out-of-window handling
-            batches = [r.fetch(tid, beg, end) for r in readers]
-            # interleave samples by position (the reference's k-way
-            # merge order)
-            _run_merged(finder, batches, merge_sorted_batches(batches))
+            # scanner's out-of-window handling.
+            #
+            # The region streams through the finder in position-
+            # partitioned sub-windows (the reference's bam iterator
+            # streams one record at a time, so a 12 Mb segment never
+            # sits in memory at once; an eager whole-segment parse
+            # peaks at GBs on deep data). Window 0 keeps the overlap
+            # fetch (pos < w1 and end > beg, admitting reads starting
+            # before the region); later windows keep pos in [wk, wk+1)
+            # only, so the union and the stream order are exactly the
+            # whole-region fetch's.
+            w0 = beg
+            first = True
+            while w0 < end or first:
+                w1 = min(end, w0 + _SCAN_SUBWINDOW)
+                batches = [r.fetch(tid, beg if first else w0, w1)
+                           for r in readers]
+                if not first:
+                    batches = [b.subset(b.pos >= w0)
+                               if b.n and b.pos[0] < w0 else b
+                               for b in batches]
+                # interleave samples by position (the reference's k-way
+                # merge order)
+                _run_merged(finder, batches, merge_sorted_batches(batches))
+                first = False
+                w0 = w1
             finder.flush()
             for si, c in enumerate(finder.counts):
                 merged = sample_counts[si]

@@ -116,6 +116,14 @@ class ReadBatch:
     def read_len(self, i: int) -> int:
         return int(self.seq_off[i + 1] - self.seq_off[i])
 
+    def approx_bytes(self) -> int:
+        """Approximate resident size of this batch's columns, used for
+        byte-budgeted cache accounting (ragged blobs + ~64 B/read of
+        fixed columns and offsets)."""
+        return (int(self.cigar_off[-1]) * 4 + int(self.seq_off[-1]) * 2 +
+                int(self.name_off[-1]) + int(self.tag_off[-1]) +
+                self.n * 64)
+
     @property
     def aligned_lengths(self) -> np.ndarray:
         """Reference-consumed length per read (M/D/N/=/X), vectorized."""
@@ -571,17 +579,35 @@ class BamReader:
                    * os.sysconf("SC_PHYS_PAGES")) / 1e9
     except (ValueError, OSError, AttributeError):
         _MEM_GB = 8.0
-    _FETCH_CACHE_SIZE = 1536 if _MEM_GB >= 64 else 192
-    _FETCH_COVER_SIZE = 512 if _MEM_GB >= 64 else 64
+    # byte budgets, not entry counts: parsed-batch entry sizes scale
+    # with sequencing depth, so a count cap lets deep data (FFPE,
+    # high-depth panels) blow past any memory expectation while a byte
+    # budget keeps the caller's peak bounded regardless of depth
+    _FETCH_CACHE_BYTES = (1 << 30) if _MEM_GB >= 64 else (96 << 20)
+    _COVER_CACHE_BYTES = (3 << 29) if _MEM_GB >= 64 else (128 << 20)
     _FETCH_COVER_PAD = 4096
     _FETCH_COVER_MAX_SPAN = 65536
 
     # parsed-batch caches are process-wide (keyed by file identity):
     # the pipeline opens many readers over the same alignment file
     # (assembly, pair scoring, split scoring, evidence output), and
-    # their fetch patterns overlap heavily around each breakend
+    # their fetch patterns overlap heavily around each breakend.
+    # Values are (batch, approx_bytes); *_SZ boxes hold running totals.
     _FETCH_CACHE: dict = {}
+    _FETCH_CACHE_SZ = [0]
     _COVER_CACHE: dict = {}
+    _COVER_CACHE_SZ = [0]
+
+    @staticmethod
+    def _cache_put(cache, size_box, budget, key, batch):
+        nbytes = batch.approx_bytes()
+        if nbytes > budget:
+            return  # a single over-budget batch would evict everything
+        while size_box[0] + nbytes > budget and cache:
+            k = next(iter(cache))  # oldest insertion
+            size_box[0] -= cache.pop(k)[1]
+        cache[key] = (batch, nbytes)
+        size_box[0] += nbytes
 
     def fetch(self, ref: str | int, beg: int, end: int) -> ReadBatch:
         """All reads overlapping [beg, end) (0-based half-open).
@@ -596,7 +622,7 @@ class BamReader:
         key = (fk, tid, beg, end)
         hit = cache.get(key)
         if hit is not None:
-            return hit
+            return hit[0]
         # covering-window cache: phase-2 edge processing issues many
         # slightly-different fetches around each breakend (assembly,
         # pair support, split support), so exact keys rarely repeat.
@@ -616,7 +642,7 @@ class BamReader:
         for (cfk, ctid, cbeg, cend), cb in covers.items():
             if cfk == fk and ctid == tid and cbeg <= cov_beg and \
                     cend >= end:
-                sup = cb
+                sup = cb[0]
                 break
         if sup is None:
             # quantize cover bounds to a coarse grid: the per-edge fetch
@@ -627,17 +653,14 @@ class BamReader:
             cbeg = max(0, cov_beg - self._FETCH_COVER_PAD) // q * q
             cend = -(-(end + self._FETCH_COVER_PAD) // q) * q
             sup = self._fetch_uncached(tid, cbeg, cend)
-            if len(covers) >= self._FETCH_COVER_SIZE:
-                for k in list(covers)[:self._FETCH_COVER_SIZE // 2]:
-                    del covers[k]
-            covers[(fk, tid, cbeg, cend)] = sup
+            BamReader._cache_put(covers, BamReader._COVER_CACHE_SZ,
+                                 self._COVER_CACHE_BYTES,
+                                 (fk, tid, cbeg, cend), sup)
         end_pos = np.maximum(sup.end_pos, sup.pos + 1)
         keep = (sup.pos < end) & (end_pos > beg)
         out = sup if keep.all() else sup.subset(keep)
-        if len(cache) >= self._FETCH_CACHE_SIZE:
-            for k in list(cache)[:self._FETCH_CACHE_SIZE // 2]:
-                del cache[k]
-        cache[key] = out
+        BamReader._cache_put(cache, BamReader._FETCH_CACHE_SZ,
+                             self._FETCH_CACHE_BYTES, key, out)
         return out
 
     def _fetch_uncached(self, tid: int, beg: int, end: int) -> ReadBatch:
