@@ -101,8 +101,22 @@ def generate(tiles: int, out_prefix: str):
         return out
 
     bam_path = out_prefix + ".bam"
-    w = BamWriter(bam_path, src.header.text, src.header.ref_names,
-                  src.header.ref_lengths)
+    # declared reference lengths must cover the tiled layout: reusing
+    # the source header's hg19 lengths silently clips tiles whose
+    # positions land past the declared chromosome end (chr11 at 135 Mb
+    # caps out at 5000 tiles of SPAN11) — the scanner plans segments
+    # from the header, so clipped tiles are never scanned
+    tiled_lengths = []
+    for name, old_len in zip(src.header.ref_names,
+                             src.header.ref_lengths):
+        span = SPAN8 if name == "8" else SPAN11 if name == "11" else None
+        tiled_lengths.append(
+            old_len if span is None else 2000 + span * tiles)
+    import re as _re
+    text = src.header.text
+    for name, ln in zip(src.header.ref_names, tiled_lengths):
+        text = _re.sub(rf"(@SQ\tSN:{name}\tLN:)\d+", rf"\g<1>{ln}", text)
+    w = BamWriter(bam_path, text, src.header.ref_names, tiled_lengths)
     total = 0
     for tile in range(tiles):
         s8 = shift(b8, W8[0], SPAN8, tile)
