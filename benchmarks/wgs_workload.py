@@ -1,0 +1,720 @@
+"""WGS-shaped validation workload: multi-chromosome diploid genome with
+a heterogeneous SV mix at realistic density, plus a self-consistent
+truth oracle.
+
+The round-2 stress workload (stress_workload.py) tiles one somatic
+junction at ~290x — deep, narrow, homogeneous. The reference's headline
+case is the opposite: 30-50x WGS germline, wide and shallow, with a mix
+of DEL/INS/DUP/INV/BND at ~1 SV per 100 kb plus background noise
+(reference: docs/userGuide/README.md:474-492). This generator builds
+that shape hermetically:
+
+  - N chromosomes of random sequence (default 8 x 16 Mb = 128 Mb);
+  - two haplotypes per sample, each a segment mosaic over the reference
+    (deletions, novel insertions, tandem duplications, inversions, and
+    reciprocal translocations), het or hom genotypes;
+  - paired-end reads drawn uniformly from each haplotype and emitted as
+    the alignments a mapper would produce: full-match CIGARs inside
+    segments (inverted segments flip strand), soft-clips at junction
+    crossings, shadow mates inside novel insertions, anomalous template
+    sizes/orientations across junctions, and a low rate of random
+    mismapped-pair noise to exercise graph denoising;
+  - a truth TSV (chrom, pos, type, size, genotype) and a checker that
+    runs the germline workflow and scores recall / genotype accuracy /
+    precision against it.
+
+All bulk work is vectorized numpy; only junction-adjacent reads
+(~0.5% at default density) take the scalar path.
+
+Usage:
+  python benchmarks/wgs_workload.py --out /tmp/wgs --chroms 8 --mb 16
+  python benchmarks/wgs_workload.py --out /tmp/wgs --check [--jobs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from manta_tpu.io.bam import ReadBatch          # noqa: E402
+from manta_tpu.io.bamwriter import BamWriter    # noqa: E402
+
+READ_LEN = 100
+FRAG_MEAN, FRAG_SD, FRAG_LO, FRAG_HI = 300, 30, 200, 450
+MIN_ANCHOR = 20          # min aligned bases to anchor a junction read
+BASES = np.frombuffer(b"ACGT", np.uint8)
+_RC = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGTN", b"TGCAN"):
+    _RC[_a] = _b
+
+
+def revcomp(a: np.ndarray) -> np.ndarray:
+    return _RC[a[::-1]]
+
+
+# --------------------------------------------------------------- genome
+
+def make_truth(rng, chrom_lens, spacing_kb=100, n_transloc=2):
+    """Plan the SV truth set. Returns (svs, translocs).
+
+    svs: list of dict(chrom_i, pos, type, size, gt, ins_seq)
+    translocs: list of dict(chrom_a, pos_a, chrom_b, pos_b, gt)
+    """
+    svs = []
+    types = ["DEL", "INS", "DUP", "INV"]
+    probs = [0.35, 0.25, 0.20, 0.20]
+    for ci, clen in enumerate(chrom_lens):
+        spacing = spacing_kb * 1000
+        pos = 20000
+        while pos < clen - 30000:
+            p = pos + int(rng.integers(0, spacing // 2))
+            typ = rng.choice(types, p=probs)
+            # log-uniform sizes, 100 b .. 8 kb
+            size = int(np.exp(rng.uniform(np.log(100), np.log(8000))))
+            gt = "het" if rng.random() < 0.6 else "hom"
+            ins_seq = BASES[rng.integers(0, 4, size)] if typ == "INS" \
+                else None
+            if p + size < clen - 25000:
+                svs.append(dict(chrom_i=ci, pos=p, type=typ, size=size,
+                                gt=gt, ins_seq=ins_seq))
+            pos += spacing + (size if typ != "INS" else 0)
+    translocs = []
+    nc = len(chrom_lens)
+    for k in range(min(n_transloc, nc // 2)):
+        ca, cb = 2 * k, 2 * k + 1
+        pa = int(chrom_lens[ca] * rng.uniform(0.35, 0.65))
+        pb = int(chrom_lens[cb] * rng.uniform(0.35, 0.65))
+        translocs.append(dict(chrom_a=ca, pos_a=pa, chrom_b=cb, pos_b=pb,
+                              gt="het"))
+    return svs, translocs
+
+
+class DerivedChrom:
+    """One haplotype chromosome: a mosaic of reference segments and
+    novel sequence. Segments: (hap_beg, tid, ref_beg, ref_end, strand)
+    with tid = -1 for novel segments (ref_beg indexes novel_blob)."""
+
+    def __init__(self):
+        self.segs = []              # rows appended then frozen to arrays
+        self.novel = []             # list of uint8 arrays
+        self._hap_len = 0
+
+    def add_ref(self, tid, beg, end, strand=1):
+        if end <= beg:
+            return
+        self.segs.append((self._hap_len, tid, beg, end, strand))
+        self._hap_len += end - beg
+
+    def add_novel(self, seq):
+        off = sum(len(s) for s in self.novel)
+        self.novel.append(seq)
+        self.segs.append((self._hap_len, -1, off, off + len(seq), 1))
+        self._hap_len += len(seq)
+
+    def freeze(self, ref_seqs):
+        self.hap_beg = np.array([s[0] for s in self.segs], np.int64)
+        self.tid = np.array([s[1] for s in self.segs], np.int32)
+        self.ref_beg = np.array([s[2] for s in self.segs], np.int64)
+        self.ref_end = np.array([s[3] for s in self.segs], np.int64)
+        self.strand = np.array([s[4] for s in self.segs], np.int8)
+        self.hap_len = self._hap_len
+        novel_blob = (np.concatenate(self.novel) if self.novel
+                      else np.zeros(0, np.uint8))
+        parts = []
+        for _, tid, beg, end, strand in self.segs:
+            chunk = (novel_blob[beg:end] if tid < 0
+                     else ref_seqs[tid][beg:end])
+            parts.append(revcomp(chunk) if strand < 0 else chunk)
+        self.seq = (np.concatenate(parts) if parts
+                    else np.zeros(0, np.uint8))
+        return self
+
+
+def build_haplotypes(ref_seqs, chrom_lens, svs, translocs):
+    """Two haplotypes as lists of DerivedChrom."""
+    haps = []
+    for h in (0, 1):
+        # chromosome arms after translocation surgery (het: hap 0 only)
+        # derived chrom plan: per source chrom, the (tid, cut) rewiring
+        joined = {}           # ci -> (tail_tid, tail_cut) after cut
+        cuts = {}             # ci -> cut position (own arm ends there)
+        for tr in translocs:
+            if tr["gt"] == "het" and h != 0:
+                continue
+            cuts[tr["chrom_a"]] = tr["pos_a"]
+            cuts[tr["chrom_b"]] = tr["pos_b"]
+            joined[tr["chrom_a"]] = (tr["chrom_b"], tr["pos_b"])
+            joined[tr["chrom_b"]] = (tr["chrom_a"], tr["pos_a"])
+
+        per_chrom_svs = {}
+        for sv in svs:
+            if sv["gt"] == "het" and h != 0:
+                continue
+            per_chrom_svs.setdefault(sv["chrom_i"], []).append(sv)
+
+        def emit_ref_span(dc, tid, beg, end):
+            """Append [beg,end) of source chrom tid, applying its SVs."""
+            cursor = beg
+            for sv in sorted(per_chrom_svs.get(tid, []),
+                             key=lambda s: s["pos"]):
+                p, size = sv["pos"], sv["size"]
+                if p < beg or p + size > end:
+                    continue
+                typ = sv["type"]
+                if typ == "DEL":
+                    dc.add_ref(tid, cursor, p)
+                    cursor = p + size
+                elif typ == "INS":
+                    dc.add_ref(tid, cursor, p)
+                    dc.add_novel(sv["ins_seq"])
+                    cursor = p
+                elif typ == "DUP":
+                    dc.add_ref(tid, cursor, p + size)
+                    dc.add_ref(tid, p, p + size)      # second copy
+                    cursor = p + size
+                elif typ == "INV":
+                    dc.add_ref(tid, cursor, p)
+                    dc.add_ref(tid, p, p + size, strand=-1)
+                    cursor = p + size
+            dc.add_ref(tid, cursor, end)
+
+        out = []
+        for ci, clen in enumerate(chrom_lens):
+            dc = DerivedChrom()
+            if ci in cuts:
+                emit_ref_span(dc, ci, 0, cuts[ci])
+                jt, jc = joined[ci]
+                emit_ref_span(dc, jt, jc, chrom_lens[jt])
+            else:
+                emit_ref_span(dc, ci, 0, clen)
+            out.append(dc.freeze(ref_seqs))
+        haps.append(out)
+    return haps
+
+
+# ------------------------------------------------------------ simulation
+
+def _map_regular(dc, seg, start, L):
+    """(tid, refpos, refstrand) for reads fully inside ref segment."""
+    off = start - dc.hap_beg[seg]
+    fwd = dc.strand[seg] > 0
+    pos = np.where(fwd, dc.ref_beg[seg] + off,
+                   dc.ref_end[seg] - off - L)
+    return dc.tid[seg], pos.astype(np.int64), ~fwd
+
+
+def _names(prefix: bytes, ids: np.ndarray):
+    """Flat name blob + offsets for b'{prefix}{id}' names."""
+    s = np.char.add(prefix.decode(), ids.astype("U10"))
+    joined = "".join(s.tolist()).encode()
+    lens = np.char.str_len(s).astype(np.int64)
+    off = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    return np.frombuffer(joined, np.uint8), off
+
+
+def _bulk_batch(ref_seqs, tid1, pos1, rev1, tid2, pos2, rev2,
+                frag_ids, err_rate, rng):
+    """Vectorized ReadBatch for regular (full-match) pairs."""
+    n = len(tid1)
+    L = READ_LEN
+    tid = np.empty(2 * n, np.int32)
+    pos = np.empty(2 * n, np.int64)
+    rev = np.empty(2 * n, bool)
+    tid[0::2], tid[1::2] = tid1, tid2
+    pos[0::2], pos[1::2] = pos1, pos2
+    rev[0::2], rev[1::2] = rev1, rev2
+
+    # flags
+    flag = np.full(2 * n, 0x1, np.uint16)
+    flag[0::2] |= 0x40
+    flag[1::2] |= 0x80
+    flag |= np.where(rev, 0x10, 0).astype(np.uint16)
+    mrev = np.empty(2 * n, bool)
+    mrev[0::2], mrev[1::2] = rev[1::2], rev[0::2]
+    flag |= np.where(mrev, 0x20, 0).astype(np.uint16)
+
+    # tlen (leftmost-forward convention) + proper-pair flag
+    same = tid1 == tid2
+    lo = np.minimum(pos1, pos2)
+    hi = np.maximum(pos1, pos2) + L
+    span = np.where(same, hi - lo, 0)
+    s1 = np.where(same, np.where(pos1 <= pos2, span, -span), 0)
+    # FR innie: leftmost mate forward, rightmost reverse
+    left_rev = np.where(pos1 <= pos2, rev1, rev2)
+    right_rev = np.where(pos1 <= pos2, rev2, rev1)
+    proper = same & (~left_rev) & right_rev & (span < 1200) & (span >= L)
+    tlen = np.empty(2 * n, np.int32)
+    tlen[0::2], tlen[1::2] = s1, -s1
+    flag |= np.where(np.repeat(proper, 2), 0x2, 0).astype(np.uint16)
+
+    # seq gather: ref-forward bases per read, chunked per chromosome
+    seq = np.empty(2 * n * L, np.uint8).reshape(2 * n, L)
+    for t in np.unique(tid):
+        m = tid == t
+        seq[m] = ref_seqs[t][pos[m, None] + np.arange(L)[None, :]]
+    if err_rate > 0:
+        nerr = rng.binomial(2 * n * L, err_rate)
+        if nerr:
+            flat = seq.reshape(-1)
+            at = rng.integers(0, flat.size, nerr)
+            flat[at] = BASES[(rng.integers(1, 4, nerr) +
+                              np.searchsorted(BASES, flat[at])) % 4]
+
+    name, name_off = _names(b"w", np.repeat(frag_ids, 2))
+    k = np.arange(2 * n, dtype=np.int64)
+    nref = np.empty(2 * n, np.int32)
+    npos = np.empty(2 * n, np.int64)
+    nref[0::2], nref[1::2] = tid2, tid1
+    npos[0::2], npos[1::2] = pos2, pos1
+    return ReadBatch(
+        n=2 * n, refid=tid, pos=pos.astype(np.int32),
+        mapq=np.full(2 * n, 60, np.uint8), flag=flag,
+        next_refid=nref, next_pos=npos.astype(np.int32), tlen=tlen,
+        cigar_off=np.arange(2 * n + 1, dtype=np.int64),
+        cigar=np.full(2 * n, (L << 4) | 0, np.uint32),
+        seq_off=np.arange(2 * n + 1, dtype=np.int64) * L,
+        seq=seq.reshape(-1),
+        qual_off=np.arange(2 * n + 1, dtype=np.int64) * L,
+        qual=np.full(2 * n * L, 35, np.uint8),
+        name_off=name_off, name=name,
+        tag_off=np.zeros(2 * n + 1, np.int64), tags=b"")
+
+
+def _map_irregular(dc, start):
+    """Scalar mapping of one read at hap pos `start`: returns
+    (tid, pos, cigar_str, rev, stored_seq) or None if unmappable.
+    Anchors on whichever end has >= MIN_ANCHOR ref bases in one
+    segment; the remainder is soft-clipped."""
+    L = READ_LEN
+    sa = int(np.searchsorted(dc.hap_beg, start, "right") - 1)
+    sb = int(np.searchsorted(dc.hap_beg, start + L - 1, "right") - 1)
+    hap_seq = dc.seq[start:start + L]
+
+    def seg_end(s):
+        return (dc.hap_beg[s + 1] if s + 1 < len(dc.hap_beg)
+                else dc.hap_len)
+
+    # left anchor
+    left_len = min(seg_end(sa), start + L) - start
+    if dc.tid[sa] >= 0 and left_len >= MIN_ANCHOR:
+        off = start - dc.hap_beg[sa]
+        clip = L - left_len
+        if dc.strand[sa] > 0:
+            cig = f"{left_len}M{clip}S" if clip else f"{L}M"
+            return (int(dc.tid[sa]), int(dc.ref_beg[sa] + off), cig,
+                    False, hap_seq)
+        cig = f"{clip}S{left_len}M" if clip else f"{L}M"
+        return (int(dc.tid[sa]),
+                int(dc.ref_end[sa] - off - left_len), cig,
+                True, revcomp(hap_seq))
+    # right anchor
+    right_len = start + L - max(dc.hap_beg[sb], start)
+    if dc.tid[sb] >= 0 and right_len >= MIN_ANCHOR:
+        clip = L - right_len
+        if dc.strand[sb] > 0:
+            cig = f"{clip}S{right_len}M" if clip else f"{L}M"
+            return (int(dc.tid[sb]), int(dc.ref_beg[sb] +
+                                         (start + L - dc.hap_beg[sb]) -
+                                         right_len), cig, False, hap_seq)
+        off_end = start + L - dc.hap_beg[sb]
+        cig = f"{right_len}M{clip}S" if clip else f"{L}M"
+        return (int(dc.tid[sb]),
+                int(dc.ref_end[sb] - off_end), cig,
+                True, revcomp(hap_seq))
+    return None
+
+
+def _irregular_reads(dc, starts1, starts2, frag_ids):
+    """Scalar path: read dicts for fragments near junctions."""
+    from manta_tpu.core import cigar as cg
+    rows = []
+    for p1, p2, fid in zip(starts1.tolist(), starts2.tolist(),
+                           frag_ids.tolist()):
+        m1 = _map_irregular(dc, p1)
+        m2 = _map_irregular(dc, p2)
+        if m1 is None and m2 is None:
+            continue
+        name = f"w{fid}"
+        recs = []
+        for mi, (m, other, first) in enumerate(
+                (((m1), m2, True), ((m2), m1, False))):
+            hap_start = p1 if first else p2
+            phys_rev = not first          # r2 sequenced hap-reverse
+            if m is None:                 # shadow at mate
+                o_tid, o_pos = other[0], other[1]
+                seq = dc.seq[hap_start:hap_start + READ_LEN]
+                recs.append(dict(refid=o_tid, pos=o_pos, mapq=0,
+                                 cigar="", seq=seq,
+                                 flag=0x1 | 0x4 | (0x40 if first else 0x80),
+                                 rev=False, next_refid=o_tid,
+                                 next_pos=o_pos, name=name))
+                continue
+            tid, pos, cig, seg_rev, seq = m
+            rev = seg_rev ^ phys_rev
+            # stored seq orientation: ref-forward. m returns seq for a
+            # hap-forward read; physical r2 reverse does not change the
+            # ref-forward stored bases.
+            recs.append(dict(refid=tid, pos=pos, mapq=60, cigar=cig,
+                             seq=seq, rev=rev,
+                             flag=0x1 | (0x40 if first else 0x80) |
+                             (0x10 if rev else 0), name=name))
+        # cross-link mates
+        if len(recs) == 2:
+            a, b = recs
+            a["next_refid"], a["next_pos"] = b["refid"], b["pos"]
+            b["next_refid"], b["next_pos"] = a["refid"], a["pos"]
+            a["flag"] |= 0x20 if (b["flag"] & 0x10) else 0
+            b["flag"] |= 0x20 if (a["flag"] & 0x10) else 0
+            if (a["flag"] | b["flag"]) & 0x4:
+                a["flag"] |= 0x8 if (b["flag"] & 0x4) else 0
+                b["flag"] |= 0x8 if (a["flag"] & 0x4) else 0
+                a["tlen"] = b["tlen"] = 0
+            elif a["refid"] == b["refid"]:
+                # aligned span from cigar
+                def span(r):
+                    ops, lens = cg.string_to_arrays(r["cigar"])
+                    return int(lens[(ops == 0) | (ops == 2)].sum())
+                lo = min(a["pos"], b["pos"])
+                hi = max(a["pos"] + span(a), b["pos"] + span(b))
+                s = hi - lo
+                first_left = a["pos"] <= b["pos"]
+                a["tlen"] = s if first_left else -s
+                b["tlen"] = -a["tlen"]
+            else:
+                a["tlen"] = b["tlen"] = 0
+        rows.extend(recs)
+    return rows
+
+
+def _rows_to_batch(rows):
+    from manta_tpu.core import cigar as cg
+    n = len(rows)
+    if n == 0:
+        return None
+    refid = np.zeros(n, np.int32); pos = np.zeros(n, np.int32)
+    mapq = np.zeros(n, np.uint8); flag = np.zeros(n, np.uint16)
+    nref = np.zeros(n, np.int32); npos = np.zeros(n, np.int32)
+    tlen = np.zeros(n, np.int32)
+    cig_off = np.zeros(n + 1, np.int64)
+    seq_off = np.zeros(n + 1, np.int64)
+    name_off = np.zeros(n + 1, np.int64)
+    cigs, seqs, names = [], [], []
+    for i, r in enumerate(rows):
+        refid[i] = r["refid"]; pos[i] = r["pos"]
+        mapq[i] = r["mapq"]; flag[i] = r["flag"]
+        nref[i] = r.get("next_refid", -1)
+        npos[i] = r.get("next_pos", -1)
+        tlen[i] = r.get("tlen", 0)
+        if r["cigar"]:
+            ops, lens = cg.string_to_arrays(r["cigar"])
+            cigs.append((lens.astype(np.uint32) << 4) |
+                        ops.astype(np.uint32))
+        else:
+            cigs.append(np.zeros(0, np.uint32))
+        seqs.append(np.asarray(r["seq"], np.uint8))
+        names.append(np.frombuffer(r["name"].encode(), np.uint8))
+        cig_off[i + 1] = cig_off[i] + len(cigs[-1])
+        seq_off[i + 1] = seq_off[i] + len(seqs[-1])
+        name_off[i + 1] = name_off[i] + len(names[-1])
+    seq = np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)
+    return ReadBatch(
+        n=n, refid=refid, pos=pos, mapq=mapq, flag=flag,
+        next_refid=nref, next_pos=npos, tlen=tlen,
+        cigar_off=cig_off,
+        cigar=(np.concatenate(cigs) if cigs else np.zeros(0, np.uint32)),
+        seq_off=seq_off, seq=seq,
+        qual_off=seq_off.copy(), qual=np.full(len(seq), 35, np.uint8),
+        name_off=name_off,
+        name=(np.concatenate(names) if names else np.zeros(0, np.uint8)),
+        tag_off=np.zeros(n + 1, np.int64), tags=b"")
+
+
+def simulate(rng, ref_seqs, haps, writer, depth, err_rate=0.001,
+             noise_rate=1e-4, chunk_frags=400_000, log=print):
+    """Stream reads from both haplotypes into `writer`."""
+    next_fid = 0
+    for h, dchroms in enumerate(haps):
+        for dc in dchroms:
+            if dc.hap_len < FRAG_HI + 2:
+                continue
+            n_frags = int(depth / 2 * dc.hap_len / (2 * READ_LEN))
+            done = 0
+            while done < n_frags:
+                n = min(chunk_frags, n_frags - done)
+                done += n
+                frag = rng.normal(FRAG_MEAN, FRAG_SD, n)
+                frag = np.clip(frag, FRAG_LO, FRAG_HI).astype(np.int64)
+                p1 = rng.integers(0, dc.hap_len - frag - 1)
+                p2 = p1 + frag - READ_LEN
+                fids = np.arange(next_fid, next_fid + n)
+                next_fid += n
+
+                sa1 = np.searchsorted(dc.hap_beg, p1, "right") - 1
+                sb1 = np.searchsorted(dc.hap_beg, p1 + READ_LEN - 1,
+                                      "right") - 1
+                sa2 = np.searchsorted(dc.hap_beg, p2, "right") - 1
+                sb2 = np.searchsorted(dc.hap_beg, p2 + READ_LEN - 1,
+                                      "right") - 1
+                reg = ((sa1 == sb1) & (sa2 == sb2) &
+                       (dc.tid[sa1] >= 0) & (dc.tid[sa2] >= 0))
+
+                # noise: a small fraction of regular pairs get the
+                # mate teleported (mismapping), making sparse
+                # anomalous-pair noise for the denoiser
+                noise = reg & (rng.random(n) < noise_rate)
+                regn = reg & ~noise
+
+                t1, q1, r1 = _map_regular(dc, sa1[regn], p1[regn],
+                                          READ_LEN)
+                t2, q2, r2 = _map_regular(dc, sa2[regn], p2[regn],
+                                          READ_LEN)
+                # physical orientation: r1 hap-forward, r2 hap-reverse
+                r1 = r1 ^ False
+                r2 = ~r2
+                batch = _bulk_batch(ref_seqs, t1, q1, r1, t2, q2, r2,
+                                    fids[regn], err_rate, rng)
+                writer.add_batch(batch)
+
+                if noise.any():
+                    nt1, nq1, nr1 = _map_regular(
+                        dc, sa1[noise], p1[noise], READ_LEN)
+                    nn = int(noise.sum())
+                    nt2 = rng.integers(0, len(ref_seqs), nn)
+                    nq2 = np.array(
+                        [rng.integers(0, len(ref_seqs[t]) - READ_LEN)
+                         for t in nt2], np.int64)
+                    nr2 = rng.random(nn) < 0.5
+                    nb = _bulk_batch(ref_seqs, nt1, nq1, nr1 ^ False,
+                                     nt2, nq2, nr2, fids[noise],
+                                     err_rate, rng)
+                    writer.add_batch(nb)
+
+                irr = ~reg
+                if irr.any():
+                    rows = _irregular_reads(dc, p1[irr], p2[irr],
+                                            fids[irr])
+                    b = _rows_to_batch(rows)
+                    if b is not None:
+                        writer.add_batch(b)
+            log(f"hap{h} chrom len={dc.hap_len}: {n_frags} fragments")
+
+
+class _BatchWriter:
+    """Adapter: whole-batch adds into BamWriter's group list."""
+
+    def __init__(self, bw: BamWriter):
+        self.bw = bw
+        self.n_reads = 0
+
+    def add_batch(self, batch: ReadBatch):
+        self.bw._groups.append(
+            [batch, list(range(batch.n)), [b""] * batch.n])
+        self.n_reads += batch.n
+
+
+# --------------------------------------------------------------- output
+
+def write_fasta(path, names, seqs):
+    with open(path, "w") as f, open(path + ".fai", "w") as fi:
+        off = 0
+        for name, seq in zip(names, seqs):
+            f.write(f">{name}\n")
+            off += len(name) + 2
+            fi.write(f"{name}\t{len(seq)}\t{off}\t70\t71\n")
+            b = bytes(seq)
+            for i in range(0, len(b), 70):
+                f.write(b[i:i + 70].decode() + "\n")
+            off += len(b) + (len(b) + 69) // 70
+
+
+def generate(args):
+    rng = np.random.default_rng(args.seed)
+    nC = args.chroms
+    chrom_lens = [args.mb * 1_000_000] * nC
+    names = [f"chr{i + 1}" for i in range(nC)]
+    t0 = time.time()
+    ref_seqs = [BASES[rng.integers(0, 4, L)] for L in chrom_lens]
+    print(f"[{time.time() - t0:6.1f}s] reference built "
+          f"({sum(chrom_lens) / 1e6:.0f} Mb)")
+
+    svs, translocs = make_truth(rng, chrom_lens,
+                                spacing_kb=args.spacing_kb,
+                                n_transloc=args.translocs)
+    with open(args.out + ".truth.tsv", "w") as f:
+        f.write("chrom\tpos\ttype\tsize\tgt\n")
+        for sv in svs:
+            f.write(f"{names[sv['chrom_i']]}\t{sv['pos']}\t{sv['type']}"
+                    f"\t{sv['size']}\t{sv['gt']}\n")
+        for tr in translocs:
+            f.write(f"{names[tr['chrom_a']]}\t{tr['pos_a']}\tBND\t0\t"
+                    f"{tr['gt']}:{names[tr['chrom_b']]}:{tr['pos_b']}\n")
+    print(f"[{time.time() - t0:6.1f}s] truth: {len(svs)} SVs + "
+          f"{len(translocs)} translocations")
+
+    write_fasta(args.out + ".fa", names, ref_seqs)
+    haps = build_haplotypes(ref_seqs, chrom_lens, svs, translocs)
+    print(f"[{time.time() - t0:6.1f}s] haplotypes built")
+
+    header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{L}\n" for n, L in zip(names, chrom_lens)
+    ) + "@RG\tID:rg1\tSM:WGS1\n"
+    bw = BamWriter(args.out + ".bam", header, names, chrom_lens)
+    w = _BatchWriter(bw)
+    simulate(rng, ref_seqs, haps, w, args.depth,
+             err_rate=args.err_rate, noise_rate=args.noise_rate,
+             log=lambda m: print(f"[{time.time() - t0:6.1f}s] {m}"))
+    print(f"[{time.time() - t0:6.1f}s] encoding + sorting "
+          f"{w.n_reads} reads")
+    bw.close()
+    print(f"[{time.time() - t0:6.1f}s] wrote {args.out}.bam "
+          f"({w.n_reads} reads, {args.depth}x nominal)")
+
+
+# -------------------------------------------------------------- checker
+
+def parse_vcf_records(path):
+    import gzip
+    import re
+    op = gzip.open if path.endswith(".gz") else open
+    recs = []
+    with op(path, "rt") as f:
+        for ln in f:
+            if ln.startswith("#"):
+                continue
+            c = ln.rstrip("\n").split("\t")
+            info = dict(kv.split("=", 1) if "=" in kv else (kv, True)
+                        for kv in c[7].split(";"))
+            gt = ""
+            if len(c) > 9:
+                fmt = c[8].split(":")
+                if "GT" in fmt:
+                    gt = c[9].split(":")[fmt.index("GT")]
+            svtype = info.get("SVTYPE", "")
+            if not svtype:
+                m = re.match(r"^Manta(\w+?):", c[2])
+                svtype = m.group(1) if m else ""
+            recs.append(dict(chrom=c[0], pos=int(c[1]), id=c[2],
+                             ref=c[3], alt=c[4], filter=c[6],
+                             info=info, gt=gt, svtype=svtype))
+    return recs
+
+
+def check(args):
+    """Run the germline workflow on the generated data and score it."""
+    import resource
+    import tempfile
+
+    from manta_tpu.workflow.run import run_workflow
+    truth = []
+    with open(args.out + ".truth.tsv") as f:
+        next(f)
+        for ln in f:
+            c = ln.rstrip("\n").split("\t")
+            truth.append(dict(chrom=c[0], pos=int(c[1]), type=c[2],
+                              size=int(c[3]), gt=c[4]))
+    run_dir = args.run_dir or tempfile.mkdtemp(prefix="wgs_")
+    t0 = time.time()
+    run_workflow([args.out + ".bam"], [], args.out + ".fa", run_dir,
+                 n_jobs=args.jobs, verbose=True)
+    wall = time.time() - t0
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    recs = parse_vcf_records(
+        os.path.join(run_dir, "results", "variants", "diploidSV.vcf.gz"))
+    recs = [r for r in recs if r["filter"] in ("PASS", ".")]
+    tol = args.tolerance
+
+    def match(tr):
+        """Find a PASS record matching truth entry tr."""
+        want = {"DEL": ("DEL",), "INS": ("INS",), "DUP": ("DUP",),
+                "INV": ("BND", "INV"), "BND": ("BND",)}[tr["type"]]
+        hits = []
+        for r in recs:
+            if r["chrom"] != tr["chrom"] or r["svtype"] not in want:
+                continue
+            if abs(r["pos"] - tr["pos"]) <= tol:
+                hits.append(r)
+        return hits
+
+    n_found = n_gt_ok = 0
+    by_type = {}
+    missed = []
+    matched_ids = set()
+    for tr in truth:
+        hits = match(tr)
+        bt = by_type.setdefault(tr["type"], [0, 0])
+        bt[1] += 1
+        if hits:
+            n_found += 1
+            bt[0] += 1
+            matched_ids.update(h["id"] for h in hits)
+            want_gt = "1/1" if tr["gt"] == "hom" else "0/1"
+            if any(h["gt"].replace("|", "/") == want_gt for h in hits):
+                n_gt_ok += 1
+        else:
+            missed.append(tr)
+    # FP: PASS spanning records not matching any truth breakend
+    truth_pts = {(t["chrom"], t["pos"]) for t in truth}
+    for t in truth:
+        if t["type"] in ("DEL", "DUP", "INV"):
+            truth_pts.add((t["chrom"], t["pos"] + t["size"]))
+        elif t["type"] == "BND" and ":" in t["gt"]:
+            _, mc, mp = t["gt"].split(":")
+            truth_pts.add((mc, int(mp)))
+    fp = [r for r in recs if r["id"] not in matched_ids and
+          not any(r["chrom"] == c and abs(r["pos"] - p) <= tol
+                  for c, p in truth_pts)]
+
+    out = {
+        "metric": "wgs_sim_recall",
+        "truth_n": len(truth),
+        "recall": round(n_found / len(truth), 4),
+        "gt_acc": round(n_gt_ok / max(n_found, 1), 4),
+        "fp_records": len(fp),
+        "by_type": {k: f"{v[0]}/{v[1]}" for k, v in by_type.items()},
+        "wall_s": round(wall, 1),
+        "peak_rss_gb": round(peak_gb, 2),
+        "run_dir": run_dir,
+    }
+    print(json.dumps(out))
+    if args.verbose_misses:
+        for tr in missed[:40]:
+            print("MISS", tr)
+        for r in fp[:20]:
+            print("FP", r["chrom"], r["pos"], r["svtype"], r["id"])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--chroms", type=int, default=8)
+    ap.add_argument("--mb", type=int, default=16)
+    ap.add_argument("--depth", type=int, default=35)
+    ap.add_argument("--spacing-kb", type=int, default=100)
+    ap.add_argument("--translocs", type=int, default=2)
+    ap.add_argument("--err-rate", type=float, default=0.001)
+    ap.add_argument("--noise-rate", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--jobs", type=int, default=0)
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--tolerance", type=int, default=50)
+    ap.add_argument("--verbose-misses", action="store_true")
+    args = ap.parse_args()
+    if args.check:
+        check(args)
+    else:
+        generate(args)
+
+
+if __name__ == "__main__":
+    main()
