@@ -40,11 +40,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # v5e peak dense bf16 matmul throughput per chip (public spec).
 V5E_PEAK_BF16_FLOPS = 197e12

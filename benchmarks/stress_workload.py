@@ -115,7 +115,8 @@ def generate(tiles: int, out_prefix: str):
     import re as _re
     text = src.header.text
     for name, ln in zip(src.header.ref_names, tiled_lengths):
-        text = _re.sub(rf"(@SQ\tSN:{name}\tLN:)\d+", rf"\g<1>{ln}", text)
+        text = _re.sub(rf"(@SQ\tSN:{_re.escape(name)}\tLN:)\d+",
+                       rf"\g<1>{ln}", text)
     w = BamWriter(bam_path, text, src.header.ref_names, tiled_lengths)
     total = 0
     for tile in range(tiles):

@@ -279,8 +279,11 @@ def estimate_chrom_depths(bam_paths: list[str],
                    for p in bam_paths}
 
         def worker(ji, path, tid, size):
+            from ..io.bam import BamReader
             from ..io.bgzf import set_worker_io_threads
-            set_worker_io_threads(min(n_jobs, len(jobs)))
+            fanout = min(n_jobs, len(jobs))
+            set_worker_io_threads(fanout)
+            BamReader.set_worker_cache_budget(fanout)
             queue.put((ji, read_chrom_depth(readers[path], tid, size)))
 
         # in-flight scheduling — see parallel.forkpool for why

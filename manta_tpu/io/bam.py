@@ -184,6 +184,35 @@ class ReadBatch:
             out._sa_mask = sam[lo:hi]
         return out
 
+    def compact_copy(self) -> "ReadBatch":
+        """Owned copy of every column: slice_rows views pin their source
+        batch's full blobs, so long-lived consumers (the fetch cache)
+        compact to keep resident memory equal to accounted bytes."""
+        def own(a):
+            if isinstance(a, bytes):
+                return a
+            return a.copy() if a.base is not None else a
+        out = ReadBatch(
+            n=self.n, refid=own(self.refid), pos=own(self.pos),
+            mapq=own(self.mapq), flag=own(self.flag),
+            next_refid=own(self.next_refid), next_pos=own(self.next_pos),
+            tlen=own(self.tlen), cigar_off=own(self.cigar_off),
+            cigar=own(self.cigar), seq_off=own(self.seq_off),
+            seq=own(self.seq), qual_off=own(self.qual_off),
+            qual=own(self.qual), name_off=own(self.name_off),
+            name=own(self.name), tag_off=own(self.tag_off),
+            tags=self.tags if isinstance(self.tags, bytes)
+            else own(self.tags))
+        if self._aligned_len is not None:
+            out._aligned_len = own(self._aligned_len)
+        for attr in ("_cigar_decoded", "_overlap_mask", "_sa_mask"):
+            v = getattr(self, attr, None)
+            if v is not None:
+                setattr(out, attr,
+                        tuple(own(x) for x in v) if isinstance(v, tuple)
+                        else own(v))
+        return out
+
     def subset(self, idx: np.ndarray) -> "ReadBatch":
         """Gather a sub-batch (keeps ragged payloads; reindexes offsets)."""
         idx = np.asarray(idx)
@@ -585,6 +614,13 @@ class BamReader:
     # budget keeps the caller's peak bounded regardless of depth
     _FETCH_CACHE_BYTES = (1 << 30) if _MEM_GB >= 64 else (96 << 20)
     _COVER_CACHE_BYTES = (3 << 29) if _MEM_GB >= 64 else (128 << 20)
+    # per-process defaults, rescaled by fork fan-out (see
+    # set_worker_cache_budget); secondary entry caps bound the
+    # containment scan on shallow data where byte budgets admit tens of
+    # thousands of tiny entries
+    _FETCH_CACHE_BYTES_BASE = _FETCH_CACHE_BYTES
+    _COVER_CACHE_BYTES_BASE = _COVER_CACHE_BYTES
+    _CACHE_MAX_ENTRIES = 4096
     _FETCH_COVER_PAD = 4096
     _FETCH_COVER_MAX_SPAN = 65536
 
@@ -593,21 +629,39 @@ class BamReader:
     # (assembly, pair scoring, split scoring, evidence output), and
     # their fetch patterns overlap heavily around each breakend.
     # Values are (batch, approx_bytes); *_SZ boxes hold running totals.
+    # The cover cache keeps a (file, tid) bucket index so the
+    # containment lookup walks only same-chromosome candidates.
     _FETCH_CACHE: dict = {}
     _FETCH_CACHE_SZ = [0]
     _COVER_CACHE: dict = {}
     _COVER_CACHE_SZ = [0]
+    _COVER_BUCKETS: dict = {}
+
+    @classmethod
+    def set_worker_cache_budget(cls, n_workers: int):
+        """Divide the parsed-batch cache budgets across forked workers
+        (mirrors bgzf.set_worker_io_threads): the caches are per-process
+        and every forked child inherits its own copy, so without this a
+        wide fork fan-out multiplies the nominal budget by n_jobs."""
+        n = max(1, int(n_workers))
+        cls._FETCH_CACHE_BYTES = cls._FETCH_CACHE_BYTES_BASE // n
+        cls._COVER_CACHE_BYTES = cls._COVER_CACHE_BYTES_BASE // n
 
     @staticmethod
     def _cache_put(cache, size_box, budget, key, batch):
         nbytes = batch.approx_bytes()
         if nbytes > budget:
             return  # a single over-budget batch would evict everything
-        while size_box[0] + nbytes > budget and cache:
+        while cache and (size_box[0] + nbytes > budget or
+                         len(cache) >= BamReader._CACHE_MAX_ENTRIES):
             k = next(iter(cache))  # oldest insertion
             size_box[0] -= cache.pop(k)[1]
+            if cache is BamReader._COVER_CACHE:
+                BamReader._COVER_BUCKETS.get(k[:2], {}).pop(k, None)
         cache[key] = (batch, nbytes)
         size_box[0] += nbytes
+        if cache is BamReader._COVER_CACHE:
+            BamReader._COVER_BUCKETS.setdefault(key[:2], {})[key] = None
 
     def fetch(self, ref: str | int, beg: int, end: int) -> ReadBatch:
         """All reads overlapping [beg, end) (0-based half-open).
@@ -639,10 +693,10 @@ class BamReader:
         cov_beg = max(0, beg)
         covers = BamReader._COVER_CACHE
         sup = None
-        for (cfk, ctid, cbeg, cend), cb in covers.items():
-            if cfk == fk and ctid == tid and cbeg <= cov_beg and \
-                    cend >= end:
-                sup = cb[0]
+        for (cfk, ctid, cbeg, cend) in \
+                BamReader._COVER_BUCKETS.get((fk, tid), ()):
+            if cbeg <= cov_beg and cend >= end:
+                sup = covers[(cfk, ctid, cbeg, cend)][0]
                 break
         if sup is None:
             # quantize cover bounds to a coarse grid: the per-edge fetch
@@ -659,6 +713,11 @@ class BamReader:
         end_pos = np.maximum(sup.end_pos, sup.pos + 1)
         keep = (sup.pos < end) & (end_pos > beg)
         out = sup if keep.all() else sup.subset(keep)
+        # contiguous-run subsets come back as slice views pinning the
+        # whole superwindow's blobs; cache an owned compact copy so the
+        # byte accounting stays honest after the cover entry is evicted
+        if out is not sup and out.seq.base is not None:
+            out = out.compact_copy()
         BamReader._cache_put(cache, BamReader._FETCH_CACHE_SZ,
                              self._FETCH_CACHE_BYTES, key, out)
         return out

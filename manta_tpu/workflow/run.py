@@ -250,8 +250,11 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             queue = ctx.SimpleQueue()
 
             def stats_worker(i, p):
+                from ..io.bam import BamReader
                 from ..io.bgzf import set_worker_io_threads
-                set_worker_io_threads(min(n_jobs, len(bams)))
+                fanout = min(n_jobs, len(bams))
+                set_worker_io_threads(fanout)
+                BamReader.set_worker_cache_budget(fanout)
                 per_rg = extract_read_group_stats_set(
                     p, reference=reference,
                     default_stats=existing_align_stats,
@@ -815,8 +818,11 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
             return False
 
     def worker(bi, edges):
+        from ..io.bam import BamReader
         from ..io.bgzf import set_worker_io_threads
-        set_worker_io_threads(min(max(1, n_jobs), len(bins)))
+        fanout = min(max(1, n_jobs), len(bins))
+        set_worker_io_threads(fanout)
+        BamReader.set_worker_cache_budget(fanout)
         comps = build_components(f".{bi:04d}")
         log_lines = run_edges(comps, edges)
         for w in comps["writers"]:
@@ -1003,8 +1009,11 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         # one fork serves a CHUNK of groups, but each group still gets
         # its own independent graph + file (per-group merge semantics);
         # results stream back as each group finishes
+        from ..io.bam import BamReader
         from ..io.bgzf import set_worker_io_threads
-        set_worker_io_threads(min(n_jobs, len(groups)))
+        fanout = min(n_jobs, len(groups))
+        set_worker_io_threads(fanout)
+        BamReader.set_worker_cache_budget(fanout)
         fasta = FastaReader(reference)
         for gi, regions in chunk:
             part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
