@@ -413,7 +413,7 @@ def extract_read_group_stats_set(bam_path: str,
     return out
 
 
-def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
+def extract_read_group_stats(bam_path: str, chunk_size: int = 65_536,
                              reference: str | None = None,
                              default_stats: str | None = None,
                              rg: str | None = None
@@ -450,7 +450,11 @@ def extract_read_group_stats(bam_path: str, chunk_size: int = 4_000_000,
 
 
 _WINDOW_TARGET_READS = 6000
-_WINDOW_MIN = 65536
+# floor at the BAI linear-index granularity (16 kb): on ultra-deep data
+# (FFPE/panels/tiled stress runs at ~300x) a 64 kb floor inflates ~50x
+# more bytes than the sampler consumes per commit; 16 kb keeps window
+# fetches aligned with what the index can address without over-reading
+_WINDOW_MIN = 16384
 _WINDOW_MAX = 8_000_000
 
 
