@@ -52,12 +52,19 @@ def _map_read(hap_pos: int, hap_to_ref, junction_hap: int):
 
 def simulate_sample(rng, ref_seq: str, sv_hap: str | None, hap_to_ref,
                     junction_hap: int, depth: int = 30,
-                    frag_mean: int = 300, frag_sd: int = 25):
-    """Read-dict list for one diploid sample; sv_hap None = hom-ref,
-    else het (half the fragments drawn from the SV haplotype)."""
+                    frag_mean: int = 300, frag_sd: int = 25,
+                    copies: int = 1):
+    """Read-dict list for one diploid sample; sv_hap None (or copies=0)
+    = hom-ref, copies=1 het (half the fragments from the SV haplotype),
+    copies=2 hom-alt (every fragment from the SV haplotype)."""
     reads = []
     n_frags = depth * len(ref_seq) // (2 * READ_LEN)
-    haps = [ref_seq] if sv_hap is None else [ref_seq, sv_hap]
+    if sv_hap is None or copies == 0:
+        haps = [ref_seq]
+    elif copies >= 2:
+        haps = [sv_hap]
+    else:
+        haps = [ref_seq, sv_hap]
     for k in range(n_frags):
         hap_i = k % len(haps)
         hap = haps[hap_i]
@@ -65,7 +72,7 @@ def simulate_sample(rng, ref_seq: str, sv_hap: str | None, hap_to_ref,
         p = int(rng.integers(0, len(hap) - frag - 1))
         r1_seq = hap[p:p + READ_LEN]
         r2_seq = hap[p + frag - READ_LEN:p + frag]
-        if hap_i == 0 or sv_hap is None:
+        if hap is ref_seq:
             pos1, cig1 = p, f"{READ_LEN}M"
             pos2, cig2 = p + frag - READ_LEN, f"{READ_LEN}M"
         else:
@@ -102,8 +109,9 @@ def make_deletion_dataset(tmp_dir, del_beg: int = 10000,
                           del_len: int = 500, ref_len: int = 24000,
                           carriers=(True, True, True, False, False),
                           seed: int = 5):
-    """Reference fasta + per-sample BAMs for a heterozygous deletion in
-    the carrier samples. Returns (fasta_path, [bam_paths], names)."""
+    """Reference fasta + per-sample BAMs for a deletion carried at
+    0/1/2 copies per sample (bool carriers mean het). Returns
+    (fasta_path, [bam_paths], names)."""
     rng = np.random.default_rng(seed)
     ref_seq = random_ref(rng, ref_len)
     fa = str(tmp_dir / "sim.fa")
@@ -117,8 +125,10 @@ def make_deletion_dataset(tmp_dir, del_beg: int = 10000,
     names = []
     for si, carrier in enumerate(carriers):
         name = f"S{si + 1}"
-        reads = simulate_sample(rng, ref_seq, sv_hap if carrier else None,
-                                hap_to_ref, del_beg)
+        copies = int(carrier)
+        reads = simulate_sample(rng, ref_seq,
+                                sv_hap if copies else None,
+                                hap_to_ref, del_beg, copies=copies)
         p = str(tmp_dir / f"{name}.bam")
         write_sample_bam(p, name, "chrS", ref_len, reads)
         bams.append(p)

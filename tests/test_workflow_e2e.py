@@ -263,6 +263,39 @@ def test_five_sample_joint_germline_genotypes(tmp_path_factory,
     assert gts[3:] == ["0/0", "0/0"], gts
 
 
+def test_ten_sample_joint_germline_genotypes(tmp_path_factory,
+                                             demo_fasta):
+    """Joint diploid calling at the reference's stated sample-count
+    ceiling, N=10 (reference: docs/userGuide/README.md:50-69 'typically
+    fewer than ten diploid samples'), with all three genotype classes
+    present: a 500 b deletion carried het (0/1) by four samples, hom
+    (1/1) by two, and absent (0/0) from four. Every sample column must
+    genotype correctly and the carrier depth must not degrade the
+    call (single multi-sample scoring pass, per-sample PL/GQ)."""
+    from simdata import make_deletion_dataset
+
+    d = tmp_path_factory.mktemp("ten_sample")
+    copies = (1, 1, 2, 0, 0, 1, 2, 0, 1, 0)
+    fa, bams, names = make_deletion_dataset(d, carriers=copies)
+    run_dir = str(d / "run")
+    run_workflow(bams, [], fa, run_dir, is_exome=True, verbose=False)
+    with gzip.open(f"{run_dir}/results/variants/diploidSV.vcf.gz",
+                   "rt") as f:
+        lines = f.readlines()
+    header = [l for l in lines if l.startswith("#CHROM")][0]
+    assert header.rstrip("\n").split("\t")[9:] == names
+    records = [l for l in lines if not l.startswith("#")]
+    dels = [r for r in records if "SVTYPE=DEL" in r]
+    assert dels, f"no deletion called: {records}"
+    rec = dels[0].rstrip("\n").split("\t")
+    assert abs(int(rec[1]) - 10000) < 50, rec[:8]
+    fmt = rec[8].split(":")
+    gt_i = fmt.index("GT")
+    want = {0: "0/0", 1: "0/1", 2: "1/1"}
+    gts = [rec[9 + si].split(":")[gt_i] for si in range(10)]
+    assert gts == [want[c] for c in copies], gts
+
+
 def test_large_insertion_semi_assembled(tmp_path_factory):
     """Semi-assembled large-insertion path (reference:
     SVCandidateAssemblyRefiner processLargeInsertion:833 +
