@@ -64,7 +64,10 @@ def _fit_slope(pts):
     return float(slope), float(intercept), r2
 
 
-def slope_time(run_k, ks=(1, 64, 512), reps=5):
+KS_DEFAULT = (1, 64, 512)
+
+
+def slope_time(run_k, ks=None, reps=5):
     """Time run_k(k)→fetched scalar for each k; return per-iter seconds.
 
     run_k(k) must return a jax scalar whose value depends on every
@@ -73,6 +76,8 @@ def slope_time(run_k, ks=(1, 64, 512), reps=5):
     fori_loop compile cost is K-independent (3 compiles total).
     """
     pts = []
+    if ks is None:
+        ks = KS_DEFAULT
     for k in ks:
         t0 = time.perf_counter()
         float(run_k(k))                     # compile + warm
@@ -311,7 +316,15 @@ def main():
                     choices=["all"] + sorted(BENCHES))
     ap.add_argument("--json", default=None,
                     help="append JSON lines to this file")
+    ap.add_argument("--ks", default=None,
+                    help="comma-separated K values (e.g. 1,16,64); "
+                         "long-running programs through the tunnel can "
+                         "trip a worker watchdog near ~60 s, so heavy "
+                         "kernels need a smaller K range")
     args = ap.parse_args()
+    if args.ks:
+        global KS_DEFAULT
+        KS_DEFAULT = tuple(int(x) for x in args.ks.split(","))
 
     import jax
     plat = jax.devices()[0].platform

@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 from ..core.fragstats import ReadGroupStatsSet, extract_read_group_stats_set
 from ..graph.finder import estimate_sv_loci
@@ -376,13 +377,19 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         write_graph_stats(
             locus_set, graph_stats_path,
             build_time=build_tb.times, merge_time=merge_tb.times)
+        save_t0 = time.perf_counter()
         locus_set.save(graph_path)
+        log(f"graph built in {build_tb.times.wall:.1f}s, finalized in "
+            f"{merge_tb.times.wall:.1f}s, saved in "
+            f"{time.perf_counter() - save_t0:.1f}s")
         tasks.clear("graph.part.")
         tasks.mark_done("graph", [graph_path, graph_stats_path])
     # reload for phase 2: serialization round-trip compacts empty locus
     # slots, matching the reference's save/load locus renumbering
     from ..graph.locusgraph import SVLocusSet
+    load_t0 = time.perf_counter()
     locus_set = SVLocusSet.load(graph_path)
+    log(f"graph loaded for phase 2 in {time.perf_counter() - load_t0:.1f}s")
     log(f"graph complete: {locus_set.non_empty_size()} loci, "
         f"{locus_set.total_node_count()} nodes")
     if stop_after == "graph":
@@ -670,6 +677,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         with open(path) as f:
             return f.readlines()
 
+    sort_t0 = time.perf_counter()
     cand_lines = read_lines("candidateSV.vcf")
     if cand_lines is not None:
         cand_lines = swap_cmdline_lines(cand_lines, final_cmdline)
@@ -694,6 +702,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         if is_diploid:
             lines = ploidy_filter_lines(lines)
         write_vcf_gz(lines, os.path.join(variants_dir, out_name))
+    log(f"sorted and indexed final VCFs in "
+        f"{time.perf_counter() - sort_t0:.1f}s")
     log("workflow complete")
     log_fp.close()
     return run_dir
@@ -912,6 +922,7 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     # merge per-bin vcf shards in bin order (header from shard 0);
     # shards are cleaned up only after every merge step succeeds so a
     # crash mid-merge resumes from the per-bin artifacts
+    shard_t0 = time.perf_counter()
     cleanup = []
     for name in vcf_names:
         out_lines = []
@@ -962,6 +973,9 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
         log_lines.extend(lines)
         tracker.self_edges.merge(tr.self_edges)
         tracker.remote_edges.merge(tr.remote_edges)
+    if log is not None:
+        log(f"merged {len(bins)} phase-2 bin shards in "
+            f"{time.perf_counter() - shard_t0:.1f}s")
     for bi in range(len(bins)):
         cleanup.append(pkl_path(bi))
     for path in cleanup:
@@ -1066,7 +1080,11 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
     for pr in procs:
         pr.join()
 
+    merge_t0 = time.perf_counter()
     merged = merge_saved_graphs([results[gi] for gi in sorted(results)])
+    if log is not None:
+        log(f"merged {len(results)} graph parts in "
+            f"{time.perf_counter() - merge_t0:.1f}s")
     # parts are removed only after the whole merge succeeds so an
     # interrupted merge can resume from the persisted segments
     for gi in sorted(results):
