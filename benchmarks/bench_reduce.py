@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--chrom-len", type=int, default=130_000_000)
     args = ap.parse_args()
 
-    from manta_tpu.workflow.run import merge_saved_graphs
+    from manta_tpu.workflow.run import merge_saved_graphs_native
 
     names = [f"chr{i + 1}" for i in range(args.chroms)]
     lengths = [args.chrom_len] * args.chroms
@@ -67,25 +67,27 @@ def main():
     t0 = time.perf_counter()
     n_nodes_total = 0
     for tid, g in enumerate(parts):
-        ls = g.to_locus_set(names, lengths, 1)
-        n_nodes_total += ls.total_node_count()
         p = os.path.join(tmp, f"part_{tid:04d}.npz")
-        ls.save(p)
+        n_nodes_total += len(g.export_flat()[1])
+        g.save_npz(p, names, lengths, 1, [{}], is_finalized=False)
         paths.append(p)
         g.free()
     t_part_save = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    merged = merge_saved_graphs(paths)
+    nat, meta = merge_saved_graphs_native(paths)
     t_merge = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    merged.finalize()
+    nat.finalize_native()
     t_finalize = time.perf_counter() - t0
 
     master = os.path.join(tmp, "svLocusGraph.npz")
     t0 = time.perf_counter()
-    merged.save(master)
+    nat.save_npz(master, meta["chrom_names"], meta["chrom_lengths"],
+                 meta["sample_count"], meta["sample_counts"],
+                 is_finalized=True)
+    nat.free()
     t_master_save = time.perf_counter() - t0
 
     from manta_tpu.graph.locusgraph import SVLocusSet

@@ -178,6 +178,8 @@ def get_lib():
         ctypes.c_int64]
     lib.mt_graph_merge_graph.restype = ctypes.c_int
     lib.mt_graph_merge_graph.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.mt_graph_finalize.restype = ctypes.c_int64
+    lib.mt_graph_finalize.argtypes = [ctypes.c_void_p]
     lib.mt_graph_load.restype = ctypes.c_int
     lib.mt_graph_load.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p]

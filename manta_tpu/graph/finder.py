@@ -228,7 +228,8 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
                      regions: list[tuple[int, int, int]], fasta,
                      chrom_depths: dict[str, float] | None = None,
                      max_depth_factor: float = 12.0,
-                     readers: list | None = None) -> SVLocusSet:
+                     readers: list | None = None,
+                     as_native: bool = False) -> SVLocusSet:
     """Run phase-1 graph construction over the given scan regions.
 
     Regions are clumped by the reference's 200 kb grouping rule; every
@@ -329,6 +330,11 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
             part.free()
     if master is None:
         master = NativeLocusSet(graph_opt, len(names))
+    if as_native:
+        # parallel phase-1 workers persist parts straight from the
+        # native engine (NativeLocusSet.save_npz); skipping the Python
+        # objectification halves the per-part save cost
+        return master, names, lengths, sample_counts
     out = master.to_locus_set(names, lengths, len(bam_paths))
     master.free()
     out.sample_counts = sample_counts

@@ -868,7 +868,13 @@ class SVLocusSet:
         )
 
     @classmethod
-    def load(cls, path: str, skip_index: bool = False) -> "SVLocusSet":
+    def load(cls, path: str, skip_index: bool = False,
+             check: bool = False) -> "SVLocusSet":
+        """check=True additionally runs the full structural invariant
+        sweep after indexing (debug aid; the reference validates graph
+        state only under -DDEBUG_SVL, SVLocusSet.hpp checkState — the
+        production load path must stay O(nodes) with small constants
+        because it gates phase-2 start at WGS scale)."""
         data = np.load(path)
         meta = json.loads(data["meta"].tobytes().decode())
         opt = SVLocusSetOptions(**meta["opt"])
@@ -882,36 +888,48 @@ class SVLocusSet:
         out.is_max_search_density = meta["is_max_search_density"]
         out.sample_counts = meta.get("sample_counts",
                                      [{} for _ in range(out.sample_count)])
-        nodes = data["nodes"]
-        edges = data["edges"]
-        ni = ei = 0
-        for li, size in enumerate(data["locus_sizes"]):
+        from itertools import islice
+        # .tolist() converts to Python ints at C speed; per-element
+        # int() in the hot loop costs ~3x at WGS node counts
+        nodes_l = data["nodes"].tolist()
+        edges_it = iter(data["edges"].tolist())
+        ni = 0
+        for li, size in enumerate(data["locus_sizes"].tolist()):
             locus = SVLocus(li)
             locus._observer = None
-            for _ in range(int(size)):
-                tid, beg, end, ev_beg, ev_end, n_edges = nodes[ni]
+            append = locus.nodes.append
+            for _ in range(size):
+                tid, beg, end, ev_beg, ev_end, n_edges = nodes_l[ni]
                 ni += 1
-                node = LocusNode(int(tid), int(beg), int(end))
-                node.ev_beg, node.ev_end = int(ev_beg), int(ev_end)
-                for _ in range(int(n_edges)):
-                    j, c = edges[ei]
-                    ei += 1
-                    node.edges[int(j)] = int(c)
-                locus.nodes.append(node)
+                node = LocusNode(tid, beg, end)
+                node.ev_beg = ev_beg
+                node.ev_end = ev_end
+                if n_edges:
+                    node.edges = {j: c
+                                  for j, c in islice(edges_it, n_edges)}
+                append(node)
             out.loci.append(locus)
         if not skip_index:
             out.reconstruct_index()
-            out.check_state(True, True)
+            if check:
+                out.check_state(True, True)
         return out
 
     def reconstruct_index(self):
-        self._inodes = SortedList()
-        self._max_region_size = {}
+        # bulk build: collect entries then one SortedList construction
+        # (O(n log n) sort with C constants, vs n incremental .add()s)
+        entries = []
+        max_rs = {}
         self.empty_loci = set()
         for li, locus in enumerate(self.loci):
             locus.index = li
             locus._observer = self
-            for ni in range(len(locus)):
-                self._index_add(li, ni)
+            for ni, n in enumerate(locus.nodes):
+                entries.append((n.tid, n.beg, n.end, li, ni))
+                size = n.end - n.beg
+                if size > max_rs.get(n.tid, 0):
+                    max_rs[n.tid] = size
             if locus.empty():
                 self.empty_loci.add(li)
+        self._inodes = SortedList(entries)
+        self._max_region_size = max_rs

@@ -63,6 +63,42 @@ class NativeLocusSet:
         rc = self._lib.mt_graph_merge_graph(self._h, other._h)
         assert rc == 0, f"mt_graph_merge_graph failed: {rc}"
 
+    def finalize_native(self):
+        """Whole-graph clean + finalization flag, entirely in native
+        code (locusgraph.py SVLocusSet.finalize; reference
+        SVLocusSet::finalize). Keeps the WGS phase boundary free of
+        per-node Python work."""
+        self._lib.mt_graph_finalize(self._h)
+
+    def save_npz(self, path: str, chrom_names, chrom_lengths,
+                 sample_count: int, sample_counts, is_finalized: bool):
+        """Write the graph in the exact SVLocusSet.save() npz layout
+        straight from the native export (no Python objectification).
+        SVLocusSet.load() of the result is indistinguishable from a
+        Python-side save of the same graph: mt_graph_export iterates
+        loci/nodes/edges in save()'s order."""
+        import json as _json
+        locus_sizes, nodes, edges, stats = self.export_flat()
+        np.savez_compressed(
+            path,
+            locus_sizes=locus_sizes,
+            nodes=nodes,
+            edges=edges,
+            meta=np.frombuffer(_json.dumps({
+                "chrom_names": list(chrom_names),
+                "chrom_lengths": list(chrom_lengths),
+                "opt": self.opt.__dict__,
+                "is_finalized": bool(is_finalized),
+                "total_cleaned": stats["total_cleaned"],
+                "highest_search_count": stats["highest_search_count"],
+                "highest_search_density": stats["highest_search_density"],
+                "is_max_search_count": stats["is_max_search_count"],
+                "is_max_search_density": stats["is_max_search_density"],
+                "sample_count": sample_count,
+                "sample_counts": sample_counts,
+            }).encode(), np.uint8),
+        )
+
     def compact(self) -> "NativeLocusSet":
         """Return a compacted copy with empty locus slots dropped and
         loci renumbered, freeing this handle. Phase-1 group graphs must

@@ -355,41 +355,53 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         observation_weight=3,
         min_merge_edge_observations=min_edge_observations)
     graph_stats_path = os.path.join(stats_dir, "svLocusGraphStats.tsv")
+    built = False
+    build_tb = TimeBlock()
+    merge_tb = TimeBlock()
     if tasks.is_done("graph") or \
             (is_rescore and os.path.exists(graph_path)):
         log("resume: reusing breakend graph")
     else:
         log("building breakend graph")
-        build_tb = TimeBlock()
-        with build_tb:
-            if n_jobs > 1 and len(region_list) > 1:
-                locus_set = _estimate_sv_loci_parallel(
+        built = True
+        if n_jobs > 1 and len(region_list) > 1:
+            # parallel path: parts merge, finalize, and save entirely in
+            # the native engine — no Python graph objects exist until
+            # the single load below (the old objectify/finalize/save/
+            # re-objectify chain cost O(nodes) Python work 3x over at
+            # the WGS phase boundary)
+            with build_tb:
+                _estimate_sv_loci_parallel(
                     bams, is_tumor, scanner, graph_opt, region_list,
                     reference, chrom_depths, n_jobs,
+                    out_path=graph_path, merge_tb=merge_tb,
                     tasks=tasks, workspace_dir=workspace_dir, log=log)
-            else:
+            log(f"graph built, finalized, and saved natively in "
+                f"{build_tb.times.wall:.1f}s")
+        else:
+            with build_tb:
                 locus_set = estimate_sv_loci(
                     bams, is_tumor, scanner, graph_opt, region_list, fasta,
                     chrom_depths=chrom_depths)
-        merge_tb = TimeBlock()
-        with merge_tb:
-            locus_set.finalize()
-        write_graph_stats(
-            locus_set, graph_stats_path,
-            build_time=build_tb.times, merge_time=merge_tb.times)
-        save_t0 = time.perf_counter()
-        locus_set.save(graph_path)
-        log(f"graph built in {build_tb.times.wall:.1f}s, finalized in "
-            f"{merge_tb.times.wall:.1f}s, saved in "
-            f"{time.perf_counter() - save_t0:.1f}s")
-        tasks.clear("graph.part.")
-        tasks.mark_done("graph", [graph_path, graph_stats_path])
-    # reload for phase 2: serialization round-trip compacts empty locus
-    # slots, matching the reference's save/load locus renumbering
+            with merge_tb:
+                locus_set.finalize()
+            save_t0 = time.perf_counter()
+            locus_set.save(graph_path)
+            log(f"graph built in {build_tb.times.wall:.1f}s, finalized "
+                f"in {merge_tb.times.wall:.1f}s, saved in "
+                f"{time.perf_counter() - save_t0:.1f}s")
+    # load for phase 2: the serialization round-trip compacts empty
+    # locus slots, matching the reference's save/load locus renumbering
     from ..graph.locusgraph import SVLocusSet
     load_t0 = time.perf_counter()
     locus_set = SVLocusSet.load(graph_path)
     log(f"graph loaded for phase 2 in {time.perf_counter() - load_t0:.1f}s")
+    if built:
+        write_graph_stats(
+            locus_set, graph_stats_path,
+            build_time=build_tb.times, merge_time=merge_tb.times)
+        tasks.clear("graph.part.")
+        tasks.mark_done("graph", [graph_path, graph_stats_path])
     log(f"graph complete: {locus_set.non_empty_size()} loci, "
         f"{locus_set.total_node_count()} nodes")
     if stop_after == "graph":
@@ -986,7 +998,8 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
 
 def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
                                region_list, reference, chrom_depths,
-                               n_jobs, tasks=None, workspace_dir=None,
+                               n_jobs, out_path=None, merge_tb=None,
+                               tasks=None, workspace_dir=None,
                                log=None):
     """Fork-based phase-1 scale-out: one independent graph PER segment
     group (the reference's 200 kb clumping rule), merged in submission
@@ -1030,10 +1043,12 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         BamReader.set_worker_cache_budget(fanout)
         fasta = FastaReader(reference)
         for gi, regions in chunk:
-            part = estimate_sv_loci(bams, is_tumor, scanner, graph_opt,
-                                    regions, fasta,
-                                    chrom_depths=chrom_depths)
-            part.save(part_paths[gi])
+            nat, names, lengths, sc = estimate_sv_loci(
+                bams, is_tumor, scanner, graph_opt, regions, fasta,
+                chrom_depths=chrom_depths, as_native=True)
+            nat.save_npz(part_paths[gi], names, lengths, len(bams), sc,
+                         is_finalized=False)
+            nat.free()
             queue.put((gi, part_paths[gi]))
 
     procs = []
@@ -1081,42 +1096,67 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
         pr.join()
 
     merge_t0 = time.perf_counter()
-    merged = merge_saved_graphs([results[gi] for gi in sorted(results)])
+    nat, meta = merge_saved_graphs_native(
+        [results[gi] for gi in sorted(results)])
     if log is not None:
         log(f"merged {len(results)} graph parts in "
             f"{time.perf_counter() - merge_t0:.1f}s")
-    # parts are removed only after the whole merge succeeds so an
-    # interrupted merge can resume from the persisted segments
+    if merge_tb is not None:
+        with merge_tb:
+            nat.finalize_native()
+    else:
+        nat.finalize_native()
+    nat.save_npz(out_path, meta["chrom_names"], meta["chrom_lengths"],
+                 meta["sample_count"], meta["sample_counts"],
+                 is_finalized=True)
+    nat.free()
+    # parts are removed only after the whole merge + finalized save
+    # succeeds so an interrupted merge can resume from the persisted
+    # segments
     for gi in sorted(results):
         os.remove(results[gi])
     os.rmdir(tmpdir)
-    return merged
 
 
-def merge_saved_graphs(paths):
+def merge_saved_graphs_native(paths):
     """Sequential merge of saved partial graphs through the native
     engine (reference: MergeSVLoci.cpp); byte-identical to loading each
-    part and running SVLocusSet.merge_set in order."""
+    part and running SVLocusSet.merge_set in order.
+
+    Returns (NativeLocusSet, meta) where meta carries part 0's header
+    fields plus element-wise-summed sample_counts. Every part — the
+    first included — loads through the flat native path; no Python
+    graph objects are built at the phase boundary (the previous
+    objectify-first-part + re-objectify-merged flow cost O(nodes) in
+    Python twice at WGS scale)."""
     import json as _json
 
     import numpy as np
 
-    from ..graph.locusgraph import SVLocusSet
+    from ..graph.locusgraph import SVLocusSetOptions
     from ..graph.native_set import NativeLocusSet
-    merged = None
+
     nat = None
+    meta0 = None
     for path in paths:
-        if merged is None:
-            merged = SVLocusSet.load(path, skip_index=True)
-            nat = NativeLocusSet.from_locus_set(merged,
-                                                len(merged.chrom_names))
-            continue
         data = np.load(path)
         meta = _json.loads(data["meta"].tobytes().decode())
+        if nat is None:
+            # the first part's graph is ADOPTED as the merge base
+            # (MergeSVLoci.cpp:48-62)
+            meta0 = meta
+            nat = NativeLocusSet(SVLocusSetOptions(**meta["opt"]),
+                                 len(meta["chrom_names"]))
+            nat.load_flat(
+                data["locus_sizes"], data["nodes"], data["edges"],
+                meta["total_cleaned"], meta["highest_search_count"],
+                meta["highest_search_density"],
+                meta["is_max_search_count"], meta["is_max_search_density"])
+            continue
         assert meta["opt"]["observation_weight"] * \
             meta["opt"]["min_merge_edge_observations"] == \
-            merged.min_merge_edge_count
-        src = NativeLocusSet(merged.opt, len(merged.chrom_names))
+            nat.opt.min_merge_edge_count
+        src = NativeLocusSet(nat.opt, nat.n_tids)
         src.load_flat(
             data["locus_sizes"], data["nodes"], data["edges"],
             meta["total_cleaned"], meta["highest_search_count"],
@@ -1125,7 +1165,7 @@ def merge_saved_graphs(paths):
         nat.merge_native(src)
         src.free()
         for si, counts in enumerate(meta["sample_counts"]):
-            tgt = merged.sample_counts[si]
+            tgt = meta0["sample_counts"][si]
             for k, v in counts.items():
                 if isinstance(v, list):
                     prev = tgt.get(k, [0] * len(v))
@@ -1134,13 +1174,23 @@ def merge_saved_graphs(paths):
                     tgt[k] = v or tgt.get(k, "")
                 else:
                     tgt[k] = tgt.get(k, 0) + v
-    if merged is None:
+    if nat is None:
+        return None, None
+    return nat, meta0
+
+
+def merge_saved_graphs(paths):
+    """Python-object variant of merge_saved_graphs_native for callers
+    that consume an SVLocusSet directly (workers CLI, distributed
+    bootstrap)."""
+    nat, meta = merge_saved_graphs_native(paths)
+    if nat is None:
         return None
-    out = nat.to_locus_set(merged.chrom_names, merged.chrom_lengths,
-                           merged.sample_count)
+    out = nat.to_locus_set(meta["chrom_names"], meta["chrom_lengths"],
+                           meta["sample_count"])
     nat.free()
-    out.sample_counts = merged.sample_counts
-    out.is_finalized = merged.is_finalized
+    out.sample_counts = meta["sample_counts"]
+    out.is_finalized = meta["is_finalized"]
     return out
 
 

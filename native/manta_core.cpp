@@ -3256,6 +3256,28 @@ extern "C" int mt_graph_clean_region(void* h, int32_t tid, int32_t beg,
   return 0;
 }
 
+extern "C" int64_t mt_graph_finalize(void* h) {
+  // whole-graph clean + finalization flag (locusgraph.py
+  // SVLocusSet.finalize -> clean; reference SVLocusSet::finalize,
+  // SVLocusSet.cpp).  Mirrors the Python path exactly: per locus,
+  // clean every node accumulating the locus-local empty set, then one
+  // erase_nodes sweep; empties recorded, totals accumulated.
+  svg::GraphSet& g = *(svg::GraphSet*)h;
+  for (int32_t li = 0; li < (int32_t)g.loci.size(); li++) {
+    svg::Locus& locus = g.loci[li];
+    if (locus.nodes.empty()) continue;
+    std::set<int32_t> empty;
+    int64_t total = 0;
+    for (int32_t i = 0; i < (int32_t)locus.nodes.size(); i++)
+      total += g.clean_node_core(li, i, empty);
+    g.erase_nodes(li, empty);
+    g.total_cleaned += total;
+    if (locus.nodes.empty()) g.empty_loci.insert(li);
+  }
+  g.is_finalized = true;
+  return g.total_cleaned;
+}
+
 extern "C" int mt_graph_merge_graph(void* dst, void* src) {
   svg::GraphSet& d = *(svg::GraphSet*)dst;
   svg::GraphSet& s = *(svg::GraphSet*)src;

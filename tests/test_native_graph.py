@@ -142,3 +142,42 @@ def test_native_graph_merge_graph_parity():
     ns_a.free()
     ns_b.free()
     ns_rt.free()
+
+
+def test_native_graph_finalize_parity():
+    """mt_graph_finalize == Python SVLocusSet.finalize (whole-graph
+    noise clean + finalization), on randomized graphs with noise
+    edges below the merge threshold."""
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        ops = random_ops(rng, 400)
+        ps, ns = run_both(ops, SVLocusSetOptions())
+        ps.finalize()
+        ns.finalize_native()
+        assert_equal_state(ps, ns)
+        ns.free()
+
+
+def test_native_save_npz_matches_python_save(tmp_path):
+    """NativeLocusSet.save_npz round-trips through SVLocusSet.load
+    identically to a Python-side save of the same graph."""
+    rng = np.random.default_rng(7)
+    ops = random_ops(rng, 300)
+    ps, ns = run_both(ops, SVLocusSetOptions())
+    ps.finalize()
+    ns.finalize_native()
+    p_py = tmp_path / "py.npz"
+    p_nat = tmp_path / "nat.npz"
+    ps.save(str(p_py))
+    ns.save_npz(str(p_nat), ps.chrom_names, ps.chrom_lengths,
+                ps.sample_count, ps.sample_counts, is_finalized=True)
+    a = SVLocusSet.load(str(p_py), check=True)
+    b = SVLocusSet.load(str(p_nat), check=True)
+    pa = py_flat(a)
+    pb = py_flat(b)
+    for x, y in zip(pa, pb):
+        np.testing.assert_array_equal(x, y)
+    assert a.is_finalized == b.is_finalized
+    assert a.total_cleaned == b.total_cleaned
+    assert list(a._inodes) == list(b._inodes)
+    ns.free()
