@@ -255,7 +255,11 @@ class SVScorer:
         self.ref_q = QscoreSnp(1e-3)
         self.alt_q = QscoreSnp(0.0)
         self._device_scan = None
-        if use_device_scoring:
+        # 'jump' routes only contig jump scoring to the device (the
+        # refiner's backend); split scans stay on the host-native scan,
+        # which round-3 chip measurements put 77x ahead of the bit-
+        # exact device kernel per core (docs/PERF_r03.md)
+        if use_device_scoring in ("exact", "mxu", True):
             from .device_scan import DeviceScanContext
             self._device_scan = DeviceScanContext(
                 mxu=(use_device_scoring == "mxu"))

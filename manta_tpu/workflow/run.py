@@ -98,17 +98,26 @@ def get_sample_name(reader: BamReader, default: str) -> str:
 
 
 def resolve_device_scoring(mode):
-    """Resolve the device-scoring request to None | 'exact' | 'mxu'.
+    """Resolve the device-scoring request to None|'jump'|'exact'|'mxu'.
 
-    'auto' (the default) turns device scoring ON (exact kernels, bit-
-    identical results) when the default JAX backend is a co-located TPU,
-    and OFF otherwise: on 'cpu' the native host scan is faster, and on
-    tunneled experimental platforms (e.g. 'axon') device->host readbacks
-    cost seconds each, orders of magnitude too slow for the per-edge
-    scoring loop. 'exact'/'mxu' force the device path regardless."""
+    'auto' (the default) resolves to 'jump' — contig jump scoring on a
+    co-located TPU, split-read scans on the host — and OFF without one.
+    The split lands where round-3 single-chip measurements put it
+    (benchmarks/device_timing.py fetch-synchronized slope fits,
+    docs/PERF_r03.md): the jump DP runs at ~1.1k contigs/s on one v5e
+    chip vs ~0.38k/s per host core (a ~3-core win that batches across
+    edges), while the junction split scan runs at 302k scans/s on ONE
+    host core vs 3.9k/s for the bit-exact device kernel and 98k/s for
+    the fastest (MXU) device form — the byte/LUT-gather inner loop is
+    VPU-hostile, so routing split scans to the device is a strict loss
+    at production shapes. On tunneled platforms (e.g. 'axon')
+    device->host readbacks cost seconds each, so 'auto' stays off.
+    'jump'/'exact'/'mxu' force the respective routing regardless
+    ('exact' adds the bit-identical device split scan; 'mxu' the
+    fastest approximate one)."""
     if mode in (None, False, "off"):
         return None
-    if mode in ("exact", "mxu"):
+    if mode in ("jump", "exact", "mxu"):
         return mode
     if mode is True:
         return "exact"
@@ -124,7 +133,7 @@ def resolve_device_scoring(mode):
         backend = jax.default_backend()
     except Exception:
         return None
-    return "exact" if backend == "tpu" else None
+    return "jump" if backend == "tpu" else None
 
 
 def run_workflow(normal_bams: list[str], tumor_bams: list[str],
@@ -1233,13 +1242,16 @@ def main(argv=None):
     ap.add_argument("--locus-index", type=int, default=None,
                     help="debug: process only edges of one graph locus")
     ap.add_argument("--device-scoring", nargs="?", const="exact",
-                    default="auto", choices=("auto", "exact", "mxu", "off"),
-                    help="route split-read scanning and contig jump "
-                         "scoring through the attached TPU: 'auto' "
-                         "(default; on when the default JAX backend is a "
-                         "co-located TPU), 'exact' (force on; "
-                         "bit-identical results), 'mxu' (matmul "
-                         "formulation, ~1e-6 relative score error), or "
+                    default="auto",
+                    choices=("auto", "jump", "exact", "mxu", "off"),
+                    help="TPU routing for phase-2 scoring kernels: "
+                         "'auto' (default; resolves to 'jump' when the "
+                         "default JAX backend is a co-located TPU), "
+                         "'jump' (contig jump scoring on device, split "
+                         "scans on the faster host-native path), "
+                         "'exact' (also route split scans; "
+                         "bit-identical results), 'mxu' (fastest device "
+                         "split form, ~1e-6 relative score error), or "
                          "'off'")
     ap.add_argument("--existing-align-stats", default=None,
                     help="fallback alignment stats JSON used when "
