@@ -16,14 +16,16 @@ LUTs (device_splitscore.make_luts).
 Reference semantics: GenerateSVCandidates/SplitReadAlignment.cpp
 splitReadAligner (see scoring/evidence.py for the exact host port).
 
-Measured on one v5e chip at (B=512, T=500, L=150): ~85 Gterms/s vs
-~115 Gterms/s for the XLA gather formulation — the per-iteration
-chunk rotate currently outweighs the HBM savings at these shapes, so
-device_splitscore.batched_split_score remains the default production
-path. A grouped-conv MXU formulation (6 one-hot/aux channels,
-feature_group_count=B cross-correlation) was validated numerically but
-XLA:TPU takes ~6 minutes to compile the grouped conv even at small
-shapes, so it was dropped.
+Measured on one v5e chip at (B=512, T=500, L=150, S=159) with the
+fetch-synchronized slope method (benchmarks/device_timing.py, round 3;
+r^2 > 0.9999): 80,140 split-scans/s (1.9 Gterms/s) — 20.8x the XLA
+gather formulation's 3,854 scans/s, and just behind the MXU/Toeplitz
+form's 97,887 scans/s. Positions match the exact kernel bit-for-bit;
+scores agree to ~1e-3 absolute (different accumulation order). In
+production this kernel serves as the 'mxu' device mode's fallback for
+batches containing IUPAC codes the one-hot MXU factorization cannot
+encode (scoring/device_scan.py); the host-native scan (302k scans/s
+per core) remains the overall default — see docs/PERF_r03.md.
 """
 
 from __future__ import annotations

@@ -76,9 +76,22 @@ class DeviceScanContext:
             reads[r, :s1 - s0] = batch.seq[s0:s1]
             quals[r, :q1 - q0] = batch.qual[q0:q1]
 
-        if self._mxu and self._mxu_eligible(reads, targets):
-            return self._scan_mxu(flank_score_size, reads, quals,
-                                  read_lens, qconv, targets, bp_ranges, Tp)
+        if self._mxu:
+            if self._mxu_eligible(reads, targets):
+                return self._scan_mxu(flank_score_size, reads, quals,
+                                      read_lens, qconv, targets,
+                                      bp_ranges, Tp)
+            # IUPAC codes the one-hot factorization can't encode fall
+            # back to the Pallas VMEM kernel (LUT-driven, any byte):
+            # 80k scans/s on-chip vs 3.9k for the exact XLA form, and
+            # 'mxu' mode already accepts ~1e-6-class score error. Off
+            # TPU (tests force the CPU backend) Mosaic can't lower the
+            # kernel, so the exact form serves the fallback there.
+            import jax
+            return self._scan_exact(flank_score_size, reads, quals,
+                                    read_lens, qconv, targets, bp_ranges,
+                                    Tp,
+                                    pallas=jax.default_backend() == "tpu")
         return self._scan_exact(flank_score_size, reads, quals, read_lens,
                                 qconv, targets, bp_ranges, Tp)
 
@@ -90,9 +103,13 @@ class DeviceScanContext:
         return codes <= _ACGTN_PAD
 
     def _scan_exact(self, flank_score_size, reads, quals, read_lens,
-                    qconv, targets, bp_ranges, Tp):
+                    qconv, targets, bp_ranges, Tp, pallas=False):
         import jax
-        from ..align.device_splitscore import batched_split_score
+        if pallas:
+            from ..align.pallas_splitscore import (
+                pallas_split_score as batched_split_score)
+        else:
+            from ..align.device_splitscore import batched_split_score
 
         n, Lp = reads.shape
         t = len(targets)
