@@ -385,8 +385,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                     reference, chrom_depths, n_jobs,
                     out_path=graph_path, merge_tb=merge_tb,
                     tasks=tasks, workspace_dir=workspace_dir, log=log)
-            log(f"graph built, finalized, and saved natively in "
-                f"{build_tb.times.wall:.1f}s")
+            log(f"graph phase complete in {build_tb.times.wall:.1f}s "
+                "(native merge/finalize/save)")
         else:
             with build_tb:
                 locus_set = estimate_sv_loci(
@@ -1110,15 +1110,21 @@ def _estimate_sv_loci_parallel(bams, is_tumor, scanner, graph_opt,
     if log is not None:
         log(f"merged {len(results)} graph parts in "
             f"{time.perf_counter() - merge_t0:.1f}s")
+    fin_t0 = time.perf_counter()
     if merge_tb is not None:
         with merge_tb:
             nat.finalize_native()
     else:
         nat.finalize_native()
+    fin_s = time.perf_counter() - fin_t0
+    save_t0 = time.perf_counter()
     nat.save_npz(out_path, meta["chrom_names"], meta["chrom_lengths"],
                  meta["sample_count"], meta["sample_counts"],
                  is_finalized=True)
     nat.free()
+    if log is not None:
+        log(f"graph finalized in {fin_s:.1f}s, saved in "
+            f"{time.perf_counter() - save_t0:.1f}s")
     # parts are removed only after the whole merge + finalized save
     # succeeds so an interrupted merge can resume from the persisted
     # segments
