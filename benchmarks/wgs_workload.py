@@ -16,9 +16,14 @@ that shape hermetically:
   - paired-end reads drawn uniformly from each haplotype and emitted as
     the alignments a mapper would produce: full-match CIGARs inside
     segments (inverted segments flip strand), soft-clips at junction
-    crossings, shadow mates inside novel insertions, anomalous template
-    sizes/orientations across junctions, and a low rate of random
-    mismapped-pair noise to exercise graph denoising;
+    crossings, BWA-style SA supplementary alignments when the clipped
+    remainder is >= 30 bp and uniquely placeable (the split-read
+    evidence small tandem duplications depend on — their everted pairs
+    fall inside the normal fragment-size range and are correctly
+    rejected by the pair gate, exactly as the reference's
+    AlignmentPairAnalyzer does), shadow mates inside novel insertions,
+    anomalous template sizes/orientations across junctions, and a low
+    rate of random mismapped-pair noise to exercise graph denoising;
   - a truth TSV (chrom, pos, type, size, genotype) and a checker that
     runs the germline workflow and scores recall / genotype accuracy /
     precision against it.
@@ -288,11 +293,34 @@ def _bulk_batch(ref_seqs, tid1, pos1, rev1, tid2, pos2, rev2,
         tag_off=np.zeros(2 * n + 1, np.int64), tags=b"")
 
 
+SA_MIN_CLIP = 30     # min clipped-segment length a mapper would rescue
+                     # as a supplementary alignment (BWA seed scale)
+
+
+def _map_piece(dc, lo, ln):
+    """Map hap range [lo, lo+ln) iff it lies inside ONE reference-backed
+    segment: returns (tid, ref_pos, piece_rev) or None."""
+    s = int(np.searchsorted(dc.hap_beg, lo, "right") - 1)
+    seg_end = (dc.hap_beg[s + 1] if s + 1 < len(dc.hap_beg)
+               else dc.hap_len)
+    if dc.tid[s] < 0 or lo + ln > seg_end:
+        return None
+    off = lo - dc.hap_beg[s]
+    if dc.strand[s] > 0:
+        return int(dc.tid[s]), int(dc.ref_beg[s] + off), False
+    return int(dc.tid[s]), int(dc.ref_end[s] - off - ln), True
+
+
 def _map_irregular(dc, start):
     """Scalar mapping of one read at hap pos `start`: returns
-    (tid, pos, cigar_str, rev, stored_seq) or None if unmappable.
-    Anchors on whichever end has >= MIN_ANCHOR ref bases in one
-    segment; the remainder is soft-clipped."""
+    (tid, pos, cigar_str, rev, stored_seq, supp) or None if
+    unmappable. Anchors on whichever end has >= MIN_ANCHOR ref bases
+    in one segment; the remainder is soft-clipped. When the clipped
+    remainder itself maps inside one segment and is >= SA_MIN_CLIP
+    long, `supp` carries (clip_lo, clip_len, tid2, pos2, piece_rev2)
+    describing the supplementary alignment a mapper would emit for it
+    (reference input expectation: BWA-style SA split reads,
+    SVLocusScanner.cpp getSACandidatesFromRead)."""
     L = READ_LEN
     sa = int(np.searchsorted(dc.hap_beg, start, "right") - 1)
     sb = int(np.searchsorted(dc.hap_beg, start + L - 1, "right") - 1)
@@ -302,33 +330,44 @@ def _map_irregular(dc, start):
         return (dc.hap_beg[s + 1] if s + 1 < len(dc.hap_beg)
                 else dc.hap_len)
 
+    def supp_of(clip_lo, clip_len):
+        if clip_len < SA_MIN_CLIP:
+            return None
+        m = _map_piece(dc, clip_lo, clip_len)
+        if m is None:
+            return None
+        return (clip_lo - start, clip_len) + m
+
     # left anchor
     left_len = min(seg_end(sa), start + L) - start
     if dc.tid[sa] >= 0 and left_len >= MIN_ANCHOR:
         off = start - dc.hap_beg[sa]
         clip = L - left_len
+        supp = supp_of(start + left_len, clip) if clip else None
         if dc.strand[sa] > 0:
             cig = f"{left_len}M{clip}S" if clip else f"{L}M"
             return (int(dc.tid[sa]), int(dc.ref_beg[sa] + off), cig,
-                    False, hap_seq)
+                    False, hap_seq, supp)
         cig = f"{clip}S{left_len}M" if clip else f"{L}M"
         return (int(dc.tid[sa]),
                 int(dc.ref_end[sa] - off - left_len), cig,
-                True, revcomp(hap_seq))
+                True, revcomp(hap_seq), supp)
     # right anchor
     right_len = start + L - max(dc.hap_beg[sb], start)
     if dc.tid[sb] >= 0 and right_len >= MIN_ANCHOR:
         clip = L - right_len
+        supp = supp_of(start, clip) if clip else None
         if dc.strand[sb] > 0:
             cig = f"{clip}S{right_len}M" if clip else f"{L}M"
             return (int(dc.tid[sb]), int(dc.ref_beg[sb] +
                                          (start + L - dc.hap_beg[sb]) -
-                                         right_len), cig, False, hap_seq)
+                                         right_len), cig, False, hap_seq,
+                    supp)
         off_end = start + L - dc.hap_beg[sb]
         cig = f"{right_len}M{clip}S" if clip else f"{L}M"
         return (int(dc.tid[sb]),
                 int(dc.ref_end[sb] - off_end), cig,
-                True, revcomp(hap_seq))
+                True, revcomp(hap_seq), supp)
     return None
 
 
@@ -357,15 +396,43 @@ def _irregular_reads(dc, starts1, starts2, frag_ids):
                                  rev=False, next_refid=o_tid,
                                  next_pos=o_pos, name=name))
                 continue
-            tid, pos, cig, seg_rev, seq = m
+            tid, pos, cig, seg_rev, seq, supp = m
             rev = seg_rev ^ phys_rev
             # stored seq orientation: ref-forward. m returns seq for a
             # hap-forward read; physical r2 reverse does not change the
             # ref-forward stored bases.
-            recs.append(dict(refid=tid, pos=pos, mapq=60, cigar=cig,
-                             seq=seq, rev=rev,
-                             flag=0x1 | (0x40 if first else 0x80) |
-                             (0x10 if rev else 0), name=name))
+            rec = dict(refid=tid, pos=pos, mapq=60, cigar=cig,
+                       seq=seq, rev=rev,
+                       flag=0x1 | (0x40 if first else 0x80) |
+                       (0x10 if rev else 0), name=name)
+            if supp is not None:
+                # a mapper rescues the clipped remainder as a
+                # supplementary alignment; emit the SA tag pair + the
+                # 0x800 record like BWA would
+                clip_lo, cl, tid2, pos2, piece_rev2 = supp
+                L = READ_LEN
+                pre, post = clip_lo, L - clip_lo - cl
+                supp_rev = piece_rev2 ^ phys_rev
+                if not piece_rev2:
+                    scig = (f"{pre}S" if pre else "") + f"{cl}M" + \
+                        (f"{post}S" if post else "")
+                    sseq = dc.seq[hap_start:hap_start + L]
+                else:
+                    scig = (f"{post}S" if post else "") + f"{cl}M" + \
+                        (f"{pre}S" if pre else "")
+                    sseq = revcomp(dc.seq[hap_start:hap_start + L])
+                sa_of_supp = (f"{dc.names[tid2]},{pos2 + 1},"
+                              f"{'-' if supp_rev else '+'},{scig},60,0;")
+                sa_of_prim = (f"{dc.names[tid]},{pos + 1},"
+                              f"{'-' if rev else '+'},{cig},60,0;")
+                rec["tags"] = b"SAZ" + sa_of_supp.encode() + b"\x00"
+                rec["supp"] = dict(
+                    refid=tid2, pos=pos2, mapq=60, cigar=scig,
+                    seq=sseq, rev=supp_rev,
+                    flag=0x1 | 0x800 | (0x40 if first else 0x80) |
+                    (0x10 if supp_rev else 0), name=name,
+                    tags=b"SAZ" + sa_of_prim.encode() + b"\x00")
+            recs.append(rec)
         # cross-link mates
         if len(recs) == 2:
             a, b = recs
@@ -390,7 +457,18 @@ def _irregular_reads(dc, starts1, starts2, frag_ids):
                 b["tlen"] = -a["tlen"]
             else:
                 a["tlen"] = b["tlen"] = 0
+        supps = []
+        for r in recs:
+            s = r.pop("supp", None)
+            if s is not None:
+                # supplementary carries the primary's mate linkage
+                s["next_refid"] = r.get("next_refid", -1)
+                s["next_pos"] = r.get("next_pos", -1)
+                s["flag"] |= r["flag"] & (0x8 | 0x20)
+                s["tlen"] = r.get("tlen", 0)
+                supps.append(s)
         rows.extend(recs)
+        rows.extend(supps)
     return rows
 
 
@@ -406,13 +484,17 @@ def _rows_to_batch(rows):
     cig_off = np.zeros(n + 1, np.int64)
     seq_off = np.zeros(n + 1, np.int64)
     name_off = np.zeros(n + 1, np.int64)
+    tag_off = np.zeros(n + 1, np.int64)
     cigs, seqs, names = [], [], []
+    tag_blobs = []
     for i, r in enumerate(rows):
         refid[i] = r["refid"]; pos[i] = r["pos"]
         mapq[i] = r["mapq"]; flag[i] = r["flag"]
         nref[i] = r.get("next_refid", -1)
         npos[i] = r.get("next_pos", -1)
         tlen[i] = r.get("tlen", 0)
+        tag_blobs.append(r.get("tags", b""))
+        tag_off[i + 1] = tag_off[i] + len(tag_blobs[-1])
         if r["cigar"]:
             ops, lens = cg.string_to_arrays(r["cigar"])
             cigs.append((lens.astype(np.uint32) << 4) |
@@ -434,7 +516,7 @@ def _rows_to_batch(rows):
         qual_off=seq_off.copy(), qual=np.full(len(seq), 35, np.uint8),
         name_off=name_off,
         name=(np.concatenate(names) if names else np.zeros(0, np.uint8)),
-        tag_off=np.zeros(n + 1, np.int64), tags=b"")
+        tag_off=tag_off, tags=b"".join(tag_blobs))
 
 
 def simulate(rng, ref_seqs, haps, writer, depth, err_rate=0.001,
@@ -561,6 +643,9 @@ def generate(args):
 
     write_fasta(args.out + ".fa", names, ref_seqs)
     haps = build_haplotypes(ref_seqs, chrom_lens, svs, translocs)
+    for dchroms in haps:
+        for dc in dchroms:
+            dc.names = names        # for SA-tag rname fields
     print(f"[{time.time() - t0:6.1f}s] haplotypes built")
 
     header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
