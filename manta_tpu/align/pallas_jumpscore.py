@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for the batched jump-SWG alignment score.
+
+The XLA formulation (device_jumpscore.batched_jump_score) measures
+0.7 Gcells/s on a v5e chip — ~0.4% of the VPU envelope — because
+lax.scan keeps its four (B, nq+1) int32 state matrices in HBM, so
+every one of the ~30 vector ops per reference column round-trips HBM.
+This kernel holds the whole DP state in VMEM/vregs for a tile of
+batch rows and walks the reference columns in-register, which removes
+the HBM traffic entirely: the only memory movement is the one-time
+tile load of queries/refs.
+
+Recurrences are the identical int32 jump DP (native
+mt_align_jump_score_batch; reference alignment/GlobalJumpAlignerImpl.hpp
+— studied not copied), including the exact max-plus prefix evaluation
+of the in-column insert chain:
+
+    ci[q] = extend*(q+1) + cummax_{k<=q}(f[k] - extend*k)
+
+computed with log2(width) shift+max rounds on the lane axis. All
+arithmetic is int32, so scores are bit-identical to the host native
+aligner and the XLA kernel (tests/test_pallas_jumpscore.py pins all
+three together).
+
+Measured on one v5e chip (fetch-synchronized slope method,
+benchmarks/device_timing.py): see docs/PERF_r03.md — this kernel is
+the production device jump path when it wins there.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BAD = -10000
+NEG = -(1 << 28)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift_right(x, s: int, fill):
+    """x[:, q] <- x[:, q-s], first s lanes <- fill (s static)."""
+    if s == 0:
+        return x
+    rolled = pltpu.roll(x, s, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(col < s, fill, rolled)
+
+
+def _maxplus_prefix(f, extend: int, col):
+    """ci[q] = max_{k<=q}(f[k] + (q-k+1)*extend), exact int32
+    (device_jumpscore._maxplus_prefix, lane-axis cummax by log-step
+    shift+max rounds)."""
+    g = jnp.where(f <= BAD, jnp.int32(NEG), f - extend * col)
+    width = f.shape[1]
+    s = 1
+    while s < width:
+        g = jnp.maximum(g, _shift_right(g, s, jnp.int32(NEG)))
+        s *= 2
+    out = g + extend * (col + 1)
+    return jnp.maximum(out, jnp.int32(BAD))
+
+
+def _ref_byte(ref_ref, c):
+    """Reference byte at dynamic column c for every tile row: aligned
+    128-chunk load + sub-128 rotate (lane-dim dynamic slices must be
+    128-aligned)."""
+    c0 = pl.multiple_of((c // 128) * 128, 128)
+    s = c - c0
+    chunk = ref_ref[:, pl.ds(c0, 128)]
+    return pltpu.roll(chunk, -s, axis=1)[:, :1]        # (BB, 1)
+
+
+def _kernel(qsh_ref, qlen_ref, ref1_ref, r1len_ref, ref2_ref, r2len_ref,
+            best_ref, *, nr1: int, nr2: int, match: int, mismatch: int,
+            open_: int, extend: int, off_edge: int, jump: int):
+    BB, NQ1 = qsh_ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, NQ1), dimension=1)
+    qsh = qsh_ref[:]                       # qsh[:, q] = query[q-1]
+    qn = qlen_ref[:]                       # (BB, 1)
+    r1len = r1len_ref[:]
+    r2len = r2len_ref[:]
+    i_bad = jnp.int32(BAD)
+
+    at_end = col == qn                     # query fully consumed here
+    fresh_m = (col * off_edge).astype(jnp.int32)
+    bad_mat = jnp.full((BB, NQ1), BAD, jnp.int32)
+
+    def off_edge_best(cm, best):
+        cand = cm + (qn - col) * off_edge
+        cand = jnp.where(col < qn, cand, jnp.int32(NEG))
+        return jnp.maximum(best, cand.max(axis=1, keepdims=True))
+
+    def col_ref1(c, carry):
+        pm, pd, pi, pj, best = carry
+        rc = _ref_byte(ref1_ref, c)
+        sub = jnp.where(qsh == rc, jnp.int32(match), jnp.int32(mismatch))
+        diag = jnp.maximum(jnp.maximum(pm, pd), pi)
+        vm = _shift_right(diag, 1, i_bad) + sub
+        vm = jnp.where(col == 0, 0, vm)
+        vd = jnp.maximum(jnp.maximum(pm + open_, pd), pi) + extend
+        vd = jnp.where(col <= 1, i_bad, vd)
+        # insert chain starts at row 2 (reference's q==0 cutoff)
+        f = _shift_right(vm + open_, 1, i_bad)
+        f = jnp.where(col < 2, i_bad, f)
+        vi = _maxplus_prefix(f, extend, col)
+        vi = jnp.where(col < 2, i_bad, vi)
+        vj = jnp.maximum(jnp.maximum(vm + jump, vi + jump), pj)
+        vj = jnp.where(col == 0, i_bad, vj)
+
+        act = c < r1len                    # (BB, 1)
+        vm = jnp.where(act, vm, pm)
+        vd = jnp.where(act, vd, pd)
+        vi = jnp.where(act, vi, pi)
+        vj = jnp.where(act, vj, pj)
+        end_val = jnp.where(at_end, vm, jnp.int32(NEG)) \
+            .max(axis=1, keepdims=True)
+        best = jnp.where(act, jnp.maximum(best, end_val), best)
+        return pm, pd, pi, pj, vm, vd, vi, vj, best
+
+    def col_ref2(c, carry):
+        pm, pd, pi, pj, best = carry
+        rc = _ref_byte(ref2_ref, c)
+        sub = jnp.where(qsh == rc, jnp.int32(match), jnp.int32(mismatch))
+        diag = jnp.maximum(jnp.maximum(jnp.maximum(pm, pd), pi), pj)
+        vm = _shift_right(diag, 1, i_bad) + sub
+        vm = jnp.where(col == 0, 0, vm)
+        vd = jnp.maximum(jnp.maximum(pm + open_, pd), pi) + extend
+        vd = jnp.where(col == 0, i_bad, vd)
+        # insert: f[q] = max(vm[q-1]+open, pj[q-1]); jump->ins no open
+        f = jnp.maximum(_shift_right(vm + open_, 1, i_bad),
+                        _shift_right(pj, 1, i_bad))
+        f = jnp.where(col < 1, i_bad, f)
+        vi = _maxplus_prefix(f, extend, col)
+        vi = jnp.where(col < 1, i_bad, vi)
+
+        act = c < r2len
+        vm = jnp.where(act, vm, pm)
+        vd = jnp.where(act, vd, pd)
+        vi = jnp.where(act, vi, pi)
+        end_val = jnp.where(at_end, vm, jnp.int32(NEG)) \
+            .max(axis=1, keepdims=True)
+        best = jnp.where(act, jnp.maximum(best, end_val), best)
+        return pm, pd, pi, pj, vm, vd, vi, best
+
+    best = jnp.full((BB, 1), NEG, jnp.int32)
+
+    def body1(c, carry):
+        pm, pd, pi, pj, best = carry
+        *_, vm, vd, vi, vj, best = col_ref1(c, (pm, pd, pi, pj, best))
+        return vm, vd, vi, vj, best
+
+    cm, cd, ci, cj, best = jax.lax.fori_loop(
+        0, nr1, body1, (fresh_m, bad_mat, bad_mat, bad_mat, best))
+    best = off_edge_best(cm, best)
+
+    def body2(c, carry):
+        pm, pd, pi, pj, best = carry
+        *_, vm, vd, vi, best = col_ref2(c, (pm, pd, pi, pj, best))
+        return vm, vd, vi, pj, best
+
+    cm, cd, ci, cj, best = jax.lax.fori_loop(
+        0, nr2, body2, (fresh_m, bad_mat, bad_mat, cj, best))
+    best = off_edge_best(cm, best)
+    best_ref[:] = best
+
+
+@partial(jax.jit, static_argnames=(
+    "match", "mismatch", "open_", "extend", "off_edge", "jump_score",
+    "nq_pad", "nr1_pad", "nr2_pad", "interpret"))
+def pallas_jump_score(query, query_len, ref1, ref1_len, ref2, ref2_len,
+                      match: int, mismatch: int, open_: int, extend: int,
+                      off_edge: int, jump_score: int,
+                      nq_pad: int, nr1_pad: int, nr2_pad: int,
+                      interpret: bool = False):
+    """Drop-in equivalent of device_jumpscore.batched_jump_score
+    (same contract; score-only int32, bit-exact)."""
+    B = query.shape[0]
+    BB = 32
+    Bp = _round_up(max(B, BB), BB)
+    NQ1 = _round_up(nq_pad + 1, 128)
+    NR1 = _round_up(max(nr1_pad, 1), 128) + 128   # chunk-load headroom
+    NR2 = _round_up(max(nr2_pad, 1), 128) + 128
+
+    def pad2(x, rows, cols, fill):
+        x = jnp.asarray(x, jnp.int32)
+        return jnp.pad(x, ((0, rows - x.shape[0]),
+                           (0, cols - x.shape[1])), constant_values=fill)
+
+    # qsh[:, q] = query[q-1]; sentinel 0 never equals a base code
+    qsh = pad2(query, Bp, NQ1 - 1, 0)
+    qsh = jnp.pad(qsh, ((0, 0), (1, 0)), constant_values=0)[:, :NQ1]
+    ref1_p = pad2(ref1, Bp, NR1, 0)
+    ref2_p = pad2(ref2, Bp, NR2, 0)
+
+    def pad1(x, fill):
+        x = jnp.asarray(x, jnp.int32)
+        return jnp.pad(x, (0, Bp - x.shape[0]),
+                       constant_values=fill)[:, None]
+
+    qn = pad1(query_len, 1)
+    r1n = pad1(ref1_len, 1)
+    r2n = pad1(ref2_len, 1)
+
+    grid = (Bp // BB,)
+    row_spec = lambda w: pl.BlockSpec((BB, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    best = pl.pallas_call(
+        partial(_kernel, nr1=nr1_pad, nr2=nr2_pad, match=match,
+                mismatch=mismatch, open_=open_, extend=extend,
+                off_edge=off_edge, jump=jump_score),
+        grid=grid,
+        in_specs=[row_spec(NQ1), row_spec(1), row_spec(NR1), row_spec(1),
+                  row_spec(NR2), row_spec(1)],
+        out_specs=row_spec(1),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        interpret=interpret,
+    )(qsh, qn, ref1_p, r1n, ref2_p, r2n)
+    return best[:B, 0]
