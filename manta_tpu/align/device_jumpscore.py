@@ -21,9 +21,13 @@ carried state so they cannot perturb results.
 Reference semantics (studied not copied):
 alignment/GlobalJumpAlignerImpl.hpp.
 
-Measured on one v5e chip: ~64 Gcells/s at (B=64, 400-base query vs
-2x800-base references) — roughly two orders of magnitude over a
-scalar CPU core on the same recurrences.
+Measured on one v5e chip (fetch-synchronized slope method, round 3):
+0.7 Gcells/s at (B=64, 400-base query vs 2x800-base references) —
+HBM-bound, since lax.scan keeps the four state matrices in HBM. The
+Pallas VMEM-resident form (pallas_jumpscore.py) runs the identical
+recurrences at 14.0 Gcells/s (~57 host cores) and serves production
+TPU batches via make_bucketed_scorer; this module remains the
+formulation of record, the off-TPU fallback, and the parity anchor.
 """
 
 from __future__ import annotations
@@ -207,8 +211,17 @@ def make_bucketed_scorer(scores, jump_score: int):
     """Production device scorer: pads job batches to shape buckets so a
     handful of compiled programs serve every junction, and returns the
     exact int32 max jump-alignment scores (bit-identical to the host
-    traceback aligner, so winner selection cannot change results)."""
+    traceback aligner, so winner selection cannot change results).
+
+    On TPU backends the Pallas VMEM-resident kernel serves the batch —
+    measured 14.0 Gcells/s on one v5e chip vs 0.7 for the XLA scan
+    form (fetch-synchronized slope fits, docs/PERF_r03.md), bit-exact
+    with both. Off-TPU (tests force the CPU backend) the XLA form
+    runs, since Mosaic cannot lower there."""
     import jax
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_jumpscore import pallas_jump_score
 
     def scorer(jobs):
         B = len(jobs)
@@ -235,10 +248,16 @@ def make_bucketed_scorer(scores, jump_score: int):
         r2, r2l = pad_to([j[2] for j in jobs] + [b"\x02"] * (Bp - B), nr2, 2)
         q, ql, r1, r1l, r2, r2l = (
             jax.device_put(a) for a in (q, ql, r1, r1l, r2, r2l))
-        out = batched_jump_score(
-            q, ql, r1, r1l, r2, r2l,
-            scores.match, scores.mismatch, scores.open, scores.extend,
-            scores.off_edge, jump_score, nq, nr1, nr2)
+        if use_pallas:
+            out = pallas_jump_score(
+                q, ql, r1, r1l, r2, r2l,
+                scores.match, scores.mismatch, scores.open, scores.extend,
+                scores.off_edge, jump_score, nq, nr1, nr2)
+        else:
+            out = batched_jump_score(
+                q, ql, r1, r1l, r2, r2l,
+                scores.match, scores.mismatch, scores.open, scores.extend,
+                scores.off_edge, jump_score, nq, nr1, nr2)
         return np.asarray(jax.device_get(out))[:B]
 
     return scorer
