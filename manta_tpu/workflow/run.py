@@ -104,13 +104,13 @@ def resolve_device_scoring(mode):
     co-located TPU, split-read scans on the host — and OFF without one.
     The split lands where round-3 single-chip measurements put it
     (benchmarks/device_timing.py fetch-synchronized slope fits,
-    docs/PERF_r03.md): the jump DP runs at ~1.1k contigs/s on one v5e
-    chip vs ~0.38k/s per host core (a ~3-core win that batches across
-    edges), while the junction split scan runs at 302k scans/s on ONE
-    host core vs 3.9k/s for the bit-exact device kernel and 98k/s for
-    the fastest (MXU) device form — the byte/LUT-gather inner loop is
-    VPU-hostile, so routing split scans to the device is a strict loss
-    at production shapes. On tunneled platforms (e.g. 'axon')
+    docs/PERF_r03.md): the Pallas VMEM jump DP runs at 14.0 Gcells/s
+    on one v5e chip vs 0.245 Gcells/s per host core (one chip ~ 57
+    host cores, batched across edges), while the junction split scan
+    runs at 302k scans/s on ONE host core vs 3.9k/s for the bit-exact
+    device kernel and 98k/s for the fastest (MXU) device form — the
+    byte/LUT-gather inner loop is VPU-hostile, so routing split scans
+    to the device is a strict loss at production shapes. On tunneled platforms (e.g. 'axon')
     device->host readbacks cost seconds each, so 'auto' stays off.
     'jump'/'exact'/'mxu' force the respective routing regardless
     ('exact' adds the bit-identical device split scan; 'mxu' the
