@@ -182,7 +182,10 @@ def pallas_jump_score(query, query_len, ref1, ref1_len, ref2, ref2_len,
     """Drop-in equivalent of device_jumpscore.batched_jump_score
     (same contract; score-only int32, bit-exact)."""
     B = query.shape[0]
-    BB = 32
+    # tile-height sweep on chip (docs/PERF_r03.md): 8→3.8, 16→7.1,
+    # 32→14.0, 64→21.3, 128→22.1, 256→22.5 Gcells/s — saturates at 64;
+    # 64 keeps padding waste small for the production batch buckets
+    BB = 64
     Bp = _round_up(max(B, BB), BB)
     NQ1 = _round_up(nq_pad + 1, 128)
     NR1 = _round_up(max(nr1_pad, 1), 128) + 128   # chunk-load headroom

@@ -104,8 +104,8 @@ def resolve_device_scoring(mode):
     co-located TPU, split-read scans on the host — and OFF without one.
     The split lands where round-3 single-chip measurements put it
     (benchmarks/device_timing.py fetch-synchronized slope fits,
-    docs/PERF_r03.md): the Pallas VMEM jump DP runs at 14.0 Gcells/s
-    on one v5e chip vs 0.245 Gcells/s per host core (one chip ~ 57
+    docs/PERF_r03.md): the Pallas VMEM jump DP runs at 21.3 Gcells/s
+    on one v5e chip vs 0.245 Gcells/s per host core (one chip ~ 87
     host cores, batched across edges), while the junction split scan
     runs at 302k scans/s on ONE host core vs 3.9k/s for the bit-exact
     device kernel and 98k/s for the fastest (MXU) device form — the
