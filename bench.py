@@ -143,7 +143,8 @@ def measure_device():
                 pass
 
         dt.KS_DEFAULT = (1, 32)
-        dt.bench_jump(_Cap(), B=64, nq=400, nr=800)
+        # the production TPU jump path (Pallas VMEM kernel)
+        dt.bench_jump_pallas(_Cap(), B=64, nq=400, nr=800)
         if "contigs_per_s" not in rec:
             return None
         return {"device_contigs_per_s": rec["contigs_per_s"],
