@@ -604,8 +604,8 @@ class BamReader:
     # keeping more parsed cover windows resident removes whole
     # re-parse passes of the hot regions
     try:
-        _MEM_GB = (os.sysconf("SC_PAGE_SIZE")
-                   * os.sysconf("SC_PHYS_PAGES")) / 1e9
+        from .bgzf import node_mem_gb
+        _MEM_GB = node_mem_gb()
     except (ValueError, OSError, AttributeError):
         _MEM_GB = 8.0
     # byte budgets, not entry counts: parsed-batch entry sizes scale

@@ -113,14 +113,25 @@ _FILE_DATA: dict[tuple, "mmap.mmap"] = {}
 _BLOCK_CACHE: dict[tuple, tuple[bytes, int]] = {}
 
 
+def node_mem_gb() -> float:
+    """Node memory used to size IO caches. MANTA_TPU_NODE_GB overrides
+    the probed value — for bounding memory on shared hosts, and for
+    testing the small-node configuration on a big box (the FFPE-depth
+    memory experiment in docs/PERF_r03.md)."""
+    env = os.environ.get("MANTA_TPU_NODE_GB")
+    if env:
+        return float(env)
+    return (os.sysconf("SC_PAGE_SIZE")
+            * os.sysconf("SC_PHYS_PAGES")) / 1e9
+
+
 def _default_cache_blocks() -> int:
     """Decompressed-block LRU capacity (~64 KB per block), sized to the
     node: production TPU hosts have hundreds of GB, where a larger
     cache eliminates whole re-inflation passes of the input at
     multi-Mread scale; small nodes keep the reference-like ~192 MB."""
     try:
-        mem_gb = (os.sysconf("SC_PAGE_SIZE")
-                  * os.sysconf("SC_PHYS_PAGES")) / 1e9
+        mem_gb = node_mem_gb()
     except (ValueError, OSError, AttributeError):
         return 3072
     if mem_gb >= 64:
