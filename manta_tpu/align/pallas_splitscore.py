@@ -103,7 +103,11 @@ def pallas_split_score(reads, quals, targets, bp_beg, bp_end,
     B, L = reads.shape
     T = targets.shape[1]
     Lp = _round_up(max(L, 128), 128)
-    BB = 8
+    # tile-height sweep on chip: 8/16/32/64 rows give 1.9/2.14/2.3/2.42
+    # Gterms/s — the kernel saturates near 32 (per-position chunk
+    # rotate dominates, not lane fill), so 32 takes most of the gain
+    # with half the padding waste of 64
+    BB = 32
     Bp = _round_up(max(B, BB), BB)
 
     scan_start = jnp.maximum(0, bp_beg - read_len + 2)
