@@ -809,8 +809,9 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     import pickle
     from .stats import EdgeStatsTracker
     from .tasks import content_digest
-    # the merged tracker's lifetime clock must span the whole parallel
-    # phase (SVGenTotalHours), not just the post-join merge
+    # the merged SVGenTotalHours is the SUM of bin-worker lifetimes
+    # plus this parent's span (reference: GSCEdgeStatsData::merge sums
+    # lifeTime across per-process stats, GSCEdgeStats.hpp:139-144)
     tracker = EdgeStatsTracker()
     if n_bins is None:
         n_bins = n_jobs
@@ -861,7 +862,9 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
         if comps["evidence_writer"] is not None:
             comps["evidence_writer"].close()
         # persist the bin's runtime log + edge stats so a resumed run
-        # can reuse this bin without recomputing it
+        # can reuse this bin without recomputing it; close the lifetime
+        # clock here so it records the worker's own process time
+        comps["tracker"].life_times()
         pkl = pkl_path(bi)
         with open(pkl + ".tmp", "wb") as f:
             pickle.dump((bin_digests[bi], log_lines, comps["tracker"]), f)
@@ -992,8 +995,7 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     log_lines = []
     for (_bi, lines, tr) in results:
         log_lines.extend(lines)
-        tracker.self_edges.merge(tr.self_edges)
-        tracker.remote_edges.merge(tr.remote_edges)
+        tracker.merge_stats_from(tr)
     if log is not None:
         log(f"merged {len(bins)} phase-2 bin shards in "
             f"{time.perf_counter() - shard_t0:.1f}s")

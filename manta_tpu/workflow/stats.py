@@ -223,6 +223,26 @@ class EdgeStatsTracker:
         self.remote_edges = GSCEdgeGroupStats()
         self.life = TimeBlock()
         self.life.__enter__()
+        self._life_times: CpuTimes | None = None
+
+    def life_times(self) -> CpuTimes:
+        """Close this tracker's lifetime clock (idempotent) and return
+        it. Bin workers call this before pickling so the recorded
+        lifetime is the WORKER's, not garbage measured against the
+        merging parent's process clock."""
+        if self._life_times is None:
+            self.life.__exit__()
+            self._life_times = self.life.times
+        return self._life_times
+
+    def merge_stats_from(self, o: "EdgeStatsTracker"):
+        """Reference GSCEdgeStatsData::merge — edge groups merge and
+        lifetimes SUM across processes (GSCEdgeStats.hpp:139-144), so
+        the merged SVGenTotalHours is total process time, mirroring
+        the reference's per-process stats file merge."""
+        self.self_edges.merge(o.self_edges)
+        self.remote_edges.merge(o.remote_edges)
+        self.life_times().merge(o.life_times())
 
     def _group(self, is_self_edge: bool) -> GSCEdgeGroupStats:
         return self.self_edges if is_self_edge else self.remote_edges
@@ -267,8 +287,7 @@ class EdgeStatsTracker:
 
     def report(self) -> list[str]:
         """(reference: GSCEdgeStatsData::report + GSCEdgeStats::report)."""
-        self.life.__exit__()
-        life = self.life.times
+        life = self.life_times()
         all_edges = GSCEdgeGroupStats()
         all_edges.merge(self.remote_edges)
         all_edges.merge(self.self_edges)
