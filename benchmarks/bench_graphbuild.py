@@ -56,12 +56,17 @@ def main():
 
     t0 = time.perf_counter()
     if args.jobs > 1:
+        import tempfile
+
+        from manta_tpu.graph.locusgraph import SVLocusSet
         from manta_tpu.workflow.run import _estimate_sv_loci_parallel
-        locus_set = _estimate_sv_loci_parallel(
+        out_npz = tempfile.mktemp(suffix=".npz")
+        _estimate_sv_loci_parallel(
             [args.bam], [False], scanner,
             SVLocusSetOptions(observation_weight=3), regions,
-            args.fasta, None, args.jobs)
-        locus_set.finalize()
+            args.fasta, None, args.jobs, out_path=out_npz)
+        locus_set = SVLocusSet.load(out_npz)
+        os.remove(out_npz)
     else:
         locus_set = estimate_sv_loci(
             [args.bam], [False], scanner,
