@@ -34,6 +34,7 @@ All bulk work is vectorized numpy; only junction-adjacent reads
 Usage:
   python benchmarks/wgs_workload.py --out /tmp/wgs --chroms 8 --mb 16
   python benchmarks/wgs_workload.py --out /tmp/wgs --check [--jobs N]
+  python benchmarks/wgs_workload.py --out /tmp/wgs --check --mode tumor
 """
 
 from __future__ import annotations
@@ -693,7 +694,12 @@ def parse_vcf_records(path):
 
 
 def check(args):
-    """Run the germline workflow on the generated data and score it."""
+    """Run the workflow on the generated data and score against the
+    planted truth. --mode germline (default) scores diploidSV.vcf with
+    genotypes; --mode tumor runs tumor-only calling and scores
+    tumorSV.vcf (no genotypes — the tumor model emits PR/SR counts),
+    giving the tumor-only pipeline a planted-truth oracle beyond the
+    demo smoke test."""
     import resource
     import tempfile
 
@@ -707,13 +713,19 @@ def check(args):
                               size=int(c[3]), gt=c[4]))
     run_dir = args.run_dir or tempfile.mkdtemp(prefix="wgs_")
     t0 = time.time()
-    run_workflow([args.out + ".bam"], [], args.out + ".fa", run_dir,
-                 n_jobs=args.jobs, verbose=True)
+    if args.mode == "tumor":
+        run_workflow([], [args.out + ".bam"], args.out + ".fa", run_dir,
+                     n_jobs=args.jobs, verbose=True)
+        out_vcf = "tumorSV.vcf.gz"
+    else:
+        run_workflow([args.out + ".bam"], [], args.out + ".fa", run_dir,
+                     n_jobs=args.jobs, verbose=True)
+        out_vcf = "diploidSV.vcf.gz"
     wall = time.time() - t0
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
     recs = parse_vcf_records(
-        os.path.join(run_dir, "results", "variants", "diploidSV.vcf.gz"))
+        os.path.join(run_dir, "results", "variants", out_vcf))
     recs = [r for r in recs if r["filter"] in ("PASS", ".")]
     tol = args.tolerance
 
@@ -742,7 +754,9 @@ def check(args):
             bt[0] += 1
             matched_ids.update(h["id"] for h in hits)
             want_gt = "1/1" if tr["gt"] == "hom" else "0/1"
-            if any(h["gt"].replace("|", "/") == want_gt for h in hits):
+            if args.mode == "tumor" or \
+                    any(h["gt"].replace("|", "/") == want_gt
+                        for h in hits):
                 n_gt_ok += 1
         else:
             missed.append(tr)
@@ -760,6 +774,7 @@ def check(args):
 
     out = {
         "metric": "wgs_sim_recall",
+        "mode": args.mode,
         "truth_n": len(truth),
         "recall": round(n_found / len(truth), 4),
         "gt_acc": round(n_gt_ok / max(n_found, 1), 4),
@@ -790,6 +805,8 @@ def main():
     ap.add_argument("--noise-rate", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--mode", default="germline",
+                    choices=("germline", "tumor"))
     ap.add_argument("--jobs", type=int, default=0)
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--tolerance", type=int, default=50)
