@@ -363,3 +363,39 @@ def test_rna_fusion_e2e(tmp_path_factory):
     pr = int(support["PR"].split(",")[1])
     sr = int(support["SR"].split(",")[1])
     assert pr > 10 and sr > 10, support
+
+
+def test_parallel_edge_stats_lifetimes_sum(tmp_path_factory, demo_fasta,
+                                           normal_bam, tumor_bam):
+    """Merged phase-2 edge stats must sum bin-worker lifetimes
+    (GSCEdgeStatsData::merge semantics): SVGenTotalHours carries real
+    CPU time and NonEdgeHours is non-negative. Regression for the
+    round-3 fix — the parent previously 'closed' each pickled bin
+    tracker against its own process clock, reporting ~zero total CPU
+    and negative non-edge time."""
+    import re
+    import subprocess
+    import sys
+    run_dir = str(tmp_path_factory.mktemp("stats_run"))
+    subprocess.run(
+        [sys.executable, "-m", "manta_tpu.workflow.run",
+         "--normal-bam", normal_bam, "--tumor-bam", tumor_bam,
+         "--reference", demo_fasta, "--run-dir", run_dir,
+         "--exome", "-j", "2"],
+        check=True, capture_output=True)
+    tsv = open(f"{run_dir}/results/stats/"
+               "svCandidateGenerationStats.tsv").read()
+
+    def hours(label):
+        m = re.search(rf"{label}\t([-0-9.]+)h wall, ([-0-9.]+)h user \+ "
+                      rf"([-0-9.]+)h system", tsv)
+        assert m, label
+        return tuple(float(g) for g in m.groups())
+
+    gen_wall, gen_user, gen_sys = hours("SVGenTotalHours")
+    ne_wall, ne_user, ne_sys = hours("NonEdgeHours")
+    # the demo's per-worker CPU rounds to 0 at 4-decimal hours, so the
+    # load-bearing assertions are the sign invariants the bug violated
+    assert gen_wall > 0
+    assert ne_wall >= 0 and ne_user >= -1e-9 and ne_sys >= -1e-9, \
+        "non-edge time negative: lifetimes not summed across workers"
