@@ -85,22 +85,36 @@ def main():
     staged = [jax.device_put(jnp.asarray(a))
               for a in (q, ql, r1a, r1l, r2a, r2l)]
 
-    def run():
-        out = batched_jump_score(
-            staged[0], staged[1], staged[2], staged[3], staged[4],
-            staged[5], sc.match, sc.mismatch, sc.open, sc.extend,
-            sc.off_edge, jump, Lq, Lr, Lr)
-        jax.block_until_ready(out)
-        return out
+    # device timing: fetch-synchronized K-iteration slope fit — the
+    # tunnel's dispatch is fire-and-forget, so naive block_until_ready
+    # timing measures RPC latency, not compute (see
+    # benchmarks/device_timing.py for the method + its MFU anchor).
+    # The production TPU path is the Pallas VMEM kernel; off TPU the
+    # XLA scan form runs.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from functools import partial as _partial
 
-    out = run()  # warmup + compile at staged-arg shapes
-    best = None
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = run()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    dev_dt = best / B
+    from device_timing import slope_time
+    if jax.default_backend() == "tpu":
+        from manta_tpu.align.pallas_jumpscore import (
+            pallas_jump_score as kernel)
+    else:
+        kernel = batched_jump_score
+
+    @_partial(jax.jit, static_argnames=("k",))
+    def run_k(q, ql, r1, r1l, r2, r2l, k):
+        def body(i, acc):
+            s = kernel(q + (i & 1), ql, r1, r1l, r2, r2l,
+                       sc.match, sc.mismatch, sc.open, sc.extend,
+                       sc.off_edge, jump, Lq, Lr, Lr)
+            return acc + s.sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    slope, _icept, _r2, _pts = slope_time(
+        lambda k: run_k(*staged, k=k), ks=(1, 8, 32), reps=3)
+    dev_dt = slope / B
+    out = kernel(*staged, sc.match, sc.mismatch, sc.open, sc.extend,
+                 sc.off_edge, jump, Lq, Lr, Lr)
 
     # parity check LAST and opt-in: one device->host transfer through
     # the tunnel can take minutes and permanently degrades subsequent
