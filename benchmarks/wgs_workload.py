@@ -631,37 +631,58 @@ def generate(args):
     svs, translocs = make_truth(rng, chrom_lens,
                                 spacing_kb=args.spacing_kb,
                                 n_transloc=args.translocs)
+    n_smp = args.samples
+    # per-sample genotypes over the shared truth set: sample 0 keeps
+    # the planned genotype (so every SV has at least one carrier),
+    # further samples re-roll ref/het/hom independently — the joint
+    # germline shape of the reference's up-to-~10-diploid-sample mode
+    # (reference: docs/userGuide/README.md:50-69)
+    for sv in svs:
+        sv["gts"] = [sv["gt"]] + [
+            ("ref", "het", "hom")[rng.choice(3, p=(0.35, 0.40, 0.25))]
+            for _ in range(n_smp - 1)]
+    for tr in translocs:
+        tr["gts"] = [tr["gt"]] + [
+            ("ref", "het")[rng.choice(2, p=(0.5, 0.5))]
+            for _ in range(n_smp - 1)]
     with open(args.out + ".truth.tsv", "w") as f:
         f.write("chrom\tpos\ttype\tsize\tgt\n")
         for sv in svs:
             f.write(f"{names[sv['chrom_i']]}\t{sv['pos']}\t{sv['type']}"
-                    f"\t{sv['size']}\t{sv['gt']}\n")
+                    f"\t{sv['size']}\t{','.join(sv['gts'])}\n")
         for tr in translocs:
             f.write(f"{names[tr['chrom_a']]}\t{tr['pos_a']}\tBND\t0\t"
-                    f"{tr['gt']}:{names[tr['chrom_b']]}:{tr['pos_b']}\n")
+                    f"{','.join(tr['gts'])}:{names[tr['chrom_b']]}:"
+                    f"{tr['pos_b']}\n")
     print(f"[{time.time() - t0:6.1f}s] truth: {len(svs)} SVs + "
-          f"{len(translocs)} translocations")
+          f"{len(translocs)} translocations x {n_smp} sample(s)")
 
     write_fasta(args.out + ".fa", names, ref_seqs)
-    haps = build_haplotypes(ref_seqs, chrom_lens, svs, translocs)
-    for dchroms in haps:
-        for dc in dchroms:
-            dc.names = names        # for SA-tag rname fields
-    print(f"[{time.time() - t0:6.1f}s] haplotypes built")
-
-    header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
-        f"@SQ\tSN:{n}\tLN:{L}\n" for n, L in zip(names, chrom_lens)
-    ) + "@RG\tID:rg1\tSM:WGS1\n"
-    bw = BamWriter(args.out + ".bam", header, names, chrom_lens)
-    w = _BatchWriter(bw)
-    simulate(rng, ref_seqs, haps, w, args.depth,
-             err_rate=args.err_rate, noise_rate=args.noise_rate,
-             log=lambda m: print(f"[{time.time() - t0:6.1f}s] {m}"))
-    print(f"[{time.time() - t0:6.1f}s] encoding + sorting "
-          f"{w.n_reads} reads")
-    bw.close()
-    print(f"[{time.time() - t0:6.1f}s] wrote {args.out}.bam "
-          f"({w.n_reads} reads, {args.depth}x nominal)")
+    for smp in range(n_smp):
+        svs_k = [dict(sv, gt=sv["gts"][smp]) for sv in svs
+                 if sv["gts"][smp] != "ref"]
+        tr_k = [dict(tr, gt=tr["gts"][smp]) for tr in translocs
+                if tr["gts"][smp] != "ref"]
+        haps = build_haplotypes(ref_seqs, chrom_lens, svs_k, tr_k)
+        for dchroms in haps:
+            for dc in dchroms:
+                dc.names = names    # for SA-tag rname fields
+        print(f"[{time.time() - t0:6.1f}s] sample {smp}: haplotypes "
+              f"built ({len(svs_k)} carried SVs)")
+        bam = args.out + (".bam" if n_smp == 1 else f".s{smp}.bam")
+        header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+            f"@SQ\tSN:{n}\tLN:{L}\n" for n, L in zip(names, chrom_lens)
+        ) + f"@RG\tID:rg1\tSM:WGS{smp + 1}\n"
+        bw = BamWriter(bam, header, names, chrom_lens)
+        w = _BatchWriter(bw)
+        simulate(rng, ref_seqs, haps, w, args.depth,
+                 err_rate=args.err_rate, noise_rate=args.noise_rate,
+                 log=lambda m: print(f"[{time.time() - t0:6.1f}s] {m}"))
+        print(f"[{time.time() - t0:6.1f}s] encoding + sorting "
+              f"{w.n_reads} reads")
+        bw.close()
+        print(f"[{time.time() - t0:6.1f}s] wrote {bam} "
+              f"({w.n_reads} reads, {args.depth}x nominal)")
 
 
 # -------------------------------------------------------------- checker
@@ -679,17 +700,20 @@ def parse_vcf_records(path):
             info = dict(kv.split("=", 1) if "=" in kv else (kv, True)
                         for kv in c[7].split(";"))
             gt = ""
+            gts = []
             if len(c) > 9:
                 fmt = c[8].split(":")
                 if "GT" in fmt:
-                    gt = c[9].split(":")[fmt.index("GT")]
+                    gi = fmt.index("GT")
+                    gts = [col.split(":")[gi] for col in c[9:]]
+                    gt = gts[0]
             svtype = info.get("SVTYPE", "")
             if not svtype:
                 m = re.match(r"^Manta(\w+?):", c[2])
                 svtype = m.group(1) if m else ""
             recs.append(dict(chrom=c[0], pos=int(c[1]), id=c[2],
                              ref=c[3], alt=c[4], filter=c[6],
-                             info=info, gt=gt, svtype=svtype))
+                             info=info, gt=gt, gts=gts, svtype=svtype))
     return recs
 
 
@@ -709,16 +733,24 @@ def check(args):
         next(f)
         for ln in f:
             c = ln.rstrip("\n").split("\t")
+            gt = c[4]
+            if c[2] == "BND" and ":" in gt:
+                gt = gt.split(":", 1)[0] + ":" + gt.split(":", 1)[1]
+            gts = (c[4].split(":", 1)[0] if c[2] == "BND" and ":" in c[4]
+                   else c[4]).split(",")
             truth.append(dict(chrom=c[0], pos=int(c[1]), type=c[2],
-                              size=int(c[3]), gt=c[4]))
+                              size=int(c[3]), gt=c[4], gts=gts))
+    n_smp = len(truth[0]["gts"]) if truth else 1
+    bams = [args.out + ".bam"] if n_smp == 1 else         [args.out + f".s{k}.bam" for k in range(n_smp)]
     run_dir = args.run_dir or tempfile.mkdtemp(prefix="wgs_")
     t0 = time.time()
     if args.mode == "tumor":
-        run_workflow([], [args.out + ".bam"], args.out + ".fa", run_dir,
+        assert n_smp == 1, "tumor mode scores a single sample"
+        run_workflow([], bams, args.out + ".fa", run_dir,
                      n_jobs=args.jobs, verbose=True)
         out_vcf = "tumorSV.vcf.gz"
     else:
-        run_workflow([args.out + ".bam"], [], args.out + ".fa", run_dir,
+        run_workflow(bams, [], args.out + ".fa", run_dir,
                      n_jobs=args.jobs, verbose=True)
         out_vcf = "diploidSV.vcf.gz"
     wall = time.time() - t0
@@ -753,11 +785,22 @@ def check(args):
             n_found += 1
             bt[0] += 1
             matched_ids.update(h["id"] for h in hits)
-            want_gt = "1/1" if tr["gt"] == "hom" else "0/1"
-            if args.mode == "tumor" or \
-                    any(h["gt"].replace("|", "/") == want_gt
-                        for h in hits):
+            if args.mode == "tumor":
                 n_gt_ok += 1
+            else:
+                # per-sample genotype check (joint calling: one record,
+                # one GT column per sample)
+                want = ["1/1" if g == "hom" else
+                        ("0/1" if g == "het" else "0/0")
+                        for g in tr["gts"]]
+                def smp_ok(h, k):
+                    cols = h["gts"] or [h["gt"]]
+                    got = (cols[k] if k < len(cols) else "").replace(
+                        "|", "/")
+                    return got == want[k]
+                if any(all(smp_ok(h, k) for k in range(len(want)))
+                       for h in hits):
+                    n_gt_ok += 1
         else:
             missed.append(tr)
     # FP: PASS spanning records not matching any truth breakend
@@ -807,6 +850,12 @@ def main():
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--mode", default="germline",
                     choices=("germline", "tumor"))
+    ap.add_argument("--samples", type=int, default=1,
+                    help="joint-calling sample count: each sample gets "
+                         "independently re-rolled genotypes over the "
+                         "same truth SV set and its own BAM "
+                         "(out.s<k>.bam); 1 keeps the single-sample "
+                         "layout (out.bam)")
     ap.add_argument("--jobs", type=int, default=0)
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--tolerance", type=int, default=50)
