@@ -248,7 +248,14 @@ def make_bucketed_scorer(scores, jump_score: int):
         r2, r2l = pad_to([j[2] for j in jobs] + [b"\x02"] * (Bp - B), nr2, 2)
         q, ql, r1, r1l, r2, r2l = (
             jax.device_put(a) for a in (q, ql, r1, r1l, r2, r2l))
-        if use_pallas:
+        # VMEM guard: the Pallas kernel holds 4 int32 state rows of
+        # width nq+1 plus the query/ref tiles per 64-row batch tile;
+        # pathological contig/window sizes (beyond any production
+        # shape) fall back to the HBM-resident XLA form rather than
+        # risk a Mosaic allocation failure
+        tile_bytes = 64 * 4 * (
+            5 * (nq + 129) + (nr1 + 128) + (nr2 + 128))
+        if use_pallas and tile_bytes < 12 << 20:
             out = pallas_jump_score(
                 q, ql, r1, r1l, r2, r2l,
                 scores.match, scores.mismatch, scores.open, scores.extend,
