@@ -110,8 +110,10 @@ def resolve_device_scoring(mode):
     runs at 302k scans/s on ONE host core vs 3.9k/s for the bit-exact
     device kernel and 98k/s for the fastest (MXU) device form — the
     byte/LUT-gather inner loop is VPU-hostile, so routing split scans
-    to the device is a strict loss at production shapes. On tunneled platforms (e.g. 'axon')
-    device->host readbacks cost seconds each, so 'auto' stays off.
+    to the device is a strict loss at production shapes. Hosts without
+    local accelerator device nodes resolve 'auto' to off without
+    probing JAX (a tunneled platform would otherwise initialize just
+    to answer "no", and its device->host readbacks cost seconds each).
     'jump'/'exact'/'mxu' force the respective routing regardless
     ('exact' adds the bit-identical device split scan; 'mxu' the
     fastest approximate one)."""
