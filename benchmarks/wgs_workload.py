@@ -733,15 +733,15 @@ def check(args):
         next(f)
         for ln in f:
             c = ln.rstrip("\n").split("\t")
-            gt = c[4]
-            if c[2] == "BND" and ":" in gt:
-                gt = gt.split(":", 1)[0] + ":" + gt.split(":", 1)[1]
+            # BND rows pack the mate locus after the genotype list:
+            # "het,ref:chr2:12345"
             gts = (c[4].split(":", 1)[0] if c[2] == "BND" and ":" in c[4]
                    else c[4]).split(",")
             truth.append(dict(chrom=c[0], pos=int(c[1]), type=c[2],
                               size=int(c[3]), gt=c[4], gts=gts))
     n_smp = len(truth[0]["gts"]) if truth else 1
-    bams = [args.out + ".bam"] if n_smp == 1 else         [args.out + f".s{k}.bam" for k in range(n_smp)]
+    bams = ([args.out + ".bam"] if n_smp == 1 else
+            [args.out + f".s{k}.bam" for k in range(n_smp)])
     run_dir = args.run_dir or tempfile.mkdtemp(prefix="wgs_")
     t0 = time.time()
     if args.mode == "tumor":
