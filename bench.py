@@ -73,10 +73,18 @@ def measure_host():
                             "workflow_log.txt")).read()
     m = re.search(r"processed (\d+) graph edges", log)
     n_edges = int(m.group(1)) if m else 0
-    tsv = open(os.path.join(run_dir, "results", "stats",
-                            "svCandidateGenerationStats.tsv")).read()
-    mt = re.search(r"SVGenTotalHours\t([0-9.]+)h wall", tsv)
-    phase2_s = float(mt.group(1)) * 3600.0 if mt else wall
+    # phase-2 span from the millisecond log stamps (the stats TSV's
+    # SVGenTotalHours now sums worker lifetimes across processes, the
+    # reference's merge semantics — a utilization figure, not a span)
+    import datetime
+
+    def stamp(pattern):
+        mm = re.search(rf"\[([0-9T:.-]+)\] {pattern}", log)
+        return datetime.datetime.fromisoformat(mm.group(1)) if mm else None
+
+    t_a = stamp("generating and scoring SV candidates")
+    t_b = stamp(r"processed \d+ graph edges")
+    phase2_s = (t_b - t_a).total_seconds() if t_a and t_b else wall
 
     # serial phase-boundary tail, from the instrumented log stages:
     # graph merge + finalize + save + phase-2 load + shard merge +

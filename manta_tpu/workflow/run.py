@@ -212,7 +212,7 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
 
     def log(msg):
         import datetime
-        stamp = datetime.datetime.now().isoformat(timespec="seconds")
+        stamp = datetime.datetime.now().isoformat(timespec="milliseconds")
         log_fp.write(f"[{stamp}] {msg}\n")
         log_fp.flush()
         if verbose:
