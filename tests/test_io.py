@@ -209,3 +209,21 @@ def test_rg_keep_mask_native(tumor_bam):
         want = np.array([(b.get_tag(i, b"RG") or "") == rg
                          for i in range(b.n)])
         np.testing.assert_array_equal(got, want)
+
+
+def test_node_mem_override_scales_caches():
+    """MANTA_TPU_NODE_GB caps IO-cache sizing as if the node were that
+    small (the FFPE-depth memory experiment knob, docs/PERF_r03.md)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from manta_tpu.io.bgzf import node_mem_gb, _default_cache_blocks;"
+         "from manta_tpu.io.bam import BamReader;"
+         "print(node_mem_gb(), _default_cache_blocks(),"
+         "      BamReader._FETCH_CACHE_BYTES)"],
+        env={**__import__('os').environ, "MANTA_TPU_NODE_GB": "8"},
+        capture_output=True, text=True, check=True).stdout.split()
+    assert float(out[0]) == 8.0
+    assert int(out[1]) == 3072          # small-node BGZF LRU (~192 MB)
+    assert int(out[2]) == 96 << 20      # small-node fetch budget
