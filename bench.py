@@ -150,7 +150,10 @@ def measure_device():
             def flush(self):
                 pass
 
-        dt.KS_DEFAULT = (1, 32)
+        # >=3 K values so the slope fit's r^2 is a real goodness-of-fit
+        # number (a 2-point fit is vacuously 1.0); 1/16/48 stays under
+        # the ~60s watchdog bound documented at device_timing.py:358
+        dt.KS_DEFAULT = (1, 16, 48)
         # the production TPU jump path (Pallas VMEM kernel)
         dt.bench_jump_pallas(_Cap(), B=64, nq=400, nr=800)
         if "contigs_per_s" not in rec:

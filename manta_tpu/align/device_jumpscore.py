@@ -248,13 +248,17 @@ def make_bucketed_scorer(scores, jump_score: int):
         r2, r2l = pad_to([j[2] for j in jobs] + [b"\x02"] * (Bp - B), nr2, 2)
         q, ql, r1, r1l, r2, r2l = (
             jax.device_put(a) for a in (q, ql, r1, r1l, r2, r2l))
-        # VMEM guard: the Pallas kernel holds 4 int32 state rows of
-        # width nq+1 plus the query/ref tiles per 64-row batch tile;
-        # pathological contig/window sizes (beyond any production
-        # shape) fall back to the HBM-resident XLA form rather than
-        # risk a Mosaic allocation failure
+        # VMEM guard: per 64-row batch tile the kernel's live set is
+        # ~13 int32 arrays of width round_up(nq,128)+128 (the 8 carried
+        # state matrices pm/pd/pi/pj + vm/vd/vi/vj, qsh, the col iota,
+        # and the sub/diag/prefix temporaries) plus both padded ref
+        # tiles; pathological contig/window sizes (beyond any
+        # production bucket) fall back to the HBM-resident XLA form
+        # rather than risk a Mosaic VMEM allocation failure
+        nq1 = -(-nq // 128) * 128 + 128
         tile_bytes = 64 * 4 * (
-            5 * (nq + 129) + (nr1 + 128) + (nr2 + 128))
+            13 * nq1 + (-(-nr1 // 128) * 128 + 128)
+            + (-(-nr2 // 128) * 128 + 128))
         if use_pallas and tile_bytes < 12 << 20:
             out = pallas_jump_score(
                 q, ql, r1, r1l, r2, r2l,

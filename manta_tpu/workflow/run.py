@@ -1261,7 +1261,10 @@ def main(argv=None):
                          "scans on the faster host-native path), "
                          "'exact' (also route split scans; "
                          "bit-identical results), 'mxu' (fastest device "
-                         "split form, ~1e-6 relative score error), or "
+                         "split form, ~1e-6 relative score error; "
+                         "IUPAC-containing batches fall back to the "
+                         "Pallas scan form with ~1e-3 absolute error, "
+                         "measured to flip at most one tie), or "
                          "'off'")
     ap.add_argument("--existing-align-stats", default=None,
                     help="fallback alignment stats JSON used when "

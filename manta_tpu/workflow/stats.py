@@ -230,7 +230,9 @@ class EdgeStatsTracker:
         it. Bin workers call this before pickling so the recorded
         lifetime is the WORKER's, not garbage measured against the
         merging parent's process clock."""
-        if self._life_times is None:
+        # getattr: bin-result pickles written before _life_times existed
+        # (resumed via the digest-matched cache) must still merge cleanly
+        if getattr(self, "_life_times", None) is None:
             self.life.__exit__()
             self._life_times = self.life.times
         return self._life_times

