@@ -77,6 +77,11 @@ def get_lib():
         ctypes.c_int64,
         i32p, i32p, u8p, u16p, i32p, i32p, i32p,
         i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p, i64p, u8p]
+    lib.mt_bam_depth_cols.restype = ctypes.c_int64
+    lib.mt_bam_depth_cols.argtypes = [
+        ctypes.c_int64, ppu8, i64p,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        i32p, u16p, i32p]
     lib.mt_split_read_scan.restype = ctypes.c_int
     lib.mt_split_read_scan.argtypes = [
         u8p, ctypes.c_int32, u8p,

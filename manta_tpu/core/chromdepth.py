@@ -30,9 +30,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..io.bam import open_alignment_reader
-from ..core.readfilter import (
-    FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
-    is_read_unmapped_or_filtered_core,
+from ..io.bam import (
+    FLAG_DUP, FLAG_QCFAIL, FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+    FLAG_UNMAPPED,
 )
 
 _STATS_CHECK_COUNT = 1_000_000
@@ -136,6 +136,92 @@ class _MedianState:
         return _median(self.counter, self.total)
 
 
+def _fetch_depth_cols(reader, tid: int, beg: int, end: int):
+    """(pos, flag, l_seq) of reads STARTING in [beg, end); the light
+    BAM column path when available (BamReader.fetch_depth_cols), the
+    generic batch fetch otherwise (CRAM)."""
+    f = getattr(reader, "fetch_depth_cols", None)
+    if f is not None:
+        return f(tid, beg, end)
+    b = reader.fetch(tid, beg, end)
+    keep = (b.pos >= beg) & (b.pos < end)
+    lseq = (b.seq_off[1:] - b.seq_off[:-1]).astype(np.int32)
+    return (b.pos[keep].astype(np.int64), b.flag[keep], lseq[keep])
+
+
+_CHUNK0_SPAN = 150_000   # first-chunk span guess per segment visit
+
+
+def _visit_fetch(reader, tid: int, start: int, seg_end: int,
+                 span_hint: list):
+    """One segment visit's reads, fetched incrementally.
+
+    The reference streams records and stops ~40k reads into the
+    segment (ReadChromDepthUtil.cpp:349-375); a monolithic fetch of
+    [head, segment_end) parses the segment's whole remainder per visit,
+    which made depth estimation quadratic in segment size. This
+    fetches chunks sized from a running reads-per-base estimate until
+    the cycling-cut condition is decidable, then truncates exactly
+    where the monolithic form would have cut.
+
+    Returns (pos, flag, lseq, new_head) with pos >= start, already cut;
+    new_head == start means the segment is empty."""
+    parts = []
+    n_tot = 0
+    c0 = start
+    chunk = span_hint[0]
+    while True:
+        c1 = min(seg_end, c0 + chunk)
+        cols = _fetch_depth_cols(reader, tid, c0, c1)
+        if len(cols[0]):
+            parts.append(cols)
+            n_tot += len(cols[0])
+            # adapt: reads/base over the spans fetched so far
+            dens = n_tot / (c1 - start)
+            need = _TARGET_SEGMENT_READS + 2 - n_tot
+            if need > 0 and dens > 0:
+                chunk = max(_MIN_SPAN, int(need / dens * 1.3))
+        else:
+            chunk = min(chunk * 2, 16 * _CHUNK0_SPAN)
+        done = c1 >= seg_end
+        if n_tot > _TARGET_SEGMENT_READS or done:
+            pos = parts[0][0] if len(parts) == 1 else \
+                np.concatenate([p[0] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+            n = len(pos)
+            if n_tot > _TARGET_SEGMENT_READS:
+                posl = pos.astype(np.int64)
+                fresh = np.empty(n, bool)
+                fresh[0] = True
+                fresh[1:] = posl[1:] > posl[:-1]
+                cut_mask = fresh & \
+                    (np.arange(1, n + 1) > _TARGET_SEGMENT_READS) & \
+                    (posl - start >= _MIN_SPAN)
+                if cut_mask.any():
+                    cut = int(np.argmax(cut_mask))
+                    flag = np.concatenate([p[1] for p in parts])[:cut]
+                    lseq = np.concatenate([p[2] for p in parts])[:cut]
+                    # carry the observed density to the next visit's
+                    # first-chunk sizing
+                    span_hint[0] = max(_MIN_SPAN, min(
+                        int((int(posl[cut]) - start) * 1.15),
+                        16 * _CHUNK0_SPAN))
+                    return (posl[:cut], flag, lseq, int(posl[cut]))
+            if done:
+                if n == 0:
+                    return (np.zeros(0, np.int64),
+                            np.zeros(0, np.uint16),
+                            np.zeros(0, np.int32), start)
+                flag = parts[0][1] if len(parts) == 1 else \
+                    np.concatenate([p[1] for p in parts])
+                lseq = parts[0][2] if len(parts) == 1 else \
+                    np.concatenate([p[2] for p in parts])
+                return (pos.astype(np.int64), flag, lseq,
+                        int(pos[-1]) + 1)
+        c0 = c1
+    # unreachable
+
+
 def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
     """(reference: readChromDepthFromAlignment:273-410)."""
     segment_size = 2_000_000
@@ -147,6 +233,7 @@ def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
     n_seg = len(seg_starts)
     head = list(seg_starts)
     empty = [False] * n_seg
+    span_hint = [_CHUNK0_SPAN]
 
     state = _MedianState()
     added_count = 0
@@ -178,10 +265,9 @@ def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
                 break
             start = head[si]
             end = seg_starts[si + 1] if si + 1 < n_seg else chrom_size
-            batch = reader.fetch(tid, start, end)
-            keep = batch.pos >= start
-            batch = batch.subset(keep)
-            n = batch.n
+            pos, flags, lseq, new_head = _visit_fetch(
+                reader, tid, start, end, span_hint)
+            n = len(pos)
 
             # region visit boundary: flush previous visit's pending obs
             if pending_flush is not None:
@@ -192,28 +278,16 @@ def read_chrom_depth(reader: BamReader, tid: int, chrom_size: int) -> float:
                 empty[si] = True
                 continue
             any_data = True
-
-            # cycling cut: first read at a fresh position past both the
-            # count and span thresholds stops this visit
-            pos = batch.pos.astype(np.int64)
-            fresh = np.empty(n, bool)
-            fresh[0] = True
-            fresh[1:] = pos[1:] > pos[:-1]
-            cut_mask = fresh & (np.arange(1, n + 1) > _TARGET_SEGMENT_READS) \
-                & (pos - start >= _MIN_SPAN)
-            if cut_mask.any():
-                cut = int(np.argmax(cut_mask))
-                head[si] = int(pos[cut])
-                batch = batch.subset(np.arange(n) < cut)
-                pos = pos[:cut]
-            else:
-                head[si] = int(pos[-1]) + 1
+            head[si] = new_head
 
             # core read filters (reference: depth loop filters split/
-            # secondary reads entirely to avoid double counting)
-            bad = is_read_unmapped_or_filtered_core(batch)
-            bad |= (batch.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) != 0
-            lengths = (batch.seq_off[1:] - batch.seq_off[:-1]).astype(np.int64)
+            # secondary reads entirely to avoid double counting —
+            # is_read_unmapped_or_filtered_core | secondary | supp
+            # reduces to a pure flag mask here because secondary and
+            # supplementary are excluded regardless of SA tags)
+            bad = (flags & (FLAG_QCFAIL | FLAG_DUP | FLAG_UNMAPPED
+                            | FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) != 0
+            lengths = lseq.astype(np.int64)
             ok = ~bad & (lengths > 0)
             starts = pos[ok]
             lengths = lengths[ok]

@@ -722,6 +722,43 @@ class BamReader:
                              self._FETCH_CACHE_BYTES, key, out)
         return out
 
+    def fetch_depth_cols(self, tid: int, beg: int, end: int):
+        """(pos, flag, l_seq) int32/uint16/int32 columns of reads whose
+        START position lies in [beg, end) — the depth estimator's
+        chunked segment visits (core/chromdepth.py). Start-position
+        windowing gives exact dedup across chunk boundaries, and the
+        light native walk (mt_bam_depth_cols) skips every blob copy
+        the full record parse pays for."""
+        import ctypes
+        from .._native import get_lib, i64p, i32p, u16p
+        if self.index is None:
+            b = self.fetch(tid, beg, end)
+            keep = (b.pos >= beg) & (b.pos < end)
+            lseq = (b.seq_off[1:] - b.seq_off[:-1]).astype(np.int32)
+            return (b.pos[keep].astype(np.int32), b.flag[keep],
+                    lseq[keep])
+        chunks = self.index.query(tid, beg, end)
+        bufs = [self._bgzf.read_range_arr(vs, ve) for vs, ve in chunks]
+        bufs = [np.frombuffer(b, np.uint8) if not isinstance(b, np.ndarray)
+                else b for b in bufs]
+        bufs = [b for b in bufs if len(b) >= 4]
+        nb = len(bufs)
+        if nb == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.uint16),
+                    np.zeros(0, np.int32))
+        cap = sum(len(b) for b in bufs) // 36 + 1
+        pos = np.empty(cap, np.int32)
+        flag = np.empty(cap, np.uint16)
+        lseq = np.empty(cap, np.int32)
+        ptrs = (ctypes.c_void_p * nb)(*[b.ctypes.data for b in bufs])
+        lens = np.array([len(b) for b in bufs], np.int64)
+        lib = get_lib()
+        n = lib.mt_bam_depth_cols(
+            nb, ptrs, lens.ctypes.data_as(i64p), tid, beg, end,
+            pos.ctypes.data_as(i32p), flag.ctypes.data_as(u16p),
+            lseq.ctypes.data_as(i32p))
+        return pos[:n].copy(), flag[:n].copy(), lseq[:n].copy()
+
     def _fetch_uncached(self, tid: int, beg: int, end: int) -> ReadBatch:
         if self.index is None:
             buf = self._bgzf.decompress_all()

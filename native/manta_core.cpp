@@ -4027,3 +4027,44 @@ extern "C" int mt_tag_zmatch(
   }
   return 0;
 }
+
+// Light depth-scan column extraction: (pos, flag, l_seq) of records
+// whose START position lies in [beg, end) on tid. Start-position
+// windowing (not overlap) lets the chrom-depth estimator fetch
+// segments in incremental chunks with exact dedup across chunk
+// boundaries, and skipping the cigar/seq/qual/name/tag copies makes
+// the walk ~memory-bandwidth-bound (reference:
+// GetChromDepth/ReadChromDepthUtil.cpp streams records and reads only
+// pos/flags/read_size). Returns the record count written.
+extern "C" int64_t mt_bam_depth_cols(
+    int64_t n_bufs, const uint8_t* const* bufs, const int64_t* lens,
+    int32_t tid, int64_t beg, int64_t end,
+    int32_t* pos_out, uint16_t* flag_out, int32_t* lseq_out) {
+  int64_t n = 0;
+  for (int64_t b = 0; b < n_bufs; b++) {
+    const uint8_t* buf = bufs[b];
+    const int64_t buflen = lens[b];
+    int64_t i = 0;
+    while (i + 4 <= buflen) {
+      uint32_t bs;
+      std::memcpy(&bs, buf + i, 4);
+      if (i + 4 + (int64_t)bs > buflen) break;
+      const uint8_t* p = buf + i + 4;
+      int32_t rid, pp;
+      std::memcpy(&rid, p, 4);
+      std::memcpy(&pp, p + 4, 4);
+      if (rid == tid && (int64_t)pp >= beg && (int64_t)pp < end) {
+        uint16_t fl;
+        int32_t lseq;
+        std::memcpy(&fl, p + 14, 2);
+        std::memcpy(&lseq, p + 16, 4);
+        pos_out[n] = pp;
+        flag_out[n] = fl;
+        lseq_out[n] = lseq;
+        n++;
+      }
+      i += 4 + bs;
+    }
+  }
+  return n;
+}
