@@ -53,6 +53,9 @@ from manta_tpu.io.bam import ReadBatch          # noqa: E402
 from manta_tpu.io.bamwriter import BamWriter    # noqa: E402
 
 READ_LEN = 100
+# generation switches to external-merge (bounded-memory) BAM writing
+# above this expected read count; tests lower it to cover the path
+SPILL_THRESHOLD_READS = 30_000_000
 FRAG_MEAN, FRAG_SD, FRAG_LO, FRAG_HI = 300, 30, 200, 450
 MIN_ANCHOR = 20          # min aligned bases to anchor a junction read
 BASES = np.frombuffer(b"ACGT", np.uint8)
@@ -591,16 +594,39 @@ def simulate(rng, ref_seqs, haps, writer, depth, err_rate=0.001,
 
 
 class _BatchWriter:
-    """Adapter: whole-batch adds into BamWriter's group list."""
+    """Adapter: whole-batch adds into BamWriter's group list.
 
-    def __init__(self, bw: BamWriter):
+    With spill_every set, banked records are periodically flushed as
+    external position-sorted runs (io/bamwriter.spill_run) so WGS-scale
+    generation (hundreds of Mreads) runs in bounded memory; the caller
+    merges the runs at the end (merge_runs_to_bam)."""
+
+    def __init__(self, bw: BamWriter, spill_dir: str | None = None,
+                 spill_every: int = 8_000_000):
         self.bw = bw
         self.n_reads = 0
+        self._pending = 0
+        self.spill_dir = spill_dir
+        self.spill_every = spill_every
+        self.run_prefixes: list[str] = []
 
     def add_batch(self, batch: ReadBatch):
         self.bw._groups.append(
             [batch, list(range(batch.n)), [b""] * batch.n])
         self.n_reads += batch.n
+        self._pending += batch.n
+        if self.spill_dir is not None and self._pending >= self.spill_every:
+            self.spill()
+
+    def spill(self):
+        from manta_tpu.io.bamwriter import spill_run
+        if self._pending == 0:
+            return
+        prefix = os.path.join(self.spill_dir,
+                              f"run{len(self.run_prefixes):04d}")
+        spill_run(self.bw, prefix)
+        self.run_prefixes.append(prefix)
+        self._pending = 0
 
 
 # --------------------------------------------------------------- output
@@ -674,13 +700,31 @@ def generate(args):
             f"@SQ\tSN:{n}\tLN:{L}\n" for n, L in zip(names, chrom_lens)
         ) + f"@RG\tID:rg1\tSM:WGS{smp + 1}\n"
         bw = BamWriter(bam, header, names, chrom_lens)
-        w = _BatchWriter(bw)
+        # external-merge mode above ~30 Mreads: bounded generation
+        # memory via sorted run spills + a vectorized k-way merge
+        exp_reads = args.depth * sum(chrom_lens) // READ_LEN
+        spill_dir = None
+        if exp_reads > SPILL_THRESHOLD_READS:
+            spill_dir = bam + ".runs"
+            os.makedirs(spill_dir, exist_ok=True)
+        w = _BatchWriter(bw, spill_dir=spill_dir)
         simulate(rng, ref_seqs, haps, w, args.depth,
                  err_rate=args.err_rate, noise_rate=args.noise_rate,
                  log=lambda m: print(f"[{time.time() - t0:6.1f}s] {m}"))
         print(f"[{time.time() - t0:6.1f}s] encoding + sorting "
               f"{w.n_reads} reads")
-        bw.close()
+        if spill_dir is not None:
+            from manta_tpu.io.bamwriter import merge_runs_to_bam
+            w.spill()
+            print(f"[{time.time() - t0:6.1f}s] merging "
+                  f"{len(w.run_prefixes)} runs")
+            merge_runs_to_bam(w.run_prefixes, bam, header, names,
+                              chrom_lens,
+                              n_threads=os.cpu_count() or 2)
+            import shutil
+            shutil.rmtree(spill_dir, ignore_errors=True)
+        else:
+            bw.close()
         print(f"[{time.time() - t0:6.1f}s] wrote {bam} "
               f"({w.n_reads} reads, {args.depth}x nominal)")
 

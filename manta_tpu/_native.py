@@ -77,6 +77,10 @@ def get_lib():
         ctypes.c_int64,
         i32p, i32p, u8p, u16p, i32p, i32p, i32p,
         i64p, u32p, i64p, u8p, i64p, u8p, i64p, u8p, i64p, u8p]
+    lib.mt_bgzf_deflate_batch.restype = ctypes.c_int
+    lib.mt_bgzf_deflate_batch.argtypes = [
+        ctypes.c_int64, u8p, i64p, ctypes.c_int32,
+        u8p, ctypes.c_int64, i32p, ctypes.c_int32]
     lib.mt_bam_depth_cols.restype = ctypes.c_int64
     lib.mt_bam_depth_cols.argtypes = [
         ctypes.c_int64, ppu8, i64p,

@@ -12,6 +12,7 @@ R-tree binning used by the tabix writer (format/tabix.py).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -216,3 +217,344 @@ class BamWriter:
                 out += struct.pack("<Q", prev)
         with open(self.path + ".bai", "wb") as f:
             f.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# External-merge sorted BAM output at WGS scale.
+#
+# BamWriter banks every record in memory until close(), which is right
+# for evidence BAMs (small) but caps a whole-genome writer at node RAM.
+# The external path spills position-sorted runs (raw length-prefixed
+# record streams + sidecar sort columns) and merges them with fully
+# vectorized machinery: one global lexsort over the sidecars, native
+# ragged gathers from mmapped runs, threaded native BGZF deflation
+# (mt_bgzf_deflate_batch) with deterministic 65280-byte blocking so
+# every record's virtual offset — and from it the whole BAI — is
+# computed as array math instead of a per-record Python loop.
+# (reference analogue: samtools sort's temp-file merge as orchestrated
+# by mantaWorkflow.py:331-346; redesigned columnar here.)
+
+_BGZF_PAYLOAD = 0xFF00
+
+
+def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized UCSC R-tree bin (same math as format/tabix.reg2bin)."""
+    e = end - 1
+    out = np.zeros(len(beg), np.int64)
+    done = np.zeros(len(beg), bool)
+    for shift, offset in ((14, 4681), (17, 585), (20, 73), (23, 9),
+                          (26, 1)):
+        m = ~done & ((beg >> shift) == (e >> shift))
+        out[m] = offset + (beg[m] >> shift)
+        done |= m
+    return out
+
+
+class _BgzfBlockStream:
+    """Feeds bytes through fixed 65280-byte blocks compressed in
+    threaded native batches; records every block's compressed size so
+    virtual offsets are array math."""
+
+    def __init__(self, f, level: int = 2, n_threads: int = 2,
+                 flush_blocks: int = 512):
+        self._f = f
+        self._level = level
+        self._nt = n_threads
+        self._flush = flush_blocks * _BGZF_PAYLOAD
+        self._pend: list[np.ndarray] = []
+        self._pend_n = 0
+        self.comp_sizes: list[np.ndarray] = []
+
+    def write(self, data):
+        a = np.frombuffer(data, np.uint8) if not isinstance(
+            data, np.ndarray) else data
+        self._pend.append(a)
+        self._pend_n += len(a)
+        if self._pend_n >= self._flush:
+            self._drain(final=False)
+
+    def _drain(self, final: bool):
+        import ctypes
+        from .._native import get_lib, i32p, i64p, u8p
+        buf = self._pend[0] if len(self._pend) == 1 else \
+            np.concatenate(self._pend)
+        n_full = len(buf) // _BGZF_PAYLOAD
+        take = len(buf) if final else n_full * _BGZF_PAYLOAD
+        if not final:
+            rest = buf[take:]
+            self._pend = [rest] if len(rest) else []
+            self._pend_n = len(rest)
+        else:
+            self._pend, self._pend_n = [], 0
+        if take == 0:
+            return
+        chunk = np.ascontiguousarray(buf[:take])
+        nb = -(-take // _BGZF_PAYLOAD)
+        off = np.minimum(
+            np.arange(nb + 1, dtype=np.int64) * _BGZF_PAYLOAD, take)
+        stride = _BGZF_PAYLOAD + 1024
+        out = np.empty(nb * stride, np.uint8)
+        sizes = np.zeros(nb, np.int32)
+        lib = get_lib()
+        rc = lib.mt_bgzf_deflate_batch(
+            nb, chunk.ctypes.data_as(u8p), off.ctypes.data_as(i64p),
+            self._level, out.ctypes.data_as(u8p), stride,
+            sizes.ctypes.data_as(i32p), self._nt)
+        assert rc == 0, f"mt_bgzf_deflate_batch failed: {rc}"
+        # compact: blocks are at fixed stride with variable sizes
+        dst = np.zeros(nb + 1, np.int64)
+        np.cumsum(sizes, out=dst[1:])
+        packed = np.empty(int(dst[-1]), np.uint8)
+        src_off = np.arange(nb, dtype=np.int64) * stride
+        for k in range(nb):
+            packed[dst[k]:dst[k + 1]] = out[src_off[k]:src_off[k]
+                                            + sizes[k]]
+        packed.tofile(self._f)
+        self.comp_sizes.append(sizes)
+
+    def close(self):
+        from .bgzf import BGZF_EOF
+        self._drain(final=True)
+        self._f.write(BGZF_EOF)
+        self._f.flush()
+
+    def block_offsets(self) -> np.ndarray:
+        """File offset of each 65280-payload block (int64, n_blocks+1)."""
+        if self.comp_sizes:
+            sizes = np.concatenate(self.comp_sizes).astype(np.int64)
+        else:
+            sizes = np.zeros(0, np.int64)
+        out = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=out[1:])
+        return out
+
+
+def spill_run(writer: BamWriter, run_prefix: str) -> int:
+    """Encode + position-sort the records banked in `writer` and write
+    them as an external run: `<prefix>.bin` (raw length-prefixed
+    alignment blocks in sorted order) + `<prefix>.npz` sidecar columns
+    (tid/pos/end int32, record offsets int64). Frees the writer's
+    banked groups. Returns the record count."""
+    blobs, tid_a, pos_a, end_a, gid_a, off0_a, off1_a, lidx_a = \
+        [], [], [], [], [], [], [], []
+    for gi, (batch, idx_list, extras) in enumerate(writer._groups):
+        blob, out_off, out_end = _encode_group(batch, idx_list, extras)
+        blobs.append(blob)
+        idx = np.asarray(idx_list, np.int64)
+        tid_a.append(batch.refid[idx].astype(np.int64))
+        pos_a.append(batch.pos[idx].astype(np.int64))
+        end_a.append(out_end.astype(np.int64))
+        gid_a.append(np.full(len(idx), gi, np.int64))
+        off0_a.append(out_off[:-1])
+        off1_a.append(out_off[1:])
+        lidx_a.append(np.arange(len(idx), dtype=np.int64))
+    writer._groups = []
+    if not blobs:
+        np.savez(run_prefix + ".npz",
+                 tid=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
+                 end=np.zeros(0, np.int32), off=np.zeros(1, np.int64))
+        open(run_prefix + ".bin", "wb").close()
+        return 0
+    tid = np.concatenate(tid_a)
+    pos = np.concatenate(pos_a)
+    end = np.concatenate(end_a)
+    gid = np.concatenate(gid_a)
+    off0 = np.concatenate(off0_a)
+    off1 = np.concatenate(off1_a)
+    lidx = np.concatenate(lidx_a)
+    order = np.lexsort((pos, np.where(tid < 0, 1 << 30, tid)))
+    rec_len = (off1 - off0)[order]
+    dst = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(rec_len, out=dst[1:])
+    out = np.empty(int(dst[-1]), np.uint8)
+
+    import ctypes
+    from .._native import get_lib, i64p, u8p
+    lib = get_lib()
+    g_sorted = gid[order]
+    l_sorted = lidx[order]
+    for gi, blob in enumerate(blobs):
+        sel = np.flatnonzero(g_sorted == gi)
+        if not len(sel):
+            continue
+        # group-local ragged offsets for the gather (records within a
+        # group blob are contiguous, so off0/off1 reassemble cumsum)
+        gm = gid == gi
+        n_g = int(gm.sum())
+        goff = np.zeros(n_g + 1, np.int64)
+        goff[:-1] = off0[gm]
+        goff[-1] = off1[gm][-1]
+        rc = lib.mt_gather_ragged(
+            len(sel), np.ascontiguousarray(
+                l_sorted[sel]).ctypes.data_as(i64p),
+            goff.ctypes.data_as(i64p), blob.ctypes.data_as(u8p), 1,
+            np.ascontiguousarray(dst[sel]).ctypes.data_as(i64p),
+            out.ctypes.data_as(u8p))
+        assert rc == 0
+    # runs are BGZF-compressed (fast level-1): at WGS scale raw runs
+    # would need ~the uncompressed BAM's footprint in scratch disk.
+    # Sorted runs + sorted merge order mean every merge chunk touches
+    # a CONTIGUOUS record range per run, so block-range inflation is
+    # sequential.
+    with open(run_prefix + ".bin", "wb") as f:
+        st = _BgzfBlockStream(f, level=1, n_threads=os.cpu_count() or 2)
+        st.write(out)
+        st.close()
+        zoff = st.block_offsets()
+    np.savez(run_prefix + ".npz",
+             tid=tid[order].astype(np.int32),
+             pos=pos[order].astype(np.int32),
+             end=end[order].astype(np.int32), off=dst, zoff=zoff)
+    return len(order)
+
+
+def merge_runs_to_bam(run_prefixes: list[str], path: str,
+                      header_text: str, ref_names: list[str],
+                      ref_lengths: list[int], level: int = 2,
+                      n_threads: int = 2,
+                      chunk_records: int = 2_000_000):
+    """K-way merge of spilled runs into one sorted, BAI-indexed BAM.
+
+    All per-record work is array math: a global lexsort over the runs'
+    sidecar columns orders the output; native ragged gathers pull
+    record bytes from mmapped runs in merged order; the deterministic
+    block stream yields every record's virtual offset vectorially, from
+    which the BAI bins / linear index are built by run-length grouping."""
+    # load sidecars once (np.load is lazy per access — cache the arrays)
+    sides = []
+    for p in run_prefixes:
+        z = np.load(p + ".npz")
+        sides.append({k: z[k] for k in ("tid", "pos", "end", "off",
+                                        "zoff")})
+    mms = [np.memmap(p + ".bin", dtype=np.uint8, mode="r")
+           if os.path.getsize(p + ".bin") else np.zeros(0, np.uint8)
+           for p in run_prefixes]
+    tid = np.concatenate([s["tid"] for s in sides]).astype(np.int64)
+    pos = np.concatenate([s["pos"] for s in sides]).astype(np.int64)
+    end = np.concatenate([s["end"] for s in sides]).astype(np.int64)
+    run_id = np.concatenate([np.full(len(s["tid"]), ri, np.int32)
+                             for ri, s in enumerate(sides)])
+    lidx = np.concatenate([np.arange(len(s["tid"]), dtype=np.int64)
+                           for s in sides])
+    rec_len = np.concatenate([np.diff(s["off"]) for s in sides])
+    order = np.lexsort((pos, np.where(tid < 0, 1 << 30, tid)))
+    n = len(order)
+
+    import ctypes
+    from .._native import get_lib, i64p, u8p
+    lib = get_lib()
+
+    with open(path, "wb") as f:
+        st = _BgzfBlockStream(f, level=level, n_threads=n_threads)
+        text = header_text.encode()
+        head = bytearray(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+        head += struct.pack("<i", len(ref_names))
+        for nm, ln in zip(ref_names, ref_lengths):
+            nb = nm.encode() + b"\x00"
+            head += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+        st.write(bytes(head))
+        hlen = len(head)
+
+        # uncompressed stream offset of every record, in merged order
+        u = np.zeros(n + 1, np.int64)
+        np.cumsum(rec_len[order], out=u[1:])
+        u += hlen
+
+        from .._native import i32p
+        for c0 in range(0, n, chunk_records):
+            sel = order[c0:min(n, c0 + chunk_records)]
+            lens = rec_len[sel]
+            dst = np.zeros(len(sel) + 1, np.int64)
+            np.cumsum(lens, out=dst[1:])
+            buf = np.empty(int(dst[-1]), np.uint8)
+            rids = run_id[sel]
+            for ri in range(len(run_prefixes)):
+                m = np.flatnonzero(rids == ri)
+                if not len(m):
+                    continue
+                # the run-local record range this chunk needs is
+                # contiguous (stable sort over sorted runs): inflate
+                # just its covering BGZF block range, sequentially
+                loc = lidx[sel[m]]
+                lo, hi = int(loc[0]), int(loc[-1])
+                off = sides[ri]["off"]
+                zoff = sides[ri]["zoff"].astype(np.int64)
+                u0, u1 = int(off[lo]), int(off[hi + 1])
+                kb0 = u0 // _BGZF_PAYLOAD
+                kb1 = (u1 - 1) // _BGZF_PAYLOAD + 1
+                nblk = kb1 - kb0
+                total_u = int(off[-1])
+                usz = np.full(nblk, _BGZF_PAYLOAD, np.int64)
+                if kb1 * _BGZF_PAYLOAD > total_u:
+                    usz[-1] = total_u - (kb1 - 1) * _BGZF_PAYLOAD
+                uoff = np.zeros(nblk + 1, np.int64)
+                np.cumsum(usz, out=uoff[1:])
+                raw = np.empty(int(uoff[-1]), np.uint8)
+                comp_off = zoff[kb0:kb1] + 18
+                comp_len = (np.diff(zoff[kb0:kb1 + 1]) - 26).astype(
+                    np.int32)
+                rc = lib.mt_bgzf_inflate_batch(
+                    nblk, mms[ri].ctypes.data_as(u8p),
+                    np.ascontiguousarray(comp_off).ctypes.data_as(i64p),
+                    np.ascontiguousarray(comp_len).ctypes.data_as(i32p),
+                    raw.ctypes.data_as(u8p),
+                    uoff.ctypes.data_as(i64p), n_threads)
+                assert rc == 0, f"run inflate failed: {rc}"
+                base = kb0 * _BGZF_PAYLOAD
+                rc = lib.mt_gather_ragged(
+                    len(m),
+                    np.ascontiguousarray(loc - lo).ctypes.data_as(i64p),
+                    np.ascontiguousarray(
+                        off[lo:hi + 2] - base).ctypes.data_as(i64p),
+                    raw.ctypes.data_as(u8p), 1,
+                    np.ascontiguousarray(dst[m]).ctypes.data_as(i64p),
+                    buf.ctypes.data_as(u8p))
+                assert rc == 0
+            st.write(buf)
+        st.close()
+        boff = st.block_offsets()
+
+    vbeg = (boff[u[:-1] // _BGZF_PAYLOAD] << 16) | (u[:-1] % _BGZF_PAYLOAD)
+    vend = (boff[u[1:] // _BGZF_PAYLOAD] << 16) | (u[1:] % _BGZF_PAYLOAD)
+
+    tid_s = tid[order]
+    pos_s = pos[order]
+    end_s = end[order]
+    mapped = tid_s >= 0
+    bins_arr = np.zeros(n, np.int64)
+    bins_arr[mapped] = reg2bin_vec(pos_s[mapped], end_s[mapped])
+
+    # chunk runs: consecutive mapped records sharing (tid, bin)
+    bins: dict[int, dict[int, list[tuple[int, int]]]] = {}
+    linear: dict[int, dict[int, int]] = {}
+    if mapped.any():
+        mi = np.flatnonzero(mapped)
+        t_m, b_m = tid_s[mi], bins_arr[mi]
+        brk = np.flatnonzero((t_m[1:] != t_m[:-1])
+                             | (b_m[1:] != b_m[:-1])) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(mi)]))
+        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+            t = int(t_m[s0])
+            bins.setdefault(t, {}).setdefault(int(b_m[s0]), []).append(
+                (int(vbeg[mi[s0]]), int(vend[mi[s1 - 1]])))
+        # linear 16kb index: min vbeg over records covering each window
+        w_lo = pos_s[mi] >> 14
+        w_hi = (end_s[mi] - 1) >> 14
+        for t in np.unique(t_m).tolist():
+            tm = t_m == t
+            nw = int(w_hi[tm].max()) + 1
+            lin = np.full(nw, np.iinfo(np.int64).max, np.int64)
+            span = int((w_hi[tm] - w_lo[tm]).max())
+            for k in range(span + 1):
+                mk = tm & (w_lo + k <= w_hi)
+                np.minimum.at(lin, (w_lo[mk] + k), vbeg[mi[mk]])
+            ld = {}
+            for w in np.flatnonzero(
+                    lin != np.iinfo(np.int64).max).tolist():
+                ld[w] = int(lin[w])
+            linear[int(t)] = ld
+
+    shim = BamWriter(path, header_text, ref_names, ref_lengths)
+    shim._write_bai(bins, linear)
+    return n

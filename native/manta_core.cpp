@@ -4068,3 +4068,68 @@ extern "C" int64_t mt_bam_depth_cols(
   }
   return n;
 }
+
+// ---------------------------------------------------------------------------
+// Threaded BGZF block deflation via libdeflate (the write-side mirror
+// of mt_bgzf_inflate_batch). Each input slice (<= 65280 bytes) becomes
+// one complete BGZF block: 18-byte gzip header with the BC/BSIZE extra
+// field, raw deflate payload, crc32, isize. Blocks are written at
+// fixed stride out_stride in out_blob with their total sizes in
+// out_len; the caller compacts. Powers the external-merge sorted BAM
+// writer (io/bamwriter.py) and any bulk .gz output. Returns 0, or -1
+// if a block failed to compress into its slot.
+extern "C" {
+struct libdeflate_compressor;
+struct libdeflate_compressor* libdeflate_alloc_compressor(int level);
+void libdeflate_free_compressor(struct libdeflate_compressor*);
+size_t libdeflate_deflate_compress(struct libdeflate_compressor*,
+                                   const void* in, size_t in_nbytes,
+                                   void* out, size_t out_nbytes_avail);
+uint32_t libdeflate_crc32(uint32_t crc, const void* buf, size_t len);
+}
+
+extern "C" int mt_bgzf_deflate_batch(
+    int64_t n_blocks, const uint8_t* data, const int64_t* off,
+    int32_t level, uint8_t* out_blob, int64_t out_stride,
+    int32_t* out_len, int32_t n_threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+  auto work = [&]() {
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) { err.store(-3); return; }
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= n_blocks || err.load() != 0) break;
+      const uint8_t* in = data + off[b];
+      const size_t in_n = (size_t)(off[b + 1] - off[b]);
+      uint8_t* o = out_blob + b * out_stride;
+      const size_t avail = (size_t)out_stride - 26;
+      const size_t cn = libdeflate_deflate_compress(c, in, in_n,
+                                                    o + 18, avail);
+      if (cn == 0 || in_n > 65280) { err.store(-1); break; }
+      const uint32_t bsize = (uint32_t)(cn + 25);  // total-1
+      static const uint8_t hdr[16] = {
+          0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 6, 0,
+          'B', 'C', 2, 0};
+      memcpy(o, hdr, 16);
+      o[16] = (uint8_t)(bsize & 0xff);
+      o[17] = (uint8_t)(bsize >> 8);
+      const uint32_t crc = libdeflate_crc32(0, in, in_n);
+      uint8_t* tr = o + 18 + cn;
+      memcpy(tr, &crc, 4);
+      const uint32_t isz = (uint32_t)in_n;
+      memcpy(tr + 4, &isz, 4);
+      out_len[b] = (int32_t)(cn + 26);
+    }
+    libdeflate_free_compressor(c);
+  };
+  const int nt = (int)std::min<int64_t>(n_threads, n_blocks);
+  if (nt <= 1 || n_blocks < 4) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+  return err.load();
+}
