@@ -87,86 +87,108 @@ def _kernel(qsh_ref, qlen_ref, ref1_ref, r1len_ref, ref2_ref, r2len_ref,
     r1len = r1len_ref[:]
     r2len = r2len_ref[:]
     i_bad = jnp.int32(BAD)
+    i_neg = jnp.int32(NEG)
 
     at_end = col == qn                     # query fully consumed here
     fresh_m = (col * off_edge).astype(jnp.int32)
     bad_mat = jnp.full((BB, NQ1), BAD, jnp.int32)
+    neg_mat = jnp.full((BB, NQ1), NEG, jnp.int32)
+
+    # loop-invariant masks / affine terms, computed once so the column
+    # bodies carry no iota or multiply work (the fori_loop bodies are
+    # VPU-issue-bound — see the op-budget analysis in
+    # docs/developerGuide.md)
+    col_is0 = col == 0
+    col_le1 = col <= 1
+    ext_col = (extend * col).astype(jnp.int32)       # extend * q
+    ext_col1 = ext_col + extend                      # extend * (q+1)
+    round_masks = []
+    s = 1
+    while s < NQ1:
+        round_masks.append(col < s)
+        s *= 2
+    m1 = round_masks[0]                              # col < 1
+
+    def shift1(x, fill):
+        """x[:, q] <- x[:, q-1], lane 0 <- fill."""
+        return jnp.where(m1, fill, pltpu.roll(x, 1, axis=1))
+
+    def maxplus_prefix(f):
+        """ci[q] = max_{k<=q}(f[k] + (q-k+1)*extend), exact int32 —
+        lane-axis cummax by log-step shift+max rounds with hoisted
+        masks. Values at BAD stay BAD (NEG floor under-clamps)."""
+        g = jnp.where(f <= i_bad, i_neg, f - ext_col)
+        s = 1
+        for mk in round_masks:
+            g = jnp.maximum(g, jnp.where(mk, i_neg,
+                                         pltpu.roll(g, s, axis=1)))
+            s *= 2
+        return jnp.maximum(g + ext_col1, i_bad)
 
     def off_edge_best(cm, best):
         cand = cm + (qn - col) * off_edge
-        cand = jnp.where(col < qn, cand, jnp.int32(NEG))
+        cand = jnp.where(col < qn, cand, i_neg)
         return jnp.maximum(best, cand.max(axis=1, keepdims=True))
 
     def col_ref1(c, carry):
-        pm, pd, pi, pj, best = carry
+        pm, pd, pi, pj, bestm = carry
         rc = _ref_byte(ref1_ref, c)
         sub = jnp.where(qsh == rc, jnp.int32(match), jnp.int32(mismatch))
         diag = jnp.maximum(jnp.maximum(pm, pd), pi)
-        vm = _shift_right(diag, 1, i_bad) + sub
-        vm = jnp.where(col == 0, 0, vm)
+        vm = shift1(diag, i_bad) + sub
+        vm = jnp.where(col_is0, 0, vm)
         vd = jnp.maximum(jnp.maximum(pm + open_, pd), pi) + extend
-        vd = jnp.where(col <= 1, i_bad, vd)
-        # insert chain starts at row 2 (reference's q==0 cutoff)
-        f = _shift_right(vm + open_, 1, i_bad)
-        f = jnp.where(col < 2, i_bad, f)
-        vi = _maxplus_prefix(f, extend, col)
-        vi = jnp.where(col < 2, i_bad, vi)
+        vd = jnp.where(col_le1, i_bad, vd)
+        # insert chain starts at row 2 (reference's q==0 cutoff):
+        # f = BAD at col<2 already yields BAD out of the prefix, so no
+        # post-clamp is needed
+        f = shift1(jnp.where(col_is0, i_bad, vm + open_), i_bad)
+        vi = maxplus_prefix(f)
         vj = jnp.maximum(jnp.maximum(vm + jump, vi + jump), pj)
-        vj = jnp.where(col == 0, i_bad, vj)
+        vj = jnp.where(col_is0, i_bad, vj)
 
         act = c < r1len                    # (BB, 1)
         vm = jnp.where(act, vm, pm)
         vd = jnp.where(act, vd, pd)
         vi = jnp.where(act, vi, pi)
         vj = jnp.where(act, vj, pj)
-        end_val = jnp.where(at_end, vm, jnp.int32(NEG)) \
-            .max(axis=1, keepdims=True)
-        best = jnp.where(act, jnp.maximum(best, end_val), best)
-        return pm, pd, pi, pj, vm, vd, vi, vj, best
+        # running elementwise best at the query-end lane; reduced to a
+        # scalar per row ONCE at the phase boundary instead of a full
+        # (BB, NQ1) max-reduce per column
+        bestm = jnp.where(act & at_end, jnp.maximum(bestm, vm), bestm)
+        return vm, vd, vi, vj, bestm
 
     def col_ref2(c, carry):
-        pm, pd, pi, pj, best = carry
+        pm, pd, pi, pj, bestm = carry
         rc = _ref_byte(ref2_ref, c)
         sub = jnp.where(qsh == rc, jnp.int32(match), jnp.int32(mismatch))
         diag = jnp.maximum(jnp.maximum(jnp.maximum(pm, pd), pi), pj)
-        vm = _shift_right(diag, 1, i_bad) + sub
-        vm = jnp.where(col == 0, 0, vm)
+        vm = shift1(diag, i_bad) + sub
+        vm = jnp.where(col_is0, 0, vm)
         vd = jnp.maximum(jnp.maximum(pm + open_, pd), pi) + extend
-        vd = jnp.where(col == 0, i_bad, vd)
-        # insert: f[q] = max(vm[q-1]+open, pj[q-1]); jump->ins no open
-        f = jnp.maximum(_shift_right(vm + open_, 1, i_bad),
-                        _shift_right(pj, 1, i_bad))
-        f = jnp.where(col < 1, i_bad, f)
-        vi = _maxplus_prefix(f, extend, col)
-        vi = jnp.where(col < 1, i_bad, vi)
+        vd = jnp.where(col_is0, i_bad, vd)
+        # insert: f[q] = max(vm[q-1]+open, pj[q-1]); jump->ins no open;
+        # f = BAD at col<1 already yields BAD out of the prefix.
+        # max commutes with the (same-fill) shift — one lane-roll, not
+        # two; rolls are the kernel's binding resource (devguide)
+        f = shift1(jnp.maximum(vm + open_, pj), i_bad)
+        vi = maxplus_prefix(f)
 
         act = c < r2len
         vm = jnp.where(act, vm, pm)
         vd = jnp.where(act, vd, pd)
         vi = jnp.where(act, vi, pi)
-        end_val = jnp.where(at_end, vm, jnp.int32(NEG)) \
-            .max(axis=1, keepdims=True)
-        best = jnp.where(act, jnp.maximum(best, end_val), best)
-        return pm, pd, pi, pj, vm, vd, vi, best
+        bestm = jnp.where(act & at_end, jnp.maximum(bestm, vm), bestm)
+        return vm, vd, vi, pj, bestm
 
-    best = jnp.full((BB, 1), NEG, jnp.int32)
-
-    def body1(c, carry):
-        pm, pd, pi, pj, best = carry
-        *_, vm, vd, vi, vj, best = col_ref1(c, (pm, pd, pi, pj, best))
-        return vm, vd, vi, vj, best
-
-    cm, cd, ci, cj, best = jax.lax.fori_loop(
-        0, nr1, body1, (fresh_m, bad_mat, bad_mat, bad_mat, best))
+    cm, cd, ci, cj, bestm = jax.lax.fori_loop(
+        0, nr1, col_ref1, (fresh_m, bad_mat, bad_mat, bad_mat, neg_mat))
+    best = bestm.max(axis=1, keepdims=True)
     best = off_edge_best(cm, best)
 
-    def body2(c, carry):
-        pm, pd, pi, pj, best = carry
-        *_, vm, vd, vi, best = col_ref2(c, (pm, pd, pi, pj, best))
-        return vm, vd, vi, pj, best
-
-    cm, cd, ci, cj, best = jax.lax.fori_loop(
-        0, nr2, body2, (fresh_m, bad_mat, bad_mat, cj, best))
+    cm, cd, ci, cj, bestm = jax.lax.fori_loop(
+        0, nr2, col_ref2, (fresh_m, bad_mat, bad_mat, cj, neg_mat))
+    best = jnp.maximum(best, bestm.max(axis=1, keepdims=True))
     best = off_edge_best(cm, best)
     best_ref[:] = best
 
