@@ -208,6 +208,222 @@ def build_haplotypes(ref_seqs, chrom_lens, svs, translocs):
     return haps
 
 
+# -------------------------------------------------------------- repeats
+
+def apply_repeat_structure(rng, ref_seqs, svs):
+    """--repeats: write adversarial repeat content into the reference
+    BEFORE haplotype construction (carried SVs inherit it), returning
+    family annotations for the read-level mismap model and the checker.
+
+    Reference-motivated content (the graph's complexity aborts exist
+    because of exactly this — SVLocusSetOptions.hpp:50-54; the
+    flank-uniqueness contig filter because of this — methods.tex:406):
+      - tandem satellite arrays (unit 5-40 bp, 2-8 kb), a third written
+        AROUND a planted SV so its junction sits inside the array;
+      - dispersed segmental-duplication families: 5-15 kb donor copied
+        at ~1% divergence to 2-4 acceptor sites, cross-chrom allowed;
+      - low-complexity homopolymer / dinucleotide runs (0.2-1 kb)."""
+    families = []
+    nC = len(ref_seqs)
+    lens = [len(s) for s in ref_seqs]
+
+    def rand_pos(tid, width):
+        return int(rng.integers(width, lens[tid] - 2 * width))
+
+    n_tand = max(2, sum(lens) // 2_000_000)
+    anchors = [sv for sv in svs if sv["type"] in ("DEL", "DUP", "INS")]
+    rng.shuffle(anchors)
+    n_anchored = max(1, n_tand // 3) if anchors else 0
+    for k in range(n_tand):
+        unit = int(rng.integers(5, 41))
+        span = int(rng.integers(2000, 8001))
+        if k < n_anchored and k < len(anchors):
+            sv = anchors[k]
+            tid = sv["chrom_i"]
+            beg = max(1000, sv["pos"] - span // 2)
+        else:
+            tid = int(rng.integers(0, nC))
+            beg = rand_pos(tid, span + 1000)
+        end = min(beg + span, lens[tid] - 1000)
+        motif = BASES[rng.integers(0, 4, unit)]
+        ref_seqs[tid][beg:end] = np.tile(
+            motif, -(-(end - beg) // unit))[:end - beg]
+        families.append(dict(type="tandem", copies=[(tid, beg, end)],
+                             unit=unit))
+
+    for _ in range(max(2, sum(lens) // 3_000_000)):
+        tid = int(rng.integers(0, nC))
+        span = int(rng.integers(200, 1001))
+        beg = rand_pos(tid, span + 1000)
+        end = beg + span
+        if rng.random() < 0.5:
+            ref_seqs[tid][beg:end] = BASES[int(rng.integers(0, 4))]
+        else:
+            ref_seqs[tid][beg:end] = np.tile(
+                BASES[rng.integers(0, 4, 2)], span // 2 + 1)[:span]
+        families.append(dict(type="lowc", copies=[(tid, beg, end)],
+                             unit=1))
+
+    for _ in range(max(1, sum(lens) // 8_000_000)):
+        dlen = int(rng.integers(5000, 15001))
+        dt = int(rng.integers(0, nC))
+        db = rand_pos(dt, dlen + 2000)
+        donor = ref_seqs[dt][db:db + dlen].copy()
+        copies = [(dt, db, db + dlen)]
+        for _c in range(int(rng.integers(1, 4))):
+            at = int(rng.integers(0, nC))
+            ab = rand_pos(at, dlen + 2000)
+            cp = donor.copy()
+            ndiv = rng.binomial(dlen, 0.01)
+            ai = rng.integers(0, dlen, ndiv)
+            cp[ai] = BASES[(rng.integers(1, 4, ndiv) +
+                            np.searchsorted(BASES, cp[ai])) % 4]
+            ref_seqs[at][ab:ab + dlen] = cp
+            copies.append((at, ab, ab + dlen))
+        families.append(dict(type="segdup", copies=copies, unit=0))
+    return families
+
+
+class MismapModel:
+    """Read-level mapper-confusion model over repeat families.
+
+    A real aligner, not the simulator's omniscient placement, is what
+    turns repeats into graph pressure: reads from one segdup copy map
+    confidently into another (anomalous pairs = dense noise edges),
+    and reads inside satellite/low-complexity arrays come back MAPQ 0
+    or shifted by whole repeat units. This applies those effects
+    vectorially to mapped (tid, pos) read columns."""
+
+    def __init__(self, families, n_tids,
+                 p_move=0.08, p_move_hi_mapq=0.3, p_mq0=0.4,
+                 p_jit=0.3, p_attract=0.004):
+        self.p_move = p_move
+        self.p_move_hi = p_move_hi_mapq
+        self.p_mq0 = p_mq0
+        self.p_jit = p_jit
+        # satellite attractor: reads from unassembled repeat copies
+        # genome-wide pile into the few assembled array copies with
+        # scattered mates — the real-data source of the graph's
+        # noise-node pressure (SVLocusSet.cpp:536+ abort machinery)
+        self.p_attract = p_attract
+        self.arrays = [(t, b, e) for fam in families
+                       if fam["type"] == "tandem"
+                       for (t, b, e) in fam["copies"]]
+        sd = {t: [] for t in range(n_tids)}
+        rp = {t: [] for t in range(n_tids)}
+        self.fam_copies = []
+        for fi, fam in enumerate(families):
+            if fam["type"] == "segdup":
+                self.fam_copies.append(np.array(fam["copies"], np.int64))
+                for ci, (t, b, e) in enumerate(fam["copies"]):
+                    sd[t].append((b, e, len(self.fam_copies) - 1, ci))
+            else:
+                for (t, b, e) in fam["copies"]:
+                    rp[t].append((b, e, max(fam["unit"], 1)))
+        self.sd = {t: np.array(sorted(v), np.int64).reshape(-1, 4)
+                   for t, v in sd.items() if v}
+        self.rp = {t: np.array(sorted(v), np.int64).reshape(-1, 3)
+                   for t, v in rp.items() if v}
+
+    def _inside(self, table, t, p, L):
+        """(row_index, inside_mask) for reads fully inside an interval."""
+        idx = np.full(len(p), -1, np.int64)
+        for tid, arr in table.items():
+            m = t == tid
+            if not m.any():
+                continue
+            j = np.searchsorted(arr[:, 0], p[m], "right") - 1
+            ok = (j >= 0)
+            jj = np.clip(j, 0, len(arr) - 1)
+            ok &= (p[m] >= arr[jj, 0]) & (p[m] + L <= arr[jj, 1])
+            sub = np.where(ok, jj, -1)
+            idx[m] = sub
+        return idx
+
+    def apply(self, rng, t, p):
+        """Returns (t', p', mapq) for mapped read columns."""
+        L = READ_LEN
+        t = t.astype(np.int64).copy()
+        p = p.copy()
+        mapq = np.full(len(p), 60, np.uint8)
+
+        # segdup teleportation (masks against the PRE-move columns: a
+        # read teleported into tid X must not be re-selected by X's
+        # interval table)
+        t0, p0 = t.copy(), p.copy()
+        idx = self._inside(self.sd, t0, p0, L)
+        hit = idx >= 0
+        if hit.any():
+            move = hit & (rng.random(len(p)) < self.p_move)
+            for tid, arr in self.sd.items():
+                m = move & (t0 == tid)
+                if not m.any():
+                    continue
+                rows = arr[idx[m]]
+                off = p0[m] - rows[:, 0]
+                fam = rows[:, 2]
+                cur = rows[:, 3]
+                # pick a random OTHER copy per read
+                new_t = np.empty(int(m.sum()), np.int64)
+                new_p = np.empty(int(m.sum()), np.int64)
+                for u, (f, c, o) in enumerate(zip(fam, cur, off)):
+                    cps = self.fam_copies[int(f)]
+                    j = int(rng.integers(0, len(cps) - 1))
+                    if j >= int(c):
+                        j += 1
+                    new_t[u] = cps[j, 0]
+                    new_p[u] = cps[j, 1] + int(o)
+                t[m] = new_t
+                p[m] = new_p
+            # confident-wrong vs low-mapq mismaps
+            lowq = move & (rng.random(len(p)) >= self.p_move_hi)
+            mapq[lowq] = rng.integers(3, 30, int(lowq.sum()))
+            # unmoved in-segdup reads: MAPQ0 fraction
+            mq0 = hit & ~move & (rng.random(len(p)) < self.p_mq0)
+            mapq[mq0] = 0
+
+        # satellite / low-complexity: MAPQ0 + unit jitter
+        idx = self._inside(self.rp, t, p, L)
+        hit = idx >= 0
+        if hit.any():
+            mq0 = hit & (rng.random(len(p)) < self.p_mq0)
+            mapq[mq0] = 0
+            jit = hit & (rng.random(len(p)) < self.p_jit)
+            for tid, arr in self.rp.items():
+                m = jit & (t == tid)
+                if not m.any():
+                    continue
+                rows = arr[idx[m]]
+                unit = rows[:, 2]
+                k = rng.integers(1, 4, int(m.sum())) * \
+                    np.where(rng.random(int(m.sum())) < 0.5, -1, 1)
+                np2 = p[m] + k * unit
+                np2 = np.clip(np2, rows[:, 0], rows[:, 1] - L)
+                p[m] = np2
+
+        # attractor: non-repeat reads teleported INTO a satellite array
+        # at a random offset; half keep confident MAPQ (the graph-edge
+        # noise), half come back MAPQ0
+        if self.arrays and self.p_attract > 0:
+            att = (idx < 0) & (rng.random(len(p)) < self.p_attract)
+            na = int(att.sum())
+            if na:
+                ai = rng.integers(0, len(self.arrays), na)
+                t_att = np.empty(na, np.int64)
+                p_att = np.empty(na, np.int64)
+                for u, a in enumerate(ai):
+                    at, ab, ae = self.arrays[int(a)]
+                    t_att[u] = at
+                    p_att[u] = int(rng.integers(ab, max(ab + 1,
+                                                        ae - L)))
+                t[att] = t_att
+                p[att] = p_att
+                mq_att = np.where(rng.random(na) < 0.5, 60,
+                                  rng.integers(0, 20, na))
+                mapq[att] = mq_att.astype(np.uint8)
+        return t, p, mapq
+
+
 # ------------------------------------------------------------ simulation
 
 def _map_regular(dc, seg, start, L):
@@ -230,7 +446,7 @@ def _names(prefix: bytes, ids: np.ndarray):
 
 
 def _bulk_batch(ref_seqs, tid1, pos1, rev1, tid2, pos2, rev2,
-                frag_ids, err_rate, rng):
+                frag_ids, err_rate, rng, mapq1=None, mapq2=None):
     """Vectorized ReadBatch for regular (full-match) pairs."""
     n = len(tid1)
     L = READ_LEN
@@ -283,9 +499,14 @@ def _bulk_batch(ref_seqs, tid1, pos1, rev1, tid2, pos2, rev2,
     npos = np.empty(2 * n, np.int64)
     nref[0::2], nref[1::2] = tid2, tid1
     npos[0::2], npos[1::2] = pos2, pos1
+    mq = np.full(2 * n, 60, np.uint8)
+    if mapq1 is not None:
+        mq[0::2] = mapq1
+    if mapq2 is not None:
+        mq[1::2] = mapq2
     return ReadBatch(
         n=2 * n, refid=tid, pos=pos.astype(np.int32),
-        mapq=np.full(2 * n, 60, np.uint8), flag=flag,
+        mapq=mq, flag=flag,
         next_refid=nref, next_pos=npos.astype(np.int32), tlen=tlen,
         cigar_off=np.arange(2 * n + 1, dtype=np.int64),
         cigar=np.full(2 * n, (L << 4) | 0, np.uint32),
@@ -524,7 +745,8 @@ def _rows_to_batch(rows):
 
 
 def simulate(rng, ref_seqs, haps, writer, depth, err_rate=0.001,
-             noise_rate=1e-4, chunk_frags=400_000, log=print):
+             noise_rate=1e-4, chunk_frags=400_000, log=print,
+             mismap=None):
     """Stream reads from both haplotypes into `writer`."""
     next_fid = 0
     for h, dchroms in enumerate(haps):
@@ -565,8 +787,14 @@ def simulate(rng, ref_seqs, haps, writer, depth, err_rate=0.001,
                 # physical orientation: r1 hap-forward, r2 hap-reverse
                 r1 = r1 ^ False
                 r2 = ~r2
+                if mismap is not None:
+                    t1, q1, mq1 = mismap.apply(rng, t1, q1)
+                    t2, q2, mq2 = mismap.apply(rng, t2, q2)
+                else:
+                    mq1 = mq2 = None
                 batch = _bulk_batch(ref_seqs, t1, q1, r1, t2, q2, r2,
-                                    fids[regn], err_rate, rng)
+                                    fids[regn], err_rate, rng,
+                                    mapq1=mq1, mapq2=mq2)
                 writer.add_batch(batch)
 
                 if noise.any():
@@ -683,6 +911,20 @@ def generate(args):
     print(f"[{time.time() - t0:6.1f}s] truth: {len(svs)} SVs + "
           f"{len(translocs)} translocations x {n_smp} sample(s)")
 
+    mismap = None
+    if getattr(args, "repeats", False):
+        fams = apply_repeat_structure(rng, ref_seqs, svs)
+        with open(args.out + ".repeats.tsv", "w") as f:
+            f.write("type\tunit\tcopies\n")
+            for fam in fams:
+                cps = ";".join(f"{names[t]}:{b}-{e}"
+                               for t, b, e in fam["copies"])
+                f.write(f"{fam['type']}\t{fam['unit']}\t{cps}\n")
+        mismap = MismapModel(fams, nC)
+        n_sd = sum(1 for x in fams if x["type"] == "segdup")
+        print(f"[{time.time() - t0:6.1f}s] repeats: {len(fams)} "
+              f"families ({n_sd} segdup)")
+
     write_fasta(args.out + ".fa", names, ref_seqs)
     for smp in range(n_smp):
         svs_k = [dict(sv, gt=sv["gts"][smp]) for sv in svs
@@ -710,7 +952,8 @@ def generate(args):
         w = _BatchWriter(bw, spill_dir=spill_dir)
         simulate(rng, ref_seqs, haps, w, args.depth,
                  err_rate=args.err_rate, noise_rate=args.noise_rate,
-                 log=lambda m: print(f"[{time.time() - t0:6.1f}s] {m}"))
+                 log=lambda m: print(f"[{time.time() - t0:6.1f}s] {m}"),
+                 mismap=mismap)
         print(f"[{time.time() - t0:6.1f}s] encoding + sorting "
               f"{w.n_reads} reads")
         if spill_dir is not None:
@@ -871,6 +1114,48 @@ def check(args):
         "peak_rss_gb": round(peak_gb, 2),
         "run_dir": run_dir,
     }
+
+    # --repeats runs: split recall by repeat proximity, and surface the
+    # graph's complexity-abort statistics (the whole point of the
+    # adversarial content — SVLocusSetOptions.hpp:50-54 semantics)
+    rep_path = args.out + ".repeats.tsv"
+    if os.path.exists(rep_path):
+        spans = []
+        with open(rep_path) as f:
+            next(f)
+            for ln in f:
+                typ, unit, cps = ln.rstrip("\n").split("\t")
+                for cp in cps.split(";"):
+                    ch, be = cp.split(":")
+                    b, e = be.split("-")
+                    spans.append((ch, int(b), int(e), typ))
+
+        def near_repeat(tr, pad=1000):
+            for (ch, b, e, typ) in spans:
+                if tr["chrom"] == ch and b - pad <= tr["pos"] <= e + pad:
+                    return True
+            return False
+
+        rep_truth = [t for t in truth if near_repeat(t)]
+        clean_truth = [t for t in truth if not near_repeat(t)]
+        rep_found = sum(1 for t in rep_truth if match(t))
+        clean_found = sum(1 for t in clean_truth if match(t))
+        from manta_tpu.graph.locusgraph import SVLocusSet
+        g = SVLocusSet.load(
+            os.path.join(run_dir, "workspace", "svLocusGraph.npz"))
+        out.update({
+            "repeat_families": len({(c, b) for (c, b, _e, _t) in spans}),
+            "truth_in_repeat": len(rep_truth),
+            "recall_in_repeat": round(rep_found / max(len(rep_truth), 1),
+                                      4),
+            "recall_clean": round(clean_found / max(len(clean_truth), 1),
+                                  4),
+            "graph_highest_search_count": int(g.highest_search_count),
+            "graph_highest_search_density": round(
+                float(g.highest_search_density), 4),
+            "graph_abort_count_hit": bool(g.is_max_search_count),
+            "graph_abort_density_hit": bool(g.is_max_search_density),
+        })
     print(json.dumps(out))
     if args.verbose_misses:
         for tr in missed[:40]:
@@ -891,6 +1176,10 @@ def main():
     ap.add_argument("--err-rate", type=float, default=0.001)
     ap.add_argument("--noise-rate", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--repeats", action="store_true",
+                    help="adversarial genome content: satellite arrays,"
+                         " segdup families + read mismapping, "
+                         "low-complexity runs (docs/PERF_r04.md)")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--mode", default="germline",
                     choices=("germline", "tumor"))
