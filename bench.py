@@ -165,23 +165,64 @@ def measure_device():
         return None
 
 
+def load_measured():
+    """The at-scale measured-run artifact (bench_wgs_at_scale.py),
+    committed under benchmarks/results/. When present, its 20-core
+    projection — anchored at a measured >=50%-of-840M-read run rather
+    than a 0.36M-read extrapolation — is the headline."""
+    import glob
+    best = None
+    for p in sorted(glob.glob(os.path.join(
+            REPO, "benchmarks", "results", "wgs_measured*.json"))):
+        try:
+            d = json.load(open(p))
+        except Exception:
+            continue
+        if d.get("device_scoring") not in ("off", None):
+            continue          # headline = default host config
+        if best is None or d.get("reads_m", 0) > best.get("reads_m", 0):
+            best = d
+    return best
+
+
 def main():
     sys.path.insert(0, REPO)
     host = measure_host()
     proj = project_wgs(host)
     dev = measure_device()
+    measured = load_measured()
 
-    out = {
-        "metric": "wgs_20core_projection",
-        "value": proj["wgs_projected_min"],
-        "unit": "min",
-        # >1 = beats the reference's published 20-min bound
-        "vs_baseline": round(
-            BASELINE_WALL_MIN / proj["wgs_projected_min"], 3),
+    if measured is not None:
+        value = measured["wgs840_20core_projection_min"]
+        out = {
+            "metric": "wgs_20core_projection_measured",
+            "value": value,
+            "unit": "min",
+            # >1 = beats the reference's published 20-min bound;
+            # anchored at a measured at-scale run (see measured_*)
+            "vs_baseline": round(BASELINE_WALL_MIN / value, 3),
+            "measured_reads_m": measured["reads_m"],
+            "measured_pct_of_840m": measured["pct_of_840m"],
+            "measured_wall_min": measured["wall_min"],
+            "measured_cores": measured["cores"],
+            "measured_cpu_s": measured["cpu_s"],
+            "measured_peak_rss_gb": measured["peak_rss_gb"],
+            "measured_edges_per_s": measured["edges_per_s"],
+            "measured_utc": measured["measured_utc"],
+        }
+    else:
+        out = {
+            "metric": "wgs_20core_projection",
+            "value": proj["wgs_projected_min"],
+            "unit": "min",
+            "vs_baseline": round(
+                BASELINE_WALL_MIN / proj["wgs_projected_min"], 3),
+        }
+    out.update({
         "phase2_graph_edges_per_s": host["edges_per_s"],
         **{k: v for k, v in host.items()},
         **proj,
-    }
+    })
     if dev:
         out.update(dev)
     else:
