@@ -98,11 +98,11 @@ extra = dict(stage="bootstrap")
         r = run_child(f"""
 from manta_tpu.parallel.distributed import run_host_phase2
 run_host_phase2({h}, 2, [{bam!r}], [], {fa!r}, {d2!r},
-                n_jobs={args.jobs}, verbose=False,
+                n_jobs={args.jobs}, verbose=True,
                 use_device_scoring=False)
 extra = dict(stage="host{h}")
 """)
-        m = re.findall(r"processed (\d+) graph edges", r["log"])
+        m = re.findall(r"\((\d+) graph edges; multi-host", r["log"])
         edges = int(m[-1]) if m else 0
         per_host.append({"host": h, "wall_s": r["wall_s"],
                          "cpu_s": r["cpu_s"], "edges": edges,

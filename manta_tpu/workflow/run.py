@@ -653,9 +653,12 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                 n_bins=hygen_bin_count, bin_range=hygen_bin_range,
                 do_merge=(hygen_bin_range is None))
             if hygen_bin_range is not None:
+                host_edges = (
+                    tracker.self_edges.total_input_edge_count
+                    + tracker.remote_edges.total_input_edge_count)
                 log(f"host bins {hygen_bin_range[0]}.."
                     f"{hygen_bin_range[1] - 1} complete "
-                    "(multi-host phase 2)")
+                    f"({host_edges} graph edges; multi-host phase 2)")
                 log_fp.close()
                 return run_dir
         else:

@@ -48,22 +48,39 @@ class TaskTracker:
         # completion is carried by the per-bin artifacts themselves)
         self.path = os.path.join(workspace_dir,
                                  state_name or self.STATE_NAME)
+        self._base_path = os.path.join(workspace_dir, self.STATE_NAME)
         self.signature = signature_digest(signature_params)
         self.tasks: dict[str, dict] = {}
         self._load()
 
     def _load(self):
-        if not os.path.exists(self.path):
-            return
+        # tagged (per-host) trackers inherit the shared untagged
+        # records READ-ONLY: the host-0 bootstrap's phase-0/1
+        # checkpoints (stats / chromDepth / graph) must count as done
+        # on every host, or each host silently redoes the whole
+        # single-host prefix (measured: +~80% CPU at 12 Mb scale,
+        # bench_2host.py). Per-host completions still write only the
+        # tagged file, so hosts never race on one record file.
+        if self.path != self._base_path:
+            base = self._read_state(self._base_path)
+            if base is not None:
+                self.tasks.update(base)
+        own = self._read_state(self.path)
+        if own is not None:
+            self.tasks.update(own)
+
+    def _read_state(self, path):
+        if not os.path.exists(path):
+            return None
         try:
-            with open(self.path) as f:
+            with open(path) as f:
                 state = json.load(f)
         except (OSError, ValueError):
-            return
+            return None
         if state.get("signature") != self.signature:
             # parameter change -> every prior record is invalid
-            return
-        self.tasks = state.get("tasks", {})
+            return None
+        return state.get("tasks", {})
 
     def _save(self):
         tmp = self.path + ".tmp"
