@@ -102,7 +102,7 @@ run_host_phase2({h}, 2, [{bam!r}], [], {fa!r}, {d2!r},
                 use_device_scoring=False)
 extra = dict(stage="host{h}")
 """)
-        m = re.findall(r"\((\d+) graph edges; multi-host", r["log"])
+        m = re.findall(r"host processed (\d+) graph edges", r["log"])
         edges = int(m[-1]) if m else 0
         per_host.append({"host": h, "wall_s": r["wall_s"],
                          "cpu_s": r["cpu_s"], "edges": edges,

@@ -653,12 +653,11 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
                 n_bins=hygen_bin_count, bin_range=hygen_bin_range,
                 do_merge=(hygen_bin_range is None))
             if hygen_bin_range is not None:
-                host_edges = (
-                    tracker.self_edges.total_input_edge_count
-                    + tracker.remote_edges.total_input_edge_count)
+                # (per-host edge count logged by _run_edges_parallel's
+                # do_merge=False path)
                 log(f"host bins {hygen_bin_range[0]}.."
                     f"{hygen_bin_range[1] - 1} complete "
-                    f"({host_edges} graph edges; multi-host phase 2)")
+                    "(multi-host phase 2)")
                 log_fp.close()
                 return run_dir
         else:
@@ -936,6 +935,10 @@ def _run_edges_parallel(all_edges, locus_set, build_components, run_edges,
     for pr in procs:
         pr.join()
     if not do_merge:
+        if log is not None:
+            host_edges = sum(len(bins[bi]) for bi in range(lo, hi))
+            log(f"host processed {host_edges} graph edges "
+                f"(bins {lo}..{hi - 1})")
         return None, None
     results = []
     for bi in range(len(bins)):
