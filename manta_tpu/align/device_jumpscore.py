@@ -207,6 +207,44 @@ def _bucket(n: int, tiers=(128, 256, 512, 1024, 2048, 4096)) -> int:
     return ((n + 4095) // 4096) * 4096
 
 
+# device-dispatch accounting: every bucketed-scorer call records its
+# wall time so end-to-end runs can decompose the tunnel overhead
+# (first call carries jax init + Mosaic compile; later calls carry the
+# per-dispatch RPC intercept). Reported once per process at exit as a
+# "[manta-tpu] device-dispatch ..." stderr line (docs/PERF_r04.md).
+DISPATCH_STATS = {"calls": 0, "jobs": 0, "rows": 0, "wall": 0.0,
+                  "first_wall": 0.0}
+_REPORT_REGISTERED = False
+
+
+def _register_dispatch_report():
+    global _REPORT_REGISTERED
+    if _REPORT_REGISTERED:
+        return
+    _REPORT_REGISTERED = True
+    import atexit
+    import os as _os
+    import sys as _sys
+
+    def report():
+        s = DISPATCH_STATS
+        if s["calls"]:
+            print(f"[manta-tpu] device-dispatch pid={_os.getpid()}: "
+                  f"{s['calls']} calls, {s['jobs']} jobs, "
+                  f"{s['rows']} padded rows, {s['wall']:.2f}s total, "
+                  f"first {s['first_wall']:.2f}s (init+compile)",
+                  file=_sys.stderr, flush=True)
+            s["calls"] = 0        # once per process
+    atexit.register(report)
+    # fork-pool workers exit through multiprocessing's _exit_function,
+    # which runs its own finalizers but NOT atexit handlers
+    try:
+        from multiprocessing.util import Finalize
+        Finalize(None, report, exitpriority=0)
+    except Exception:
+        pass
+
+
 def make_bucketed_scorer(scores, jump_score: int):
     """Production device scorer: pads job batches to shape buckets so a
     handful of compiled programs serve every junction, and returns the
@@ -223,10 +261,14 @@ def make_bucketed_scorer(scores, jump_score: int):
     if use_pallas:
         from .pallas_jumpscore import pallas_jump_score
 
+    _register_dispatch_report()
+
     def scorer(jobs):
+        import time as _time
         B = len(jobs)
         if B == 0:
             return np.zeros(0, np.int32)
+        _t0 = _time.perf_counter()
         nq = _bucket(max(len(j[0]) for j in jobs))
         nr1 = _bucket(max(len(j[1]) for j in jobs))
         nr2 = _bucket(max(len(j[2]) for j in jobs))
@@ -269,6 +311,15 @@ def make_bucketed_scorer(scores, jump_score: int):
                 q, ql, r1, r1l, r2, r2l,
                 scores.match, scores.mismatch, scores.open, scores.extend,
                 scores.off_edge, jump_score, nq, nr1, nr2)
-        return np.asarray(jax.device_get(out))[:B]
+        res = np.asarray(jax.device_get(out))[:B]
+        dt = _time.perf_counter() - _t0
+        s = DISPATCH_STATS
+        if s["calls"] == 0:
+            s["first_wall"] = dt
+        s["calls"] += 1
+        s["jobs"] += B
+        s["rows"] += Bp
+        s["wall"] += dt
+        return res
 
     return scorer
