@@ -34,13 +34,76 @@ BASELINE_WALL_MIN = 20.0
 BASELINE_CORES = 20
 
 
-def count_reads(bam: str) -> int:
-    from manta_tpu.io.bam import BamReader
-    r = BamReader(bam)
-    # sum BAI linear-index-free record counts cheaply via idxstats-like
-    # full pass is expensive at 420M; use the generator's log if
-    # available, else a fetch-free raw scan of record headers
-    return -1
+class RssSampler:
+    """Samples the whole process tree's memory every interval,
+    splitting anonymous from file-backed RSS (/proc/<pid>/status
+    RssAnon / RssFile). ru_maxrss conflates the two: this workflow
+    mmaps the input BAM, so touched CLEAN file pages — page cache the
+    kernel can drop at any moment — inflate RSS far beyond the real
+    (anonymous) footprint. The reference's 2.35 GB figure is
+    read()-based and contains no such pages, so the honest comparison
+    is peak SUM of RssAnon across live processes."""
+
+    def __init__(self, interval=3.0):
+        import threading
+        self.interval = interval
+        self.peak_anon = 0
+        self.peak_file = 0
+        self.peak_total = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _tree(self):
+        me = os.getpid()
+        kids = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                kids.setdefault(int(parts[1]), []).append(int(pid))
+            except OSError:
+                continue
+        out, queue = [], [me]
+        while queue:
+            p = queue.pop()
+            out.append(p)
+            queue.extend(kids.get(p, []))
+        return out
+
+    def _run(self):
+        while not self._stop.is_set():
+            anon = filp = tot = 0
+            for pid in self._tree():
+                try:
+                    with open(f"/proc/{pid}/status") as f:
+                        s = f.read()
+                    for key, tgt in (("RssAnon:", "a"), ("RssFile:", "f"),
+                                     ("VmRSS:", "t")):
+                        m = re.search(rf"{key}\s+(\d+) kB", s)
+                        if m:
+                            v = int(m.group(1)) * 1024
+                            if tgt == "a":
+                                anon += v
+                            elif tgt == "f":
+                                filp += v
+                            else:
+                                tot += v
+                except OSError:
+                    continue
+            self.peak_anon = max(self.peak_anon, anon)
+            self.peak_file = max(self.peak_file, filp)
+            self.peak_total = max(self.peak_total, tot)
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 def main():
@@ -77,9 +140,11 @@ def main():
     r0s = resource.getrusage(resource.RUSAGE_SELF)
     r0c = resource.getrusage(resource.RUSAGE_CHILDREN)
     t0 = time.perf_counter()
-    run_workflow([bam], [], fa, run_dir, n_jobs=n_jobs, verbose=True,
-                 use_device_scoring=(False if args.device_scoring == "off"
-                                     else args.device_scoring))
+    with RssSampler() as rss:
+        run_workflow([bam], [], fa, run_dir, n_jobs=n_jobs, verbose=True,
+                     use_device_scoring=(False
+                                         if args.device_scoring == "off"
+                                         else args.device_scoring))
     wall = time.perf_counter() - t0
     r1s = resource.getrusage(resource.RUSAGE_SELF)
     r1c = resource.getrusage(resource.RUSAGE_CHILDREN)
@@ -135,6 +200,9 @@ def main():
         "wall_min": round(wall / 60.0, 2),
         "cpu_s": round(cpu_s, 1),
         "peak_rss_gb": round(peak_gb, 2),
+        "peak_anon_gb": round(rss.peak_anon / 1e9, 2),
+        "peak_filepages_gb": round(rss.peak_file / 1e9, 2),
+        "peak_tree_rss_gb": round(rss.peak_total / 1e9, 2),
         "edges": edges,
         "phase2_s": round(phase2_s, 1) if phase2_s else None,
         "edges_per_s": (round(edges / phase2_s, 2)
