@@ -50,6 +50,22 @@ class RssSampler:
         self.peak_anon = 0
         self.peak_file = 0
         self.peak_total = 0
+        # largest single-process anonymous RSS ever seen, with the
+        # process role (argv tail; forked workers share argv, so the
+        # elapsed-seconds stamp is what locates the owning stage in
+        # the ms-stamped workflow log) and the tree-sum peak's stamp
+        self.peak_proc_anon = 0
+        self.peak_proc_role = ""
+        self.peak_proc_at_s = 0.0
+        self.peak_anon_at_s = 0.0
+        # RssAnon double-counts COW pages shared between the workflow
+        # parent and its forked workers; Pss_Anon (smaps_rollup)
+        # apportions shared pages, so its tree sum is the true unique
+        # anonymous footprint — the number comparable to the
+        # reference's reported peak
+        self.peak_pss_anon = 0
+        self.trace = []          # (t_s, anon_sum, pss_anon_sum, nproc)
+        self._t0 = time.perf_counter()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -74,11 +90,20 @@ class RssSampler:
 
     def _run(self):
         while not self._stop.is_set():
-            anon = filp = tot = 0
+            anon = filp = tot = pss = nproc = 0
             for pid in self._tree():
+                try:
+                    with open(f"/proc/{pid}/smaps_rollup") as f:
+                        mm = re.search(r"Pss_Anon:\s+(\d+) kB",
+                                       f.read())
+                    if mm:
+                        pss += int(mm.group(1)) * 1024
+                except OSError:
+                    pass
                 try:
                     with open(f"/proc/{pid}/status") as f:
                         s = f.read()
+                    p_anon = 0
                     for key, tgt in (("RssAnon:", "a"), ("RssFile:", "f"),
                                      ("VmRSS:", "t")):
                         m = re.search(rf"{key}\s+(\d+) kB", s)
@@ -86,15 +111,33 @@ class RssSampler:
                             v = int(m.group(1)) * 1024
                             if tgt == "a":
                                 anon += v
+                                p_anon = v
                             elif tgt == "f":
                                 filp += v
                             else:
                                 tot += v
+                    if p_anon > self.peak_proc_anon:
+                        try:
+                            with open(f"/proc/{pid}/cmdline") as f:
+                                argv = f.read().split("\0")
+                        except OSError:
+                            argv = []
+                        self.peak_proc_anon = p_anon
+                        self.peak_proc_role = " ".join(
+                            a for a in argv if a)[-120:]
+                        self.peak_proc_at_s = (time.perf_counter()
+                                               - self._t0)
                 except OSError:
                     continue
+                nproc += 1
+            if anon > self.peak_anon:
+                self.peak_anon_at_s = time.perf_counter() - self._t0
             self.peak_anon = max(self.peak_anon, anon)
             self.peak_file = max(self.peak_file, filp)
             self.peak_total = max(self.peak_total, tot)
+            self.peak_pss_anon = max(self.peak_pss_anon, pss)
+            self.trace.append((round(time.perf_counter() - self._t0, 1),
+                               anon, pss, nproc))
             self._stop.wait(self.interval)
 
     def __enter__(self):
@@ -201,8 +244,13 @@ def main():
         "cpu_s": round(cpu_s, 1),
         "peak_rss_gb": round(peak_gb, 2),
         "peak_anon_gb": round(rss.peak_anon / 1e9, 2),
+        "peak_pss_anon_gb": round(rss.peak_pss_anon / 1e9, 2),
+        "peak_anon_at_s": round(rss.peak_anon_at_s, 1),
         "peak_filepages_gb": round(rss.peak_file / 1e9, 2),
         "peak_tree_rss_gb": round(rss.peak_total / 1e9, 2),
+        "peak_proc_anon_gb": round(rss.peak_proc_anon / 1e9, 2),
+        "peak_proc_at_s": round(rss.peak_proc_at_s, 1),
+        "peak_proc_role": rss.peak_proc_role,
         "edges": edges,
         "phase2_s": round(phase2_s, 1) if phase2_s else None,
         "edges_per_s": (round(edges / phase2_s, 2)
@@ -221,6 +269,11 @@ def main():
     with open(os.path.join(REPO, "benchmarks", "results", name),
               "w") as f:
         json.dump(out, f, indent=1)
+    with open(os.path.join(REPO, "benchmarks", "results",
+                           name.replace(".json", ".memtrace.json")),
+              "w") as f:
+        json.dump({"columns": ["t_s", "rss_anon_sum", "pss_anon_sum",
+                               "nproc"], "rows": rss.trace}, f)
     print(json.dumps(out))
     if not args.keep and args.run_dir is None:
         import shutil

@@ -598,14 +598,14 @@ class BamReader:
         buf = self._bgzf.decompress_all()
         return parse_records(buf, self._records_ustart)
 
-    # parsed-batch cache capacities scale with node memory like the
-    # BGZF block LRU (bgzf._default_cache_blocks): phase 2 walks the
-    # genome in edge order, and on large-memory production hosts
-    # keeping more parsed cover windows resident removes whole
-    # re-parse passes of the hot regions
+    # parsed-batch cache tiers follow the BGZF block LRU
+    # (bgzf._default_cache_blocks): small reference-like budgets by
+    # default — the node-scaled large tiers measured strictly worse on
+    # the WGS shape and at parity on deep exomes (docs/PERF_r04.md,
+    # PERF_r03.md) — with MANTA_TPU_NODE_GB ≥ 64 opting back up
     try:
-        from .bgzf import node_mem_gb
-        _MEM_GB = node_mem_gb()
+        from .bgzf import configured_node_gb
+        _MEM_GB = configured_node_gb() or 8.0
     except (ValueError, OSError, AttributeError):
         _MEM_GB = 8.0
     # byte budgets, not entry counts: parsed-batch entry sizes scale

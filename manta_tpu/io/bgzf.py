@@ -114,10 +114,10 @@ _BLOCK_CACHE: dict[tuple, tuple[bytes, int]] = {}
 
 
 def node_mem_gb() -> float:
-    """Node memory used to size IO caches. MANTA_TPU_NODE_GB overrides
-    the probed value — for bounding memory on shared hosts, and for
-    testing the small-node configuration on a big box (the FFPE-depth
-    memory experiment in docs/PERF_r03.md)."""
+    """Node memory as seen by IO-cache sizing. MANTA_TPU_NODE_GB
+    overrides the probed value — for bounding memory on shared hosts,
+    and for testing configurations on a different-size box (the
+    FFPE-depth memory experiment in docs/PERF_r03.md)."""
     env = os.environ.get("MANTA_TPU_NODE_GB")
     if env:
         return float(env)
@@ -125,15 +125,34 @@ def node_mem_gb() -> float:
             * os.sysconf("SC_PHYS_PAGES")) / 1e9
 
 
-def _default_cache_blocks() -> int:
-    """Decompressed-block LRU capacity (~64 KB per block), sized to the
-    node: production TPU hosts have hundreds of GB, where a larger
-    cache eliminates whole re-inflation passes of the input at
-    multi-Mread scale; small nodes keep the reference-like ~192 MB."""
+def configured_node_gb() -> float | None:
+    """MANTA_TPU_NODE_GB when set, else None. Cache tiers default to
+    the small configuration and only scale up when the user asks via
+    this knob — never from the probed node size (see
+    _default_cache_blocks for the measurements behind that)."""
+    env = os.environ.get("MANTA_TPU_NODE_GB")
+    if not env:
+        return None
     try:
-        mem_gb = node_mem_gb()
-    except (ValueError, OSError, AttributeError):
-        return 3072
+        return float(env)
+    except ValueError:
+        return None
+
+
+def _default_cache_blocks() -> int:
+    """Decompressed-block LRU capacity (~64 KB per block). The default
+    is the reference-like ~192 MB per process: a round-4 A/B on the
+    44.7 M-read WGS workload measured the node-scaled 1.5 GB tier
+    STRICTLY worse (phase-2 wall 35.7 → 22.5 s, whole-run peak
+    anonymous RSS 4.9 → 1.5 GB at -j2, docs/PERF_r04.md), and round 3
+    measured the small tier at CPU parity on the 290x deep-exome shape
+    (docs/PERF_r03.md). Edge-ordered phase-2 fetches reuse little
+    beyond the hot window, so a big LRU only buys eviction and
+    allocator churn. MANTA_TPU_NODE_GB ≥ 64 opts back into the large
+    tiers for access patterns that measure otherwise."""
+    mem_gb = configured_node_gb()
+    if mem_gb is None:
+        return 3072    # default: ~192 MB
     if mem_gb >= 64:
         return 24576   # ~1.5 GB
     if mem_gb >= 16:
