@@ -56,7 +56,9 @@ def run_child(body: str) -> dict:
         raise RuntimeError("child failed")
     m = re.search(r"CHILD_JSON (.*)", p.stdout)
     out = json.loads(m.group(1))
-    out["log"] = p.stdout
+    # the workflow's verbose log lines go to stderr; the edge-count
+    # parse below needs them
+    out["log"] = p.stdout + p.stderr
     return out
 
 
@@ -153,6 +155,10 @@ extra = dict(stage="single")
         import shutil
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+    outdir = os.path.join(REPO, "benchmarks", "results")
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "2host_accounting.json"), "w") as f:
+        json.dump(res, f, indent=1)
     print(json.dumps(res))
 
 
