@@ -25,7 +25,7 @@ Measured on one v5e chip (fetch-synchronized slope method, round 3):
 0.7 Gcells/s at (B=64, 400-base query vs 2x800-base references) —
 HBM-bound, since lax.scan keeps the four state matrices in HBM. The
 Pallas VMEM-resident form (pallas_jumpscore.py) runs the identical
-recurrences at 21.3 Gcells/s (~87 host cores) and serves production
+recurrences at 22.2 Gcells/s (~87 host cores) and serves production
 TPU batches via make_bucketed_scorer; this module remains the
 formulation of record, the off-TPU fallback, and the parity anchor.
 """
@@ -252,7 +252,7 @@ def make_bucketed_scorer(scores, jump_score: int):
     traceback aligner, so winner selection cannot change results).
 
     On TPU backends the Pallas VMEM-resident kernel serves the batch —
-    measured 21.3 Gcells/s on one v5e chip vs 0.7 for the XLA scan
+    measured 22.2 Gcells/s on one v5e chip vs 0.7 for the XLA scan
     form (fetch-synchronized slope fits, docs/PERF_r03.md), bit-exact
     with both. Off-TPU (tests force the CPU backend) the XLA form
     runs, since Mosaic cannot lower there."""
