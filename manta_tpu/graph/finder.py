@@ -16,8 +16,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..core.readfilter import (
-    has_sa_tag, is_mate_insertion_evidence_candidate,
-    is_read_unmapped_or_filtered_core,
+    has_sa_tag, is_read_unmapped_or_filtered_core,
 )
 from ..core.svmodel import EV_SIZE
 from ..io.bam import BamReader, ReadBatch, open_alignment_reader
@@ -341,6 +340,129 @@ def estimate_sv_loci(bam_paths: list[str], is_tumor: list[bool],
     return out
 
 
+def _depth_gate_batch(finder: SVLocusSetFinder,
+                      batches: list[ReadBatch],
+                      osi: np.ndarray, oi: np.ndarray,
+                      core_bads: list[np.ndarray]) -> np.ndarray:
+    """Vectorized exact replay of the streaming high-depth gate.
+
+    Scalar semantics being replayed (reference: depth_buffer.hpp:82-119
+    driven from SVLocusSetFinder::update): reads arrive position-
+    sorted; each unfiltered NORMAL-sample read first adds its sequence
+    length to a compression-C bin buffer (DepthBuffer.inc), then every
+    unfiltered read of any sample is dropped when the buffer value at
+    its own start position exceeds max_depth — inc before test, so a
+    read's own contribution counts against it.
+
+    Vectorization: bin depth only grows while a batch streams, so a
+    read whose query bin FINISHES the batch below the threshold can
+    never have observed it above. The final per-bin added coverage is
+    one bincount difference histogram; only bins whose final depth
+    (plus depth carried in from earlier batches of the same stream)
+    crosses the threshold need an exact prefix replay — per such bin,
+    contributor stream indices vs query stream indices via
+    searchsorted(side='right') reproduce the inc-before-test order
+    exactly. On non-pathological WGS zero bins are ambiguous; the
+    satellite pileups of the --repeats workload take the replay path.
+    Returns a stream-aligned bool array (False for filtered reads).
+    """
+    import math
+
+    C = finder.depth.c
+    kd = math.floor(finder.max_depth)
+    # val(pos) > max_depth  ⇔  (v + C//2) // C >= kd + 1  ⇔  v >= vthresh
+    vthresh = C * (kd + 1) - C // 2
+    n = osi.shape[0]
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    pos = np.zeros(n, np.int64)
+    ln = np.zeros(n, np.int64)
+    bad = np.ones(n, bool)
+    is_norm = np.zeros(n, bool)
+    for si, b in enumerate(batches):
+        m = osi == si
+        if not m.any():
+            continue
+        idx = oi[m]
+        pos[m] = b.pos[idx]
+        ln[m] = np.diff(b.seq_off)[idx]      # == b.read_len(i)
+        bad[m] = core_bads[si][idx]
+        is_norm[m] = not finder.is_tumor[si]
+    cont = (~bad) & is_norm & (ln > 0)
+    query = ~bad
+    if not query.any():
+        return out
+    hi = pos + ln
+    qpos = pos[query]
+    has_cont = bool(cont.any())
+    base0 = int(qpos.min())
+    if has_cont:
+        base0 = min(base0, int(pos[cont].min()))
+    base0 -= base0 % C
+    end0 = int(qpos.max()) + 1
+    if has_cont:
+        end0 = max(end0, int(hi[cont].max()))
+    span = end0 - base0
+    nbins = (span + C - 1) // C
+    if has_cont:
+        d_plus = np.bincount(pos[cont] - base0, minlength=span + 1)
+        d_minus = np.bincount(hi[cont] - base0, minlength=span + 1)
+        basecov = np.cumsum(d_plus[:span] - d_minus[:span])
+        pad = nbins * C - span
+        if pad:
+            basecov = np.concatenate(
+                [basecov, np.zeros(pad, np.int64)])
+        final = basecov.reshape(nbins, C).sum(axis=1)
+    else:
+        final = np.zeros(nbins, np.int64)
+    b0 = base0 // C
+    carried = finder.depth.bins
+    for k, v in carried.items():
+        j = k - b0
+        if 0 <= j < nbins:
+            final[j] += v
+    qbin_rel = (qpos // C) - b0
+    hot = final[qbin_rel] >= vthresh
+    pass_q = ~hot
+    if hot.any():
+        maxlen = int(ln[cont].max()) if has_cont else 0
+        qidx = np.nonzero(query)[0]
+        cidx = np.nonzero(cont)[0]
+        cpos = pos[cidx]
+        chi = hi[cidx]
+        for gb in np.unique(qbin_rel[hot]).tolist():
+            gb_abs = gb + b0
+            w_lo = gb_abs * C
+            w_hi = w_lo + C
+            a = np.searchsorted(cpos, w_lo - maxlen, side="left")
+            z = np.searchsorted(cpos, w_hi, side="left")
+            ov = (np.minimum(chi[a:z], w_hi)
+                  - np.maximum(cpos[a:z], w_lo))
+            sel = ov > 0
+            c_stream = cidx[a:z][sel]
+            baseline = carried.get(gb_abs, 0)
+            csum = np.concatenate(
+                [[baseline], baseline + np.cumsum(ov[sel])])
+            qm = hot & (qbin_rel == gb)
+            ins = np.searchsorted(c_stream, qidx[qm], side="right")
+            pass_q[qm] = csum[ins] < vthresh
+    out[query] = pass_q
+    # persist the batch-final bins for the next batch of this stream
+    # (identical to the scalar end state; clear_below is memory
+    # management only and still runs from the evidence tail)
+    newbins = {k: v for k, v in carried.items()
+               if not (0 <= k - b0 < nbins)}
+    for j in np.nonzero(final)[0].tolist():
+        newbins[b0 + j] = int(final[j])
+    # trim bins no future read can touch (positions are nondecreasing
+    # across batches, so bins strictly below (last_pos-10)//C are
+    # never inc'd or read again — the scalar clear_below invariant)
+    cut = (int(pos[-1]) - 10) // C
+    finder.depth.bins = {k: v for k, v in newbins.items() if k >= cut}
+    return out
+
+
 def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
                 order: list[tuple[int, int]]):
     """Process a position-merged multi-sample stream."""
@@ -369,87 +491,66 @@ def _run_merged(finder: SVLocusSetFinder, batches: list[ReadBatch],
         for si, b in enumerate(batches)]
     osi, oi = order
 
+    from ..core.readfilter import mate_insertion_candidates_mask
     if finder.max_depth is None:
-        # No sequential depth gate: every counter is a pure reduction,
-        # and only evidence reads need the per-read walk.
-        from ..core.readfilter import mate_insertion_candidates_mask
+        ok_masks = [~cb for cb in core_bads]
+    else:
+        # the sequential inc-then-test depth gate, replayed vectorized
+        # with identical stream semantics (see _depth_gate_batch)
+        depth_pass = _depth_gate_batch(finder, batches, osi, oi,
+                                       core_bads)
+        ok_masks = []
         for si, b in enumerate(batches):
-            if b.n == 0:
-                continue
-            counts = finder.counts[si]
-            ok = ~core_bads[si]
-            lowq = ok & (b.mapq < min_mapq)
-            counts.min_mapq += int(lowq.sum())
-            base = ok & ~lowq
-            sup = base & supplementary[si]
-            counts.split_supplementary_segment += int(sup.sum())
-            norm = base & ~supplementary[si]
-            counts.total += int(norm.sum())
-            tm = type_masks[si]
-            if tm is not None:
-                anom = norm & tm["anom"]
-                counts.anom += int(anom.sum())
-                counts.remote_recovery_candidates += int(
-                    (anom & mate_insertion_candidates_mask(
-                        b, sas[si], min_mapq)).sum())
-                counts.split += int((norm & tm["split"]).sum())
-                counts.anom_and_split += int(
-                    (anom & tm["split"]).sum())
-                counts.indel += int((norm & tm["indel"]).sum())
-                counts.assm += int((norm & tm["assm"]).sum())
-            ev = ev_masks[si]
-            counts.ignored += int((base & ~ev).sum())
-            counts.evidence += int((base & ev).sum())
-        # compress the merged stream to surviving evidence reads
-        keep = np.zeros(len(osi), bool)
-        for si, b in enumerate(batches):
+            dp = np.zeros(b.n, bool)
             m = osi == si
             if m.any():
-                surv = ev_masks[si] & ~core_bads[si] & \
-                    (b.mapq >= min_mapq)
-                keep[m] = surv[oi[m]]
-        osi, oi = osi[keep], oi[keep]
+                dp[oi[m]] = depth_pass[m]
+            ok_masks.append(dp)
+
+    # Every counter is a pure reduction over the gated masks; only
+    # evidence reads need the per-read walk below. Count semantics
+    # (SVLocusScanner.cpp:1457-1479): min_mapq tested after the depth
+    # gate, supplemental split segments excluded from "normal" counts.
+    for si, b in enumerate(batches):
+        if b.n == 0:
+            continue
+        counts = finder.counts[si]
+        ok = ok_masks[si]
+        lowq = ok & (b.mapq < min_mapq)
+        counts.min_mapq += int(lowq.sum())
+        base = ok & ~lowq
+        sup = base & supplementary[si]
+        counts.split_supplementary_segment += int(sup.sum())
+        norm = base & ~supplementary[si]
+        counts.total += int(norm.sum())
+        tm = type_masks[si]
+        if tm is not None:
+            anom = norm & tm["anom"]
+            counts.anom += int(anom.sum())
+            counts.remote_recovery_candidates += int(
+                (anom & mate_insertion_candidates_mask(
+                    b, sas[si], min_mapq)).sum())
+            counts.split += int((norm & tm["split"]).sum())
+            counts.anom_and_split += int(
+                (anom & tm["split"]).sum())
+            counts.indel += int((norm & tm["indel"]).sum())
+            counts.assm += int((norm & tm["assm"]).sum())
+        ev = ev_masks[si]
+        counts.ignored += int((base & ~ev).sum())
+        counts.evidence += int((base & ev).sum())
+    # compress the merged stream to surviving evidence reads
+    keep = np.zeros(len(osi), bool)
+    for si, b in enumerate(batches):
+        m = osi == si
+        if m.any():
+            surv = ev_masks[si] & ok_masks[si] & (b.mapq >= min_mapq)
+            keep[m] = surv[oi[m]]
+    osi, oi = osi[keep], oi[keep]
 
     for (si, i) in zip(osi.tolist(), oi.tolist()):
         b = batches[si]
         counts = finder.counts[si]
         pos = int(b.pos[i])
-        if finder.max_depth is not None:
-            if core_bads[si][i]:
-                continue
-            if not finder.is_tumor[si]:
-                finder.depth.inc(pos, b.read_len(i))
-            if finder.depth.val(pos) > finder.max_depth:
-                continue
-            if b.mapq[i] < min_mapq:
-                counts.min_mapq += 1
-                continue
-            # evidence-count statistics (SVLocusScanner.cpp:1457-1479):
-            # supplemental split segments are excluded from "normal"
-            # counts
-            tm = type_masks[si]
-            if supplementary[si][i]:
-                counts.split_supplementary_segment += 1
-            else:
-                counts.total += 1
-                if tm is not None:
-                    if tm["anom"][i]:
-                        counts.anom += 1
-                        if is_mate_insertion_evidence_candidate(
-                                b, i, min_mapq):
-                            counts.remote_recovery_candidates += 1
-                    if tm["split"][i]:
-                        counts.split += 1
-                    if tm["anom"][i] and tm["split"][i]:
-                        counts.anom_and_split += 1
-                    if tm["indel"][i]:
-                        counts.indel += 1
-                    if tm["assm"][i]:
-                        counts.assm += 1
-            if not ev_masks[si][i]:
-                counts.ignored += 1
-                continue
-            counts.evidence += 1
         if not (finder.beg <= pos < finder.end):
             continue
         finder._handle_new_pos(pos)
