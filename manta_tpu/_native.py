@@ -181,6 +181,10 @@ def get_lib():
     lib.mt_bgzf_inflate_batch.restype = ctypes.c_int
     lib.mt_bgzf_inflate_batch.argtypes = [
         ctypes.c_int64, u8p, i64p, i32p, u8p, i64p, ctypes.c_int32]
+    lib.mt_bgzf_index_range.restype = ctypes.c_int64
+    lib.mt_bgzf_index_range.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i64p, i64p, i32p, i32p]
     lib.mt_graph_clean_stride.restype = ctypes.c_int
     lib.mt_graph_clean_stride.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

@@ -392,58 +392,55 @@ class BgzfReader:
         cend, uend = vend >> 16, vend & 0xFFFF
         data = self._data
         nfile = len(data)
-        # walk the block chain once, collecting sizes and cache hits
-        coffs, pay_offs, pay_lens, isizes, cached = [], [], [], [], []
-        coff = cstart
-        total = 0
-        last_coff = -1
-        while coff < nfile:
-            hit = _BLOCK_CACHE.get((self._key, coff))
-            if hit is not None:
-                payload, nxt = hit
-                isize = len(payload)
-                pay_off = pay_len = -1
-            else:
-                try:
-                    pay_off, bsize = _parse_block_header(data, coff)
-                    isize = struct.unpack_from(
-                        "<I", data, coff + bsize - 4)[0]
-                except (struct.error, IndexError, ValueError):
-                    # corrupt/truncated chain: let read_range raise
-                    # with file/offset context
-                    return np.frombuffer(self.read_range(vstart, vend),
-                                         np.uint8)
-                pay_len = (coff + bsize - 8) - pay_off
-                nxt = coff + bsize
-                payload = None
-            coffs.append(coff)
-            pay_offs.append(pay_off)
-            pay_lens.append(pay_len)
-            isizes.append(isize)
-            cached.append(payload)
-            total += isize
-            last_coff = coff
-            if coff == cend or nxt > cend:
-                break
-            coff = nxt
+        if cstart >= nfile:
+            return np.empty(0, np.uint8)
+        # native chain walk: one call parses every block header in the
+        # range (the per-block Python walk this replaces was the
+        # hottest line of the single-core pipeline profile)
+        dview = np.frombuffer(data, np.uint8)
+        maxb = (min(cend, nfile - 1) - cstart) // 28 + 2
+        coffs_a = np.empty(maxb, np.int64)
+        pay_offs_a = np.empty(maxb, np.int64)
+        pay_lens_a = np.empty(maxb, np.int32)
+        isizes_a = np.empty(maxb, np.int32)
+        cnt = int(lib.mt_bgzf_index_range(
+            dview.ctypes.data_as(u8p), nfile, cstart, cend, maxb,
+            coffs_a.ctypes.data_as(i64p),
+            pay_offs_a.ctypes.data_as(i64p),
+            pay_lens_a.ctypes.data_as(i32p),
+            isizes_a.ctypes.data_as(i32p)))
+        if cnt <= 0:
+            # corrupt/truncated chain: let read_range raise with
+            # file/offset context
+            return np.frombuffer(self.read_range(vstart, vend),
+                                 np.uint8)
+        coffs = coffs_a[:cnt]
+        isizes = isizes_a[:cnt]
+        # LRU probes: blocks block_at already inflated are copied from
+        # cache instead of re-inflated
+        cached = []
+        for c in coffs.tolist():
+            hit = _BLOCK_CACHE.get((self._key, c))
+            cached.append(hit[0] if hit is not None else None)
         # same bounds as read_range: trim the last block at uend only
         # when the chain actually reached the cend block
-        tail = (isizes[-1] - uend) if (coffs and last_coff == cend) else 0
+        tail = (int(isizes[-1]) - uend) if int(coffs[-1]) == cend else 0
+        total = int(isizes.sum())
         out = np.empty(total, np.uint8)
-        out_off = np.zeros(len(coffs) + 1, np.int64)
+        out_off = np.zeros(cnt + 1, np.int64)
         np.cumsum(isizes, out=out_off[1:])
         jobs = [k for k, p in enumerate(cached) if p is None]
         if jobs:
-            comp_off = np.array([pay_offs[k] for k in jobs], np.int64)
-            comp_len = np.array([pay_lens[k] for k in jobs], np.int32)
+            comp_off = np.ascontiguousarray(pay_offs_a[jobs])
+            comp_len = np.ascontiguousarray(pay_lens_a[jobs])
             # the native kernel derives each job's output span from
             # consecutive offset-table entries, so non-contiguous job
             # destinations (cache hits interleaved) go through a dense
             # scratch buffer instead
-            want = np.array([isizes[k] for k in jobs], np.int64)
+            want = isizes_a[jobs].astype(np.int64)
             span_off = np.zeros(len(jobs) + 1, np.int64)
             np.cumsum(want, out=span_off[1:])
-            if len(jobs) == len(coffs):
+            if len(jobs) == cnt:
                 # common case: nothing cached — inflate straight in
                 rc = lib.mt_bgzf_inflate_batch(
                     len(jobs), np.frombuffer(data, np.uint8)

@@ -3985,6 +3985,60 @@ extern "C" int mt_bgzf_inflate_batch(
   return err.load();
 }
 
+// Walk the BGZF block chain covering [cstart, cend] (compressed block
+// offsets, cend inclusive as in a BAI virtual-offset range), emitting
+// one row per block: compressed offset, payload offset, payload
+// length, uncompressed size. Returns the block count, or -1 on a
+// malformed header / count overflow. Replaces the per-fetch Python
+// chain walk in io/bgzf.py read_range_arr (~25 us of Python per block,
+// the hottest line of the single-core pipeline profile) with one
+// native call; header semantics mirror _parse_block_header exactly
+// (strict 1f 8b 08 04 magic, BC subfield scan with last-match-wins,
+// payload = [extra end, block end - 8)), and the stop rule mirrors the
+// Python loop: include the block at coff == cend, or stop before a
+// block that would start past cend.
+extern "C" int64_t mt_bgzf_index_range(
+    const uint8_t* data, int64_t n, int64_t cstart, int64_t cend,
+    int64_t max_blocks, int64_t* coffs, int64_t* pay_offs,
+    int32_t* pay_lens, int32_t* isizes) {
+  int64_t count = 0;
+  int64_t coff = cstart;
+  while (coff < n) {
+    if (coff + 18 > n) return -1;
+    if (data[coff] != 0x1f || data[coff + 1] != 0x8b ||
+        data[coff + 2] != 0x08 || data[coff + 3] != 0x04)
+      return -1;
+    const int64_t xlen =
+        data[coff + 10] | ((int64_t)data[coff + 11] << 8);
+    const int64_t xend = coff + 12 + xlen;
+    if (xend > n) return -1;
+    int64_t p = coff + 12;
+    int64_t bsize = -1;
+    while (p + 4 <= xend) {
+      const uint8_t si1 = data[p], si2 = data[p + 1];
+      const int64_t slen = data[p + 2] | ((int64_t)data[p + 3] << 8);
+      if (si1 == 0x42 && si2 == 0x43 && slen == 2 && p + 6 <= xend)
+        bsize = (data[p + 4] | ((int64_t)data[p + 5] << 8)) + 1;
+      p += 4 + slen;
+    }
+    if (bsize < 28 || coff + bsize > n) return -1;
+    if (count >= max_blocks) return -1;
+    coffs[count] = coff;
+    pay_offs[count] = xend;
+    pay_lens[count] = (int32_t)((coff + bsize - 8) - xend);
+    const int64_t iso = coff + bsize - 4;
+    isizes[count] = (int32_t)((uint32_t)data[iso] |
+                              ((uint32_t)data[iso + 1] << 8) |
+                              ((uint32_t)data[iso + 2] << 16) |
+                              ((uint32_t)data[iso + 3] << 24));
+    count++;
+    const int64_t nxt = coff + bsize;
+    if (coff == cend || nxt > cend) break;
+    coff = nxt;
+  }
+  return count;
+}
+
 // ---------------------------------------------------------------------------
 // Ragged row gather: copy the payload runs of selected rows into a dense
 // output blob. Replaces ReadBatch.subset's per-run Python copy loop
