@@ -470,7 +470,15 @@ class _ChunkWindows:
 
     def __init__(self, reader, init_size: int):
         self.reader = reader
-        self.init_size = init_size
+        # First-visit window cap: before any density estimate exists,
+        # a caller-sized multi-Mb window parses ~1.4 M reads (~200 MB)
+        # per chromosome and briefly holds GBs across a many-chrom
+        # genome — measured 2.3 GB peak on a 24-chrom 35x WGS BAM,
+        # the whole workflow's memory high-water mark. 256 kb still
+        # yields ~90k reads at 35x (≫ the 6k target) for the first
+        # density estimate, and sparse data just grows the next
+        # window; boundaries never change the observation stream.
+        self.init_size = min(init_size, 262_144)
         # two windows per chrom: slice scans that run past a window
         # boundary and then restart behind it would otherwise thrash a
         # single-entry cache (empty-region probing alternates windows)
