@@ -207,6 +207,11 @@ def main():
             "measured_cores": measured["cores"],
             "measured_cpu_s": measured["cpu_s"],
             "measured_peak_rss_gb": measured["peak_rss_gb"],
+            # honest memory datum vs the reference's 2.35 GB:
+            # tree-summed Pss_Anon peak (ru_maxrss conflates the
+            # mmap'd BAM's reclaimable file pages — see PERF_r04)
+            "measured_peak_pss_anon_gb": measured.get(
+                "peak_pss_anon_gb"),
             "measured_edges_per_s": measured["edges_per_s"],
             "measured_utc": measured["measured_utc"],
         }
