@@ -165,19 +165,6 @@ class SVLocusSetFinder:
         """Process all remaining positions (stage_manager::reset)."""
         self._process_denoise_up_to(self.end - 1)
 
-    # ------------------------------------------------------------------
-
-    def update_batch(self, batch: ReadBatch, sample_index: int):
-        """Feed a position-sorted batch of one sample's reads."""
-        if batch.n == 0:
-            return
-        order = (np.full(batch.n, sample_index, np.int32),
-                 np.arange(batch.n, dtype=np.int64))
-        batches = [ReadBatch.concat([]) for _ in self.is_tumor]
-        batches[sample_index] = batch
-        _run_merged(self, batches, order)
-
-
 def merge_sorted_batches(batches: list[ReadBatch]):
     """K-way position-merge across per-sample batches: returns
     (sample_index, read_index) arrays in position order (reference:
@@ -365,6 +352,14 @@ def _depth_gate_batch(finder: SVLocusSetFinder,
     exactly. On non-pathological WGS zero bins are ambiguous; the
     satellite pileups of the --repeats workload take the replay path.
     Returns a stream-aligned bool array (False for filtered reads).
+
+    Assumptions: (a) successive calls for one finder form a single
+    non-regressing merged stream (asserted below — the end-of-batch
+    bin trim is only sound under it); (b) the dense difference
+    histogram allocates O(batch position extent) int64s — bounded to
+    ~17 MB by the 2 MB _SCAN_SUBWINDOW chunking in scan_region; a
+    caller passing a sparse many-Mb batch would need a per-bin
+    sparse fallback instead.
     """
     import math
 
@@ -376,6 +371,7 @@ def _depth_gate_batch(finder: SVLocusSetFinder,
     out = np.zeros(n, bool)
     if n == 0:
         return out
+    gate_floor = getattr(finder, "_gate_floor", None)
     pos = np.zeros(n, np.int64)
     ln = np.zeros(n, np.int64)
     bad = np.ones(n, bool)
@@ -389,6 +385,10 @@ def _depth_gate_batch(finder: SVLocusSetFinder,
         ln[m] = np.diff(b.seq_off)[idx]      # == b.read_len(i)
         bad[m] = core_bads[si][idx]
         is_norm[m] = not finder.is_tumor[si]
+    if gate_floor is not None and int(pos[0]) < gate_floor:
+        raise AssertionError(
+            "depth-gate batches must form a non-regressing stream: "
+            f"batch starts at {int(pos[0])} below trim floor {gate_floor}")
     cont = (~bad) & is_norm & (ln > 0)
     query = ~bad
     if not query.any():
@@ -460,6 +460,7 @@ def _depth_gate_batch(finder: SVLocusSetFinder,
     # never inc'd or read again — the scalar clear_below invariant)
     cut = (int(pos[-1]) - 10) // C
     finder.depth.bins = {k: v for k, v in newbins.items() if k >= cut}
+    finder._gate_floor = cut * C
     return out
 
 

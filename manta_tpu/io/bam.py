@@ -605,7 +605,8 @@ class BamReader:
     # PERF_r03.md) — with MANTA_TPU_NODE_GB ≥ 64 opting back up
     try:
         from .bgzf import configured_node_gb
-        _MEM_GB = configured_node_gb() or 8.0
+        _gb = configured_node_gb()
+        _MEM_GB = 8.0 if _gb is None else _gb
     except (ValueError, OSError, AttributeError):
         _MEM_GB = 8.0
     # byte budgets, not entry counts: parsed-batch entry sizes scale

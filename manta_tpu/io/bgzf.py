@@ -131,11 +131,15 @@ def configured_node_gb() -> float | None:
     this knob — never from the probed node size (see
     _default_cache_blocks for the measurements behind that)."""
     env = os.environ.get("MANTA_TPU_NODE_GB")
-    if not env:
+    if env is None or env == "":
         return None
     try:
         return float(env)
     except ValueError:
+        import warnings
+        warnings.warn(
+            f"MANTA_TPU_NODE_GB={env!r} is not a number; "
+            "ignoring it (small cache tier)", stacklevel=2)
         return None
 
 

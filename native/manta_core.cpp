@@ -3992,11 +3992,16 @@ extern "C" int mt_bgzf_inflate_batch(
 // malformed header / count overflow. Replaces the per-fetch Python
 // chain walk in io/bgzf.py read_range_arr (~25 us of Python per block,
 // the hottest line of the single-core pipeline profile) with one
-// native call; header semantics mirror _parse_block_header exactly
-// (strict 1f 8b 08 04 magic, BC subfield scan with last-match-wins,
-// payload = [extra end, block end - 8)), and the stop rule mirrors the
-// Python loop: include the block at coff == cend, or stop before a
-// block that would start past cend.
+// native call; header semantics mirror _parse_block_header on
+// well-formed BGZF (strict 1f 8b 08 04 magic, BC subfield scan with
+// last-match-wins, payload = [extra end, block end - 8)) — but this
+// scan bounds-checks each subfield header against the extra-field end
+// (`p + 4 <= xend`, BC payload `p + 6 <= xend`) where the Python
+// parser reads subfield headers unguarded, so on a malformed/truncated
+// extra field the native walk returns -1 (falling back to the Python
+// path) while Python may parse differently or raise. The stop rule
+// mirrors the Python loop: include the block at coff == cend, or stop
+// before a block that would start past cend.
 extern "C" int64_t mt_bgzf_index_range(
     const uint8_t* data, int64_t n, int64_t cstart, int64_t cend,
     int64_t max_blocks, int64_t* coffs, int64_t* pay_offs,
