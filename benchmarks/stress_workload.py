@@ -25,7 +25,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEMO = "/root/reference/src/demo/data"
+_VDEMO = os.path.join(REPO, "tests", "data", "demo")
+DEMO = _VDEMO if os.path.isdir(_VDEMO) else "/root/reference/src/demo/data"
 TUMOR = f"{DEMO}/G15512.HCC1954.1.COST16011_region.bam"
 DEMO_FA = f"{REPO}/.testdata/Homo_sapiens_assembly19.COST16011_region.fa"
 

@@ -25,7 +25,13 @@ import tarfile
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-DEMO = pathlib.Path("/root/reference/src/demo/data")
+# The demo dataset + expected results are vendored in-tree
+# (tests/data/demo) so the acceptance suite is standalone; the
+# read-only reference mount remains a fallback for historical runs
+# (reference: src/demo/runMantaWorkflowDemo.py oracle layout).
+_VENDORED = REPO / "tests" / "data" / "demo"
+_REF_DEMO = pathlib.Path("/root/reference/src/demo/data")
+DEMO = _VENDORED if _VENDORED.exists() else _REF_DEMO
 TESTDATA = REPO / ".testdata"
 
 

@@ -13,7 +13,12 @@ from cramgen import CramRec, write_cram
 from manta_tpu.io.bam import BamReader, open_alignment_reader
 from manta_tpu.io.cram import CramReader
 
-TD = "/root/reference/src/c++/lib/htsapi/test/testData/"
+import os as _os
+
+_VTD = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "data", "htsapi") + _os.sep
+TD = (_VTD if _os.path.isdir(_VTD)
+      else "/root/reference/src/c++/lib/htsapi/test/testData/")
 
 _TAG_SIZE = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
              ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}

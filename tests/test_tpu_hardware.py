@@ -26,7 +26,9 @@ import sys
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-EXPECTED = "/root/reference/src/demo/expectedResults/somaticSV.vcf.gz"
+_VEXP = REPO / "tests" / "data" / "demo" / "expectedResults" / "somaticSV.vcf.gz"
+EXPECTED = (str(_VEXP) if _VEXP.exists() else
+            "/root/reference/src/demo/expectedResults/somaticSV.vcf.gz")
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("MANTA_TPU_TESTS") != "1",

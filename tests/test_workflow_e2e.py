@@ -7,7 +7,12 @@ import pytest
 
 from manta_tpu.workflow.run import run_workflow
 
-EXPECTED = ("/root/reference/src/demo/expectedResults/somaticSV.vcf.gz")
+import pathlib
+
+_VEXP = (pathlib.Path(__file__).resolve().parent / "data" / "demo"
+         / "expectedResults" / "somaticSV.vcf.gz")
+EXPECTED = (str(_VEXP) if _VEXP.exists() else
+            "/root/reference/src/demo/expectedResults/somaticSV.vcf.gz")
 
 
 @pytest.fixture(scope="module")
