@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .bgzf import BgzfReader
-from .bai import BaiIndex
+from .bai import BaiIndex, open_index
 
 # SAM flag bits
 FLAG_PAIRED = 0x1
@@ -579,10 +579,7 @@ class BamReader:
             off += 8 + l_name
         self.header = BamHeader(text, names, lengths)
         self._records_ustart = off  # uncompressed offset where records begin
-        try:
-            self.index = BaiIndex(path + ".bai")
-        except FileNotFoundError:
-            self.index = None
+        self.index = open_index(path)
 
     def _read_prefix(self, nbytes: int) -> bytes:
         out = []

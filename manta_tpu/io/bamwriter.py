@@ -31,6 +31,11 @@ def reg2bin(beg: int, end: int) -> int:
     return _r(beg, end)
 
 
+def reg2bin_csi(beg: int, end: int, min_shift: int, depth: int) -> int:
+    from .bai import reg2bin_csi as _r
+    return _r(beg, end, min_shift, depth)
+
+
 def encode_record(batch, i: int, extra_tags: bytes = b"") -> bytes:
     """Encode one ReadBatch row as a raw BAM alignment block (without
     the leading block_size). Pure-Python reference implementation; the
@@ -119,11 +124,18 @@ class BamWriter:
     in one native pass per source batch at close()."""
 
     def __init__(self, path: str, header_text: str, ref_names: list[str],
-                 ref_lengths: list[int]):
+                 ref_lengths: list[int], index: str = "bai",
+                 csi_min_shift: int = 14, csi_depth: int = 5):
         self.path = path
         self.header_text = header_text
         self.ref_names = ref_names
         self.ref_lengths = ref_lengths
+        # index flavor: "bai" (default) or "csi" (CSI v1 with the given
+        # min_shift/depth — required for chromosomes >512 Mb, matching
+        # the reference's .bai/.csi acceptance, bam_streamer.cpp:131)
+        self.index = index
+        self.csi_min_shift = csi_min_shift
+        self.csi_depth = csi_depth
         # groups of consecutive adds from the same source batch:
         # [batch, [row indices], [extra tag blobs]]
         self._groups: list[list] = []
@@ -182,19 +194,27 @@ class BamWriter:
                 if t < 0:
                     continue
                 p, e = int(pos[r]), int(end[r])
-                bin_ = reg2bin(p, e)
+                if self.index == "csi":
+                    bin_ = reg2bin_csi(p, e, self.csi_min_shift,
+                                       self.csi_depth)
+                else:
+                    bin_ = reg2bin(p, e)
                 rbins = bins.setdefault(t, {})
                 chunks = rbins.setdefault(bin_, [])
                 if chunks and chunks[-1][1] == vbeg:
                     chunks[-1] = (chunks[-1][0], vend)
                 else:
                     chunks.append((vbeg, vend))
-                lin = linear.setdefault(t, {})
-                for w in range(p >> 14, ((e - 1) >> 14) + 1):
-                    if w not in lin or vbeg < lin[w]:
-                        lin[w] = vbeg
+                if self.index != "csi":
+                    lin = linear.setdefault(t, {})
+                    for w in range(p >> 14, ((e - 1) >> 14) + 1):
+                        if w not in lin or vbeg < lin[w]:
+                            lin[w] = vbeg
             wr.close()
-        self._write_bai(bins, linear)
+        if self.index == "csi":
+            self._write_csi(bins)
+        else:
+            self._write_bai(bins, linear)
 
     def _write_bai(self, bins, linear):
         out = bytearray(b"BAI\x01")
@@ -217,6 +237,28 @@ class BamWriter:
                 out += struct.pack("<Q", prev)
         with open(self.path + ".bai", "wb") as f:
             f.write(bytes(out))
+
+    def _write_csi(self, bins):
+        """CSI v1 index: R-tree bins with per-bin loffset floors in a
+        BGZF container (replaces the 16 kb linear index). Records are
+        written position-sorted, so a bin's earliest chunk start is its
+        loffset."""
+        out = bytearray(b"CSI\x01")
+        out += struct.pack("<iii", self.csi_min_shift, self.csi_depth, 0)
+        out += struct.pack("<i", len(self.ref_names))
+        for tid in range(len(self.ref_names)):
+            rbins = bins.get(tid, {})
+            out += struct.pack("<i", len(rbins))
+            for b in sorted(rbins):
+                chunks = rbins[b]
+                loffset = min(vb for vb, _ in chunks)
+                out += struct.pack("<IQi", b, loffset, len(chunks))
+                for vb, ve in chunks:
+                    out += struct.pack("<QQ", vb, ve)
+        with open(self.path + ".csi", "wb") as f:
+            wr = BgzfWriter(f)
+            wr.write(bytes(out))
+            wr.close()
 
 
 # ---------------------------------------------------------------------------
