@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..io.bam import C_EQ, C_I, C_M, C_S, C_X
+from ..io.bam import C_EQ, C_M, C_X
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB = None

@@ -23,7 +23,7 @@ we match that by sorting.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .assembler import AssembledContig, AssemblyReadInfo
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ..core.svmodel import SVCandidate, is_complex_sv, is_sv_below_min_size
-from ..format.vcfwriter import EventInfo, SVId, make_sv_id
+from ..format.vcfwriter import EventInfo, make_sv_id
 from ..scoring.scorer import DGT_REF, ModelScoreInfo
 
 

@@ -23,10 +23,18 @@ from ..align.aligners import (
 )
 from ..core import cigar as cg
 from ..core.svmodel import (
-    BND_COMPLEX, BND_LEFT_OPEN, BND_RIGHT_OPEN, BND_UNKNOWN,
-    EXT_INSERT, SVCandidate, get_extended_sv_type, get_sv_type,
-    is_complex_sv, is_same_orientation, is_spanning_sv,
-    SV_INDEL, SV_UNKNOWN,
+    BND_COMPLEX,
+    BND_LEFT_OPEN,
+    BND_RIGHT_OPEN,
+    BND_UNKNOWN,
+    EXT_INSERT,
+    SVCandidate,
+    get_extended_sv_type,
+    get_sv_type,
+    is_complex_sv,
+    is_same_orientation,
+    is_spanning_sv,
+    SV_INDEL,
 )
 from ..io.bam import C_D, C_I, C_M, C_N, C_S, C_EQ, C_X
 from .assembler_reads import BreakendReadAssembler, revcomp

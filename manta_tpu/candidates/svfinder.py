@@ -17,18 +17,25 @@ import numpy as np
 
 from ..core.binomial import binomial_gte_n_success_pval
 from ..core.depthsweep import DepthSweep
-from ..core.readfilter import (
-    has_sa_tag, is_non_strict_supplement, is_read_unmapped_or_filtered_core,
-)
+from ..core.readfilter import has_sa_tag, is_read_unmapped_or_filtered_core
 from ..core.svmodel import (
-    EV_SIZE, EV_LOCAL_PAIR, EV_PAIR, EV_SPLIT_ALIGN, EV_UNKNOWN,
-    BND_COMPLEX, BND_UNKNOWN,
-    GenomeInterval, SVCandidate, SVObservation,
-    get_sv_type, SV_INDEL, is_complex_sv, is_cis, is_spanning_sv,
+    EV_SIZE,
+    EV_LOCAL_PAIR,
+    EV_PAIR,
+    EV_SPLIT_ALIGN,
+    BND_COMPLEX,
+    BND_UNKNOWN,
+    GenomeInterval,
+    SVCandidate,
+    SVObservation,
+    get_sv_type,
+    SV_INDEL,
+    is_complex_sv,
+    is_cis,
+    is_spanning_sv,
     is_sv_below_min_size,
 )
-from ..io.bam import FLAG_READ2, BamReader, ReadBatch, \
-    open_alignment_reader
+from ..io.bam import FLAG_READ2, ReadBatch, open_alignment_reader
 from ..scan.scanner import SVScanner
 
 

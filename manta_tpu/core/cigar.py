@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..io.bam import C_D, C_EQ, C_H, C_I, C_M, C_N, C_P, C_S, C_X
+from ..io.bam import C_D, C_EQ, C_H, C_I, C_M, C_N, C_S, C_X
 
 # segment-type predicates as sets over op codes
 READ_LEN_OPS = frozenset((C_M, C_I, C_S, C_EQ, C_X))

@@ -18,8 +18,15 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io.bam import (
-    C_H, C_N, C_P, C_S, C_D, C_I, C_M, C_EQ, C_X,
-    FLAG_PAIRED, FLAG_READ1, FLAG_REVERSE, BamReader, ReadBatch,
+    C_N,
+    C_S,
+    C_M,
+    C_EQ,
+    C_X,
+    FLAG_PAIRED,
+    FLAG_READ1,
+    FLAG_REVERSE,
+    ReadBatch,
     open_alignment_reader,
 )
 from .readfilter import (

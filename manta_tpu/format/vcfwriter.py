@@ -15,8 +15,15 @@ from dataclasses import dataclass, field
 from ..candidates.assembler_reads import revcomp
 from ..core import cigar as cg
 from ..core.svmodel import (
-    BND_LEFT_OPEN, BND_RIGHT_OPEN, EXT_DELETE, EXT_INSERT, EXT_INTERTRANSLOC,
-    EXT_INTRATRANSLOC, EXT_INVERSION, EXT_LABELS, EXT_TANDUP, SVCandidate,
+    BND_LEFT_OPEN,
+    BND_RIGHT_OPEN,
+    EXT_DELETE,
+    EXT_INSERT,
+    EXT_INTERTRANSLOC,
+    EXT_INTRATRANSLOC,
+    EXT_INVERSION,
+    EXT_LABELS,
+    SVCandidate,
     get_extended_sv_type,
 )
 

@@ -19,10 +19,8 @@ from ..core.readfilter import (
     has_sa_tag, is_read_unmapped_or_filtered_core,
 )
 from ..core.svmodel import EV_SIZE
-from ..io.bam import BamReader, ReadBatch, open_alignment_reader
-from ..scan.scanner import (
-    WEIGHT_CLOSE_READ_PAIR, ScannerOptions, SVScanner,
-)
+from ..io.bam import ReadBatch, open_alignment_reader
+from ..scan.scanner import WEIGHT_CLOSE_READ_PAIR, SVScanner
 from .locusgraph import SVLocus, SVLocusSet, SVLocusSetOptions
 
 # phase-1 scan streaming grain: regions larger than this are fetched

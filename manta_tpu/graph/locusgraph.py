@@ -15,7 +15,7 @@ boost::serialization.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 from sortedcontainers import SortedList

@@ -14,7 +14,7 @@ import ctypes
 
 import numpy as np
 
-from .._native import get_lib, i32p, i64p
+from .._native import get_lib, i64p
 from .locusgraph import SVLocusSet, SVLocusSetOptions
 
 

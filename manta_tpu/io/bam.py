@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .bgzf import BgzfReader
-from .bai import BaiIndex, open_index
+from .bai import open_index
 
 # SAM flag bits
 FLAG_PAIRED = 0x1

@@ -17,11 +17,9 @@ in-slice mate resolution, and .crai index region queries.
 from __future__ import annotations
 
 import bz2
-import ctypes
 import gzip
 import lzma
 import struct
-import zlib
 
 import numpy as np
 

@@ -16,23 +16,44 @@ full candidate generation runs per evidence-read on host.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..core import cigar as cg
 from ..core.readfilter import has_sa_tag, is_innie_pair, is_mapped_pair
 from ..core.svmodel import (
-    BND_COMPLEX, BND_LEFT_OPEN, BND_RIGHT_OPEN, BND_UNKNOWN,
-    EV_CIGAR, EV_LOCAL_PAIR, EV_PAIR, EV_SEMIALIGN, EV_SPLIT_ALIGN,
-    FRAG_READ1, FRAG_READ2, FRAG_READ_PAIR,
-    GenomeInterval, SVBreakend, SVObservation,
+    BND_COMPLEX,
+    BND_LEFT_OPEN,
+    BND_RIGHT_OPEN,
+    BND_UNKNOWN,
+    EV_CIGAR,
+    EV_LOCAL_PAIR,
+    EV_PAIR,
+    EV_SEMIALIGN,
+    EV_SPLIT_ALIGN,
+    FRAG_READ1,
+    FRAG_READ2,
+    FRAG_READ_PAIR,
+    SVBreakend,
+    SVObservation,
 )
 from ..io.bam import (
-    C_D, C_I, C_M, C_N, C_S,
-    FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER_PAIR,
-    FLAG_READ1, FLAG_READ2, FLAG_REVERSE, FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
-    FLAG_UNMAPPED, ReadBatch,
+    C_D,
+    C_I,
+    C_M,
+    C_S,
+    FLAG_MATE_REVERSE,
+    FLAG_MATE_UNMAPPED,
+    FLAG_PAIRED,
+    FLAG_PROPER_PAIR,
+    FLAG_READ1,
+    FLAG_READ2,
+    FLAG_REVERSE,
+    FLAG_SECONDARY,
+    FLAG_SUPPLEMENTARY,
+    FLAG_UNMAPPED,
+    ReadBatch,
 )
 
 

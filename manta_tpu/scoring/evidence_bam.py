@@ -13,7 +13,7 @@ close (reference runs samtools sort/merge/index instead).
 
 from __future__ import annotations
 
-from ..io.bam import BamReader, open_alignment_reader
+from ..io.bam import open_alignment_reader
 from ..io.bamwriter import BamWriter
 
 FLAG_READ1 = 0x40

@@ -17,7 +17,6 @@ import numpy as np
 
 from ..align.aligners import AlignmentScores, GlobalAligner
 from ..core import cigar as cg
-from ..core.readfilter import has_sa_tag, is_read_filtered_core
 from ..core.svmodel import (
     BND_RIGHT_OPEN, SVCandidate, get_sv_type, SV_INDEL,
 )

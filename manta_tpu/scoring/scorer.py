@@ -16,14 +16,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core import cigar as cg
 from ..core.readfilter import has_sa_tag, is_read_unmapped_or_filtered_core
 from ..core.svmodel import (
-    EXT_DELETE, EXT_INSERT, SVCandidate, get_extended_sv_type,
+    EXT_DELETE, EXT_INSERT, EXT_TANDUP, SVCandidate, get_extended_sv_type,
     get_delete_size, is_sv_below_min_size,
 )
 from ..io.bam import FLAG_READ1
-from ..scan.scanner import get_alignment
 from .evidence import QscoreSnp, SVAlignmentInfo, SampleInfo, ScoreInfo
 from .fragbank import (
     AL_ALT, AL_REF, FragmentBank, accumulate_lhood,
@@ -38,6 +36,24 @@ from .pairscore import (
 DGT_REF, DGT_HET, DGT_HOM, DGT_SIZE = 0, 1, 2, 3
 DGT_LABELS = ["ref", "het", "hom"]
 _DGT_ALT_FRACTION = np.array([0.0, 0.5, 0.99])
+# Tandem-duplication genotype fractions (accuracy refinement beyond the
+# reference model; CallOptionsDiploid.dup_gt_model gates it).
+#
+# The reference applies {0, 0.5, 0.99} to every SV type
+# (SVScoreInfoDiploid.hpp:40, altPriors), which systematically calls
+# hom tandem DUPs as het: the alt haplotype ...X|a..b|a..b|Y... still
+# CONTAINS both reference-junction contexts (X|a at copy-1 start, b|Y
+# at copy-2 end) next to its one alt junction (b|a), so reference-
+# junction-supporting fragments are produced by the alt allele itself.
+# Counting junction loci: het = 1 alt / (1 + 2 + 2) = 0.2,
+# hom = 2 alt / (2 + 4) = 1/3 — confirmed empirically on the 420 M-read
+# WGS workload (observed alt-support fractions: het 0.210, hom 0.340;
+# docs/PERF_r05.md). The mixture fractions below encode that structure.
+_DGT_ALT_FRACTION_TANDUP = np.array([0.0, 0.2, 1.0 / 3.0])
+# expected interior/flank read-depth ratio per genotype for a tandem
+# duplication (ref, het, hom) — the depth channel the junction mixture
+# cannot see
+_DUP_DEPTH_RATIO = (1.0, 1.5, 2.0)
 # SOMATIC_GT: REF, HET, HOM, SOM, NOISE
 SGT_REF, SGT_HET, SGT_HOM, SGT_SOM, SGT_NOISE, SGT_SIZE = 0, 1, 2, 3, 4, 5
 
@@ -87,6 +103,11 @@ class CallOptionsDiploid:
     min_pass_alt_score: int = 20
     max_mq0_frac: float = 0.4
     min_pass_gt_score: int = 15
+    # "tandem-aware" (default): DUP junctions use the tandem-structure
+    # alt fractions plus an interior/flank read-depth likelihood term;
+    # "reference" reproduces the reference model exactly
+    # (SVScoreInfoDiploid.hpp:40 fractions for all types, no depth term)
+    dup_gt_model: str = "tandem-aware"
 
 
 @dataclass
@@ -198,13 +219,16 @@ def large_noise_sv_prior_weight(sv: SVCandidate) -> float:
 # fragment-level likelihoods (native over the fragment bank)
 
 def add_diploid_loglhood(spanning_pair_weight: float, track: FragmentBank,
-                         loglhood: list):
+                         loglhood: list, fractions=None):
     """(reference: addDiploidLoglhood:767-801). Native accumulation in
     qname order over the bank (the reference's evidenceTrack_t is a
     std::map<std::string,...>, SVEvidence.hpp:243, and the per-genotype
-    loglhood sums are float-order-sensitive)."""
+    loglhood sums are float-order-sensitive). `fractions` overrides the
+    genotype alt-allele fractions (tandem-DUP refinement)."""
+    if fractions is None:
+        fractions = _DGT_ALT_FRACTION
     accumulate_lhood(track, spanning_pair_weight, 0.0, 1e-3, 1e-3,
-                     1e-6, 1e-5, False, _DGT_ALT_FRACTION, loglhood)
+                     1e-6, 1e-5, False, fractions, loglhood)
 
 
 def _compute_somatic_sample_loghood(spanning_pair_weight, track,
@@ -335,6 +359,68 @@ class SVScorer:
         if total_reads >= 10:
             mq0_frac = total_mq0 / total_reads
         return max_depth, mq0_frac
+
+    def _dup_depth_loglhood(self, sv, diploid_sample_index: int):
+        """Per-genotype read-depth log-likelihood for a tandem DUP:
+        compares the read-start count inside the duplicated interval
+        against local flanks (expected interior/flank depth ratio 1 /
+        1.5 / 2 for ref / het / hom). This is the evidence channel the
+        junction mixture fundamentally cannot see — at a tandem DUP the
+        alt haplotype itself emits reference-junction fragments, so
+        junction support saturates at 0.2 (het) vs 1/3 (hom). Returns
+        a DGT_SIZE list of log-likelihood increments (zeros when the
+        interval is too small or flanks are data-poor). Poisson on read
+        starts: reads, not bases, are the independent units."""
+        zeros = [0.0] * DGT_SIZE
+        tid = sv.bp1.interval.tid
+        if sv.bp2.interval.tid != tid:
+            return zeros
+        a = min(sv.bp1.interval.center_pos(), sv.bp2.interval.center_pos())
+        b = max(sv.bp1.interval.center_pos(), sv.bp2.interval.center_pos())
+        margin, flank_w, max_in = 25, 400, 800
+        if b - a < 2 * margin + 30:
+            return zeros
+        in_beg, in_end = a + margin, b - margin
+        if in_end - in_beg > max_in:
+            # sample the interval's two ends (GC-local to the flanks)
+            halves = [(in_beg, in_beg + max_in // 2),
+                      (in_end - max_in // 2, in_end)]
+        else:
+            halves = [(in_beg, in_end)]
+        chrom_len = self.scanner.chrom_lengths[tid]
+        flanks = [(max(a - margin - flank_w, 0), max(a - margin, 0)),
+                  (min(b + margin, chrom_len), min(b + margin + flank_w,
+                                                   chrom_len))]
+        bam_index = [i for i, t in enumerate(self.is_tumor) if not t][
+            diploid_sample_index]
+        reader = self.readers[bam_index]
+
+        def start_count(beg, end):
+            if end <= beg:
+                return 0
+            batch = reader.fetch(tid, beg, end)
+            if batch.n == 0:
+                return 0
+            sa = has_sa_tag(batch)
+            bad = is_read_unmapped_or_filtered_core(batch, sa)
+            return int((~bad & (batch.pos >= beg)
+                        & (batch.pos < end)).sum())
+
+        w_in = sum(e - s for s, e in halves)
+        w_fl = sum(e - s for s, e in flanks)
+        if w_in < 30 or w_fl < 100:
+            return zeros
+        k_in = sum(start_count(s, e) for s, e in halves)
+        k_fl = sum(start_count(s, e) for s, e in flanks)
+        if k_fl < 10:
+            return zeros
+        rate = k_fl / w_fl                      # ref-state reads per bp
+        out = []
+        for ratio in _DUP_DEPTH_RATIO:
+            mu = max(rate * w_in * ratio, 1e-9)
+            out.append(k_in * math.log(mu) - mu)   # Poisson, minus ln k!
+        m = max(out)
+        return [v - m for v in out]
 
     # ------------------------------------------------------------------
     # evidence orchestration
@@ -649,11 +735,20 @@ class SVScorer:
         result.samples = [DiploidSampleResult()
                           for _ in range(self.diploid_sample_count)]
         joint_ref_prob = 1.0
+        tandem_aware = self.diploid_opt.dup_gt_model == "tandem-aware"
         for ds in range(self.diploid_sample_count):
             sres = result.samples[ds]
             loglhood = [0.0] * DGT_SIZE
             for (sv, tracks, base, weight) in junction_data:
-                add_diploid_loglhood(weight, tracks[ds], loglhood)
+                is_dup = tandem_aware and \
+                    get_extended_sv_type(sv) == EXT_TANDUP
+                add_diploid_loglhood(
+                    weight, tracks[ds], loglhood,
+                    fractions=_DGT_ALT_FRACTION_TANDUP if is_dup else None)
+                if is_dup:
+                    dlh = self._dup_depth_loglhood(sv, ds)
+                    for gt in range(DGT_SIZE):
+                        loglhood[gt] += dlh[gt]
             pprob = [loglhood[gt] + self.diploid_log_prior[gt]
                      for gt in range(DGT_SIZE)]
             max_gt = normalize_log_distro(pprob)

@@ -41,6 +41,7 @@ _INI_KEYS = {
     "useOverlapPairEvidence": ("use_overlap_pair_evidence", _INI_BOOL),
     "enableEvidenceSignalFilter": ("enable_evidence_signal_filter",
                                    _INI_BOOL),
+    "dupGenotypeModel": ("dup_genotype_model", str),
 }
 
 

@@ -51,6 +51,10 @@ ADVANCED_DEFAULTS = {
     "enable_remote_read_retrieval_cancer": False,
     "use_overlap_pair_evidence": False,
     "enable_evidence_signal_filter": True,
+    # "tandem-aware" | "reference": DUP genotype model (scorer.py
+    # _DGT_ALT_FRACTION_TANDUP derivation; "reference" = exact parity
+    # with SVScoreInfoDiploid.hpp:40 fractions and no depth term)
+    "dup_genotype_model": "tandem-aware",
 }
 
 
@@ -473,7 +477,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
             diploid_opt=CallOptionsDiploid(
                 min_output_alt_score=adv["min_diploid_variant_score"],
                 min_pass_alt_score=adv["min_pass_diploid_variant_score"],
-                min_pass_gt_score=adv["min_pass_diploid_gt_score"]),
+                min_pass_gt_score=adv["min_pass_diploid_gt_score"],
+                dup_gt_model=adv["dup_genotype_model"]),
             somatic_opt=CallOptionsSomatic(
                 min_output_somatic_score=adv["min_somatic_score"],
                 min_pass_somatic_score=adv["min_pass_somatic_score"]))

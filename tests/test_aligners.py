@@ -2,7 +2,6 @@
 (reference: alignment/test/GlobalAlignerTest.cpp,
 GlobalJumpAlignerTest.cpp, GlobalLargeIndelAlignerTest.cpp)."""
 
-import pytest
 
 from manta_tpu.align.aligners import (
     AlignmentScores, GlobalAligner, GlobalJumpAligner, GlobalLargeIndelAligner,

@@ -7,7 +7,6 @@ import gzip
 import os
 
 import numpy as np
-import pytest
 
 from manta_tpu.io.bai import (
     BaiIndex, CsiIndex, csi_bin_interval, open_index, reg2bin_csi,

@@ -3,7 +3,6 @@ search, denoising, serialization (mirroring the reference's
 svgraph/test scenarios)."""
 
 import numpy as np
-import pytest
 
 from manta_tpu.graph.locusgraph import (
     SVLocus, SVLocusSet, SVLocusSetOptions,

@@ -1,6 +1,5 @@
 """RNA intron (splice) jump aligner behavior."""
 
-import numpy as np
 
 from manta_tpu.align.aligners import (
     AlignmentScores, GlobalJumpIntronAligner,

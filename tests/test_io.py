@@ -1,10 +1,9 @@
 """I/O layer tests: BGZF, BAM parsing, BAI region queries, FASTA."""
 
 import numpy as np
-import pytest
 
 from manta_tpu.io import BamReader
-from manta_tpu.io.bam import C_D, C_I, C_M, C_S, C_EQ, C_X, FLAG_UNMAPPED
+from manta_tpu.io.bam import C_I, C_M, C_S, C_EQ, C_X, FLAG_UNMAPPED
 from manta_tpu.io.bgzf import BgzfWriter, bgzf_compress_block, bgzf_decompress_all
 from manta_tpu.io.fasta import FastaReader
 

@@ -14,7 +14,7 @@ from manta_tpu.candidates.refiner import (
 from manta_tpu.core.svmodel import (
     BND_LEFT_OPEN, BND_RIGHT_OPEN, SVCandidate,
 )
-from manta_tpu.io.bam import C_EQ, C_M, C_N
+from manta_tpu.io.bam import C_EQ, C_M
 from manta_tpu.scoring.evidence import SampleInfo, ScoreInfo
 from manta_tpu.scoring.scorer import RnaResult, SVScorer
 

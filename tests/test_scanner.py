@@ -11,9 +11,7 @@ from manta_tpu.core.svmodel import (
     BND_COMPLEX, BND_LEFT_OPEN, BND_RIGHT_OPEN, EV_CIGAR, EV_LOCAL_PAIR,
     EV_SEMIALIGN, EV_SPLIT_ALIGN,
 )
-from manta_tpu.io.bam import (
-    FLAG_MATE_REVERSE, FLAG_PAIRED, FLAG_READ1, FLAG_REVERSE,
-)
+from manta_tpu.io.bam import FLAG_MATE_REVERSE, FLAG_PAIRED
 from manta_tpu.scan.scanner import ScannerOptions, SVScanner
 
 

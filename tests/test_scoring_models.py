@@ -139,7 +139,13 @@ def test_small_hom_dup_called_het_ambiguity_pin():
     while L(hom) pays ~log(0.01) for every clean-interior fragment.
     The reference's identical model shares this bias — this test is
     the regression-proof artifact for the WGS checker's observed
-    gt_acc of 85-92% on small hom DUPs (docs/PERF_r03.md)."""
+    gt_acc of 85-92% on small hom DUPs (docs/PERF_r03.md).
+
+    Round 5: the production default (dup_gt_model="tandem-aware")
+    corrects this with tandem-structure fractions + a depth term (see
+    test_tandem_dup_fractions_recover_hom below); this pin covers the
+    reference-parity path that add_diploid_loglhood's default fractions
+    still implement (dup_gt_model="reference")."""
     track = FragmentBank()
     # 8 junction-crossing reads (alt wins) + 8 copy-interior reads
     # spanning the reference breakpoint projection (ref wins)
@@ -193,3 +199,110 @@ def test_small_hom_dup_depth_ratio_breaks_tie_toward_hom():
     add_diploid_loglhood(1.0, even, lh_even)
     assert (lh[DGT_HET] - lh[DGT_HOM]) < (lh_even[DGT_HET]
                                           - lh_even[DGT_HOM])
+
+
+# ---------------------------------------------------------------------------
+# tandem-DUP genotype refinement (production default; the pins above
+# cover the reference-parity model kept under dup_gt_model="reference")
+
+def test_tandem_dup_fractions_recover_hom():
+    """With the tandem-structure fractions (het 0.2, hom 1/3), the
+    1:1 junction/interior mixture that the reference model miscalls
+    het (pin above) genotypes hom — exactly the hom-DUP evidence
+    signature, where the alt haplotype itself emits reference-junction
+    fragments (scorer.py _DGT_ALT_FRACTION_TANDUP derivation)."""
+    from manta_tpu.scoring.scorer import _DGT_ALT_FRACTION_TANDUP
+
+    track = FragmentBank()
+    for i in range(8):
+        _split_frag(track, f"jx{i}", alt_lnl=-2.0, ref_lnl=-60.0)
+        _split_frag(track, f"in{i}", alt_lnl=-60.0, ref_lnl=-2.0)
+    lh = [0.0] * DGT_SIZE
+    add_diploid_loglhood(1.0, track, lh,
+                         fractions=_DGT_ALT_FRACTION_TANDUP)
+    assert int(np.argmax(lh)) == DGT_HOM, lh
+
+    # het signature: 1 alt junction locus per 4 ref loci
+    track2 = FragmentBank()
+    for i in range(4):
+        _split_frag(track2, f"jx{i}", alt_lnl=-2.0, ref_lnl=-60.0)
+    for i in range(16):
+        _split_frag(track2, f"in{i}", alt_lnl=-60.0, ref_lnl=-2.0)
+    lh2 = [0.0] * DGT_SIZE
+    add_diploid_loglhood(1.0, track2, lh2,
+                         fractions=_DGT_ALT_FRACTION_TANDUP)
+    assert int(np.argmax(lh2)) == DGT_HET, lh2
+
+
+def _depth_test_scorer(tmp_path, dup_beg, dup_end, interior_ratio,
+                       chrom_len=20000, rate_per_bp=0.35):
+    """A minimal scorer over a synthetic single-chromosome BAM whose
+    read-start density is rate_per_bp outside [dup_beg, dup_end) and
+    rate_per_bp * interior_ratio inside."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from batchutil import make_batch
+    from manta_tpu.io.bam import BamReader, FLAG_PAIRED
+    from manta_tpu.io.bamwriter import BamWriter
+    from manta_tpu.scoring.scorer import SVScorer
+
+    rng = np.random.default_rng(7)
+    reads = []
+    pos = 0
+    k = 0
+    while pos < chrom_len - 120:
+        r = rate_per_bp * (interior_ratio
+                           if dup_beg <= pos < dup_end else 1.0)
+        step = max(1, int(rng.exponential(1.0 / r)))
+        pos += step
+        reads.append(dict(pos=pos, flag=FLAG_PAIRED, name=f"d{k}",
+                          next_refid=0, next_pos=pos + 200, tlen=300))
+        k += 1
+    batch = make_batch(reads)
+    bam = str(tmp_path / f"depth_{interior_ratio}.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\n@SQ\tSN:chrT\tLN:%d\n" % chrom_len,
+                  ["chrT"], [chrom_len])
+    for i in range(batch.n):
+        w.add_record(batch, i)
+    w.close()
+
+    scorer = SVScorer.__new__(SVScorer)
+    scorer.readers = [BamReader(bam)]
+    scorer.is_tumor = [False]
+
+    class _Sc:
+        chrom_lengths = [chrom_len]
+    scorer.scanner = _Sc()
+    return scorer
+
+
+def _dup_sv(beg, end):
+    sv = SVCandidate()
+    sv.bp1.state = BND_LEFT_OPEN
+    sv.bp2.state = BND_RIGHT_OPEN
+    sv.bp1.interval.tid = sv.bp2.interval.tid = 0
+    sv.bp1.interval.beg, sv.bp1.interval.end = beg, beg + 1
+    sv.bp2.interval.beg, sv.bp2.interval.end = end, end + 1
+    return sv
+
+
+def test_dup_depth_loglhood_separates_genotypes(tmp_path):
+    """Interior/flank read-start Poisson term: 2x interior favors hom,
+    1.5x favors het, 1x favors ref."""
+    beg, end = 8000, 12000
+    for ratio, want in ((2.0, DGT_HOM), (1.5, DGT_HET), (1.0, DGT_REF)):
+        scorer = _depth_test_scorer(tmp_path, beg, end, ratio)
+        lh = scorer._dup_depth_loglhood(_dup_sv(beg, end), 0)
+        assert int(np.argmax(lh)) == want, (ratio, lh)
+
+
+def test_dup_depth_loglhood_skips_tiny_and_cross_chrom(tmp_path):
+    scorer = _depth_test_scorer(tmp_path, 8000, 12000, 2.0)
+    # interval too small for an interior window
+    lh = scorer._dup_depth_loglhood(_dup_sv(8000, 8060), 0)
+    assert lh == [0.0] * DGT_SIZE
+    # breakends on different chromosomes
+    sv = _dup_sv(8000, 12000)
+    sv.bp2.interval.tid = 1
+    assert scorer._dup_depth_loglhood(sv, 0) == [0.0] * DGT_SIZE

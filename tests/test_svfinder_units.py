@@ -1,6 +1,5 @@
 """SVFinder unit behavior: edge filters and candidate significance."""
 
-import numpy as np
 
 from manta_tpu.candidates.svfinder import (
     SVFinder, is_breakpoint_significant, iterate_edges,
