@@ -615,6 +615,15 @@ def _irregular_reads(dc, starts1, starts2, frag_ids):
             if m is None:                 # shadow at mate
                 o_tid, o_pos = other[0], other[1]
                 seq = dc.seq[hap_start:hap_start + READ_LEN]
+                # mappers store an unmapped read's RAW sequenced bases:
+                # the physically-reverse mate (r2 of an FR pair) carries
+                # the reverse complement of the haplotype-forward
+                # segment. Manta's assembler re-normalizes via the
+                # anchor's strand (SVCandidateAssembler shadow
+                # reversal), so emitting hap-forward here poisoned
+                # insertion assembly with RC'd k-mers (round-5 fix).
+                if phys_rev:
+                    seq = revcomp(seq)
                 recs.append(dict(refid=o_tid, pos=o_pos, mapq=0,
                                  cigar="", seq=seq,
                                  flag=0x1 | 0x4 | (0x40 if first else 0x80),

@@ -769,11 +769,26 @@ class SVScorer:
         d = self.diploid_opt
         if result.alt_score < d.min_pass_alt_score:
             result.filters.add("MinQUAL")
+        # Under the tandem-aware DUP model, het (0.2) and hom (1/3)
+        # fractions are intentionally close, so the het-vs-hom margin —
+        # and with it GQ — is small even when the variant's presence is
+        # certain. The MinGQ sample filter exists to drop unreliable
+        # CALLS, not uncertain zygosity, so for these junctions it keys
+        # off the non-ref posterior instead; the GQ column itself stays
+        # the honest genotype quality.
+        dup_nonref_filter = tandem_aware and all(
+            get_extended_sv_type(sv) == EXT_TANDUP
+            for (sv, _, _, _) in junction_data)
         all_filtered = True
         for sres in result.samples:
             if sres.gt == DGT_REF:
                 sres.filters.add("HomRef")
-            if sres.gt_score < d.min_pass_gt_score:
+            filter_gq = sres.gt_score
+            if dup_nonref_filter and sres.gt != DGT_REF:
+                nonref_q = min(max_q,
+                               error_prob_to_qphred(sres.pprob[DGT_REF]))
+                filter_gq = max(filter_gq, nonref_q)
+            if filter_gq < d.min_pass_gt_score:
                 sres.filters.add("MinGQ")
             if not sres.filters:
                 all_filtered = False

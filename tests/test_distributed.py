@@ -113,3 +113,85 @@ def test_phase2_two_hosts_match_single_host(tmp_path, demo_fasta,
     for name in ("candidateSV.vcf.gz", "diploidSV.vcf.gz",
                  "somaticSV.vcf.gz"):
         assert records(shared, name) == records(single, name), name
+
+
+def test_two_concurrent_coordinated_processes(tmp_path, demo_fasta,
+                                              normal_bam, tumor_bam,
+                                              stats_path):
+    """TWO genuinely concurrent jax.distributed-coordinated processes
+    (localhost coordinator, CPU backend): each joins the runtime, runs
+    a cross-process psum, then drives its host-sharded share of phase 1
+    AND phase 2 concurrently — synchronized only by jax.distributed and
+    the file-sentinel barriers. Final VCFs must be byte-identical to a
+    plain single-host run (and the somatic VCF to the demo oracle)."""
+    import gzip
+    import socket
+    import subprocess
+    import sys
+
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+
+    # host-0 bootstrap of the shared phase-2 run dir (stats + depth +
+    # merged graph), as a pod job would before the per-host fan-out
+    shared_run = os.path.join(work, "shared_run")
+    dist.bootstrap_shared_run([normal_bam], [tumor_bam], demo_fasta,
+                              shared_run, is_exome=True, verbose=False)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "dist2proc_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(h), str(port), work,
+             demo_fasta, normal_bam, tumor_bam, stats_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for h in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+
+    # the collective really spanned both processes
+    for h in range(2):
+        rec = json.load(open(os.path.join(work, f"psum.host{h}.json")))
+        assert rec["processes"] == 2
+        assert rec["global_devices"] >= 2
+
+    # concurrent host-sharded phase 1 == single-host graph
+    from manta_tpu.graph.locusgraph import SVLocusSet
+    merged = SVLocusSet.load(os.path.join(work, "merged_graph.npz"))
+    d1 = str(tmp_path / "one_host")
+    bams = [normal_bam, tumor_bam]
+    dist.run_host_phase1(0, 1, d1, bams, [False, True], demo_fasta,
+                         stats_path)
+    groups = dist.plan_phase1(bams, demo_fasta)
+    single_graph = dist.finalize_phase1(d1, len(groups))
+    assert _graph_fingerprint(merged) == _graph_fingerprint(single_graph)
+
+    # concurrent phase 2 == single-host VCFs
+    single = str(tmp_path / "single_run")
+    from manta_tpu.workflow.run import run_workflow
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, single,
+                 is_exome=True, verbose=False)
+
+    def records(run, name):
+        with gzip.open(f"{run}/results/variants/{name}", "rt") as f:
+            return [l for l in f if not l.startswith("#")]
+
+    for name in ("candidateSV.vcf.gz", "diploidSV.vcf.gz",
+                 "somaticSV.vcf.gz"):
+        assert records(shared_run, name) == records(single, name), name
