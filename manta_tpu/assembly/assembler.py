@@ -403,6 +403,74 @@ def _run_native_assembler(opt: AssemblerOptions, reads: list[str]):
         lib.mt_assemble_free(out)
 
 
+def refine_conservative_ranges(contigs, reads, min_cov: int):
+    """Widen each contig's conservative range to the largest contig
+    interval whose TRUE per-position supporting-read coverage is
+    >= min_cov.
+
+    The walk estimator (reference: IterativeAssembler.cpp:368-369 and
+    the Python/native walks here) is sticky: once one extension step
+    dips below minConservativeCoverage the offset grows for the REST of
+    the walk, so a single thin step early in a walk marks everything
+    beyond it non-conservative even where coverage recovers to 10x+.
+    Measured on a 2.3 kb insertion's right-flank contig (round 5): walk
+    estimate 41 bp vs true >=2x span of 165 bp — the difference decides
+    large-insertion candidacy (the sole consumer of this range,
+    SVCandidateAssemblyRefiner.cpp:2091). Supporting reads are placed
+    by exact match, else by a 25-mer prefix/suffix seed (reads carry
+    sequencing errors); unplaceable reads count nothing, and the range
+    only ever WIDENS beyond the walk estimate, so noisy data degrades
+    to reference behavior."""
+    seed = 25
+    for c in contigs:
+        n = len(c.seq)
+        if n == 0 or not c.support_reads:
+            continue
+        cov = [0] * (n + 1)
+        placed = False
+        for ri in c.support_reads:
+            if ri >= len(reads):
+                continue
+            r = reads[ri]
+            ln = len(r)
+            p = c.seq.find(r)
+            if p < 0 and ln >= seed:
+                q = c.seq.find(r[:seed])
+                p = q if q >= 0 else -1
+                if p < 0:
+                    q = c.seq.find(r[-seed:])
+                    if q >= 0:
+                        p = q + seed - ln
+            if p < 0:
+                continue
+            lo, hi = max(0, p), min(n, p + ln)
+            if hi > lo:
+                cov[lo] += 1
+                cov[hi] -= 1
+                placed = True
+        if not placed:
+            continue
+        run = 0
+        ok = [False] * n
+        for j in range(n):
+            run += cov[j]
+            ok[j] = run >= min_cov
+        # largest True run
+        best_len, best_s = 0, 0
+        s = None
+        for j in range(n + 1):
+            v = ok[j] if j < n else False
+            if v and s is None:
+                s = j
+            elif not v and s is not None:
+                if j - s > best_len:
+                    best_len, best_s = j - s, s
+                s = None
+        if best_len > (c.conservative_end - c.conservative_beg):
+            c.conservative_beg = best_s
+            c.conservative_end = best_s + best_len
+
+
 def run_iterative_assembler(opt: AssemblerOptions, reads: list[str]):
     """Assemble reads; returns (contigs, read_info). `reads` may be
     extended with pseudo reads during iteration (as in the reference).
@@ -415,8 +483,12 @@ def run_iterative_assembler(opt: AssemblerOptions, reads: list[str]):
     import os
     if opt.alphabet == "ACGT" and \
             os.environ.get("MANTA_TPU_PY_ASSEMBLER") != "1":
-        return _run_native_assembler(opt, reads)
-    return _run_python_assembler(opt, reads)
+        out = _run_native_assembler(opt, reads)
+    else:
+        out = _run_python_assembler(opt, reads)
+    refine_conservative_ranges(out[0], reads,
+                               opt.min_conservative_coverage)
+    return out
 
 
 def _run_python_assembler(opt: AssemblerOptions, reads: list[str]):
