@@ -338,10 +338,54 @@ def bench_jump_pallas(out, B=64, nq=400, nr=800):
     }, out)
 
 
+def bench_jump_pallas_bounded(out, B=64, nq=400, nr=800):
+    """Bounded-insert-chain prefix variant (round-5 experiment): K
+    prefix rounds + one detection round vs the 9-round exact prefix.
+    Random ACGT queries never flag (no dominant long chains), so this
+    measures the fast path's throughput; exactness + fallback behavior
+    is pinned in tests/test_pallas_jumpscore.py."""
+    import jax
+    import jax.numpy as jnp
+    from manta_tpu.align.pallas_jumpscore import pallas_jump_score_flagged
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8).astype(np.int32)
+    q = jax.device_put(bases[rng.integers(0, 4, (B, nq))])
+    r1 = jax.device_put(bases[rng.integers(0, 4, (B, nr))])
+    r2 = jax.device_put(bases[rng.integers(0, 4, (B, nr))])
+    ql = jax.device_put(np.full(B, nq, np.int32))
+    rl = jax.device_put(np.full(B, nr, np.int32))
+
+    for rounds in (3, 5):
+        @partial(jax.jit, static_argnames=("k",))
+        def run(q, ql, r1, r2, rl, k):
+            def body(i, acc):
+                q2 = q + (i & 1)
+                s, fl = pallas_jump_score_flagged(
+                    q2, ql, r1, rl, r2, rl,
+                    2, -8, -18, -1, -1, -100, nq, nr, nr, rounds)
+                return acc + s.sum() + fl.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        slope, icept, r2_, pts = slope_time(
+            lambda k: run(q, ql, r1, r2, rl, k=k))
+        cells = float(B) * nq * (2 * nr)
+        _emit({
+            "kernel": f"jump_score_pallas_bounded_k{rounds}",
+            "shape": f"B={B},q={nq},refs=2x{nr}",
+            "sec_per_iter": slope, "rpc_intercept_s": round(icept, 4),
+            "r2": round(r2_, 5),
+            "gcells_per_s": round(cells / slope / 1e9, 1),
+            "contigs_per_s": round(B / slope, 1),
+            "points": [[k, round(t, 5)] for k, t in pts],
+        }, out)
+
+
 BENCHES = {
     "matmul": bench_matmul,
     "jump": bench_jump,
     "jump_pallas": bench_jump_pallas,
+    "jump_pallas_bounded": bench_jump_pallas_bounded,
     "split_exact": bench_split_exact,
     "split_pallas": bench_split_pallas,
     "split_mxu": bench_split_mxu,

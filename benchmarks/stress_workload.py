@@ -35,7 +35,56 @@ W11 = (94970000, 94995000)
 SPAN8, SPAN11 = 12000, 27000
 
 
-def generate(tiles: int, out_prefix: str):
+_TAG_SIZE = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+             ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+
+
+def _strip_sa(b):
+    """Rebuild the batch's aux blob with every SA:Z tag removed."""
+    import copy as _copy
+    blobs = []
+    off = np.zeros(b.n + 1, np.int64)
+    for i in range(b.n):
+        blob = b.tags[b.tag_off[i]:b.tag_off[i + 1]]
+        out = bytearray()
+        j = 0
+        while j + 3 <= len(blob):
+            tag = blob[j:j + 2]
+            typ = blob[j + 2]
+            j0 = j
+            j += 3
+            if typ in _TAG_SIZE:
+                j += _TAG_SIZE[typ]
+            elif typ in (ord("Z"), ord("H")):
+                e = blob.index(b"\x00", j)
+                j = e + 1
+            elif typ == ord("B"):
+                st = blob[j]
+                (cnt,) = np.frombuffer(blob[j + 1:j + 5], "<u4")
+                j += 5 + int(cnt) * _TAG_SIZE[st]
+            else:
+                break
+            if tag != b"SA":
+                out += blob[j0:j]
+        blobs.append(bytes(out))
+        off[i + 1] = off[i] + len(blobs[-1])
+    nb = _copy.copy(b)
+    nb.tag_off = off
+    nb.tags = b"".join(blobs)
+    return nb
+
+
+def generate(tiles: int, out_prefix: str, depth_frac: float = 1.0,
+             strip_sa: bool = False):
+    """Tile the demo COST16011 somatic junction `tiles` times.
+
+    depth_frac subsamples fragments per tile (the demo junction is
+    ~290x; 0.2 gives a ~58x shape); strip_sa removes SA tags and
+    supplementary records so candidates are pair-only/IMPRECISE and the
+    refiner aligns contigs against full breakend-CI-wide reference
+    windows — the high-spanning-contig shape whose phase-2 cost is
+    dominated by jump-contig alignment (docs/PERF_r05.md TPU e2e win
+    measurement)."""
     from manta_tpu.io.bam import BamReader
     from manta_tpu.io.bamwriter import BamWriter
     from manta_tpu.io.fasta import FastaReader
@@ -56,6 +105,25 @@ def generate(tiles: int, out_prefix: str):
 
     b8 = b8.subset(keep_mask(b8))
     b11 = b11.subset(keep_mask(b11))
+
+    if strip_sa:
+        # drop supplementary records and strip SA tags so no split-read
+        # evidence survives: candidates become pair-only and IMPRECISE
+        b8 = _strip_sa(b8.subset((b8.flag & 0x800) == 0))
+        b11 = _strip_sa(b11.subset((b11.flag & 0x800) == 0))
+    if depth_frac < 1.0:
+        # fragment-level subsample, qname-keyed (stable crc32 so both
+        # mates share one draw and runs are reproducible)
+        import zlib
+
+        def frag_keep(b):
+            keep = np.zeros(b.n, bool)
+            for i in range(b.n):
+                keep[i] = (zlib.crc32(b.name_bytes(i)) & 0xFFFF) < \
+                    depth_frac * 0x10000
+            return keep
+        b8 = b8.subset(frag_keep(b8))
+        b11 = b11.subset(frag_keep(b11))
 
     # synthetic fasta: N-padded tiled windows
     fa_path = out_prefix + ".fa"

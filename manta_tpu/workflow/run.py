@@ -570,8 +570,16 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         edge_runtime_log = []
         # cross-edge batching pays off when contig scoring dispatches to
         # the device (one launch per chunk); on the host-native backend
-        # a chunk of 1 keeps the per-edge fetch windows cache-hot
-        CHUNK = 24 if device_scoring else 1
+        # a chunk of 1 keeps the per-edge fetch windows cache-hot.
+        # MANTA_TPU_EDGE_CHUNK overrides: on a tunnel-attached chip the
+        # ~30 ms per-dispatch RPC intercept dominates at 24 (measured,
+        # docs/PERF_r04.md decomposition), so high-job-volume runs win
+        # with larger chunks; co-located PCIe dispatch (~sub-ms) does
+        # not care
+        if device_scoring:
+            CHUNK = int(os.environ.get("MANTA_TPU_EDGE_CHUNK", "24"))
+        else:
+            CHUNK = 1
         for c0 in range(0, len(edges), CHUNK):
             chunk = edges[c0:c0 + CHUNK]
             prepared = []

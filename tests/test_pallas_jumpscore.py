@@ -65,3 +65,77 @@ def test_pallas_jump_matches_xla_and_native():
 
         np.testing.assert_array_equal(xla, native)
         np.testing.assert_array_equal(plr, xla)
+
+
+def test_bounded_prefix_exact_with_fallback():
+    """Bounded-insert-chain fast path: scores must equal the exact
+    kernel after flagged-row rerun, on jobs engineered to need BOTH
+    short chains (unflagged fast path) and long untemplated junction
+    insertions (chains > 2^K, must flag)."""
+    from manta_tpu.align.pallas_jumpscore import (
+        pallas_jump_score_bounded, pallas_jump_score_flagged,
+    )
+
+    rng = np.random.default_rng(23)
+    match, mismatch, open_, extend, off_edge = SCORES
+    bases = b"ACGT"
+
+    def mk(ins_len):
+        # query = left half of r1 + ins_len novel bases + right half of
+        # r2: the optimum is jump + an ins_len insert chain
+        left = bytes(bases[i] for i in rng.integers(0, 4, 50))
+        right = bytes(bases[i] for i in rng.integers(0, 4, 50))
+        ins = bytes(bases[i] for i in rng.integers(0, 4, ins_len))
+        r1 = bytes(bases[i] for i in rng.integers(0, 4, 30)) + left
+        r2 = right + bytes(bases[i] for i in rng.integers(0, 4, 30))
+        return (left + ins + right, r1, r2)
+
+    jobs = [mk(0), mk(2), mk(40), mk(5), mk(90), mk(0)]
+    nq_max = max(len(j[0]) for j in jobs)
+    nr_max = max(max(len(j[1]), len(j[2])) for j in jobs)
+    q, ql = _pad([j[0] for j in jobs], nq_max, 1)
+    r1, r1l = _pad([j[1] for j in jobs], nr_max, 2)
+    r2, r2l = _pad([j[2] for j in jobs], nr_max, 2)
+
+    exact = np.asarray(pallas_jump_score(
+        q, ql, r1, r1l, r2, r2l, match, mismatch, open_, extend,
+        off_edge, JUMP, nq_max, nr_max, nr_max, interpret=True))
+
+    for K in (3, 5):
+        best, flag = pallas_jump_score_flagged(
+            q, ql, r1, r1l, r2, r2l, match, mismatch, open_, extend,
+            off_edge, JUMP, nq_max, nr_max, nr_max, K, interpret=True)
+        best, flag = np.asarray(best), np.asarray(flag)
+        # soundness: every row where the bounded score differs is flagged
+        differs = best != exact
+        assert not (differs & (flag == 0)).any(), (K, best, exact, flag)
+        # the long-insertion jobs genuinely exercise the fallback
+        if K == 3:
+            assert flag[2] and flag[4], flag
+
+        fixed, n_rerun = pallas_jump_score_bounded(
+            q, ql, r1, r1l, r2, r2l, match, mismatch, open_, extend,
+            off_edge, JUMP, nq_max, nr_max, nr_max, K, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fixed), exact)
+        assert n_rerun == int((flag != 0).sum())
+
+
+def test_bounded_prefix_random_soundness():
+    """Fuzz: bounded+fallback equals exact on random jump jobs for
+    several K."""
+    from manta_tpu.align.pallas_jumpscore import pallas_jump_score_bounded
+
+    rng = np.random.default_rng(31)
+    match, mismatch, open_, extend, off_edge = SCORES
+    jobs = _rand_jobs(rng, 8, 100, 200)
+    q, ql = _pad([j[0] for j in jobs], 100, 1)
+    r1, r1l = _pad([j[1] for j in jobs], 200, 2)
+    r2, r2l = _pad([j[2] for j in jobs], 200, 2)
+    exact = np.asarray(pallas_jump_score(
+        q, ql, r1, r1l, r2, r2l, match, mismatch, open_, extend,
+        off_edge, JUMP, 100, 200, 200, interpret=True))
+    for K in (1, 2, 4, 6):
+        fixed, _ = pallas_jump_score_bounded(
+            q, ql, r1, r1l, r2, r2l, match, mismatch, open_, extend,
+            off_edge, JUMP, 100, 200, 200, K, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fixed), exact)
