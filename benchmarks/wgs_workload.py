@@ -210,7 +210,7 @@ def build_haplotypes(ref_seqs, chrom_lens, svs, translocs):
 
 # -------------------------------------------------------------- repeats
 
-def apply_repeat_structure(rng, ref_seqs, svs):
+def apply_repeat_structure(rng, ref_seqs, svs, min_anchored: int = 0):
     """--repeats: write adversarial repeat content into the reference
     BEFORE haplotype construction (carried SVs inherit it), returning
     family annotations for the read-level mismap model and the checker.
@@ -234,6 +234,12 @@ def apply_repeat_structure(rng, ref_seqs, svs):
     anchors = [sv for sv in svs if sv["type"] in ("DEL", "DUP", "INS")]
     rng.shuffle(anchors)
     n_anchored = max(1, n_tand // 3) if anchors else 0
+    if min_anchored and anchors:
+        # statistical-power mode (--repeat-anchors): plant at least this
+        # many SV junctions inside satellite arrays so repeat-proximal
+        # recall is measured on n>=100, not anecdotes (round-5 verdict)
+        n_anchored = min(max(n_anchored, min_anchored), len(anchors))
+        n_tand = max(n_tand, n_anchored * 3 // 2)
     for k in range(n_tand):
         unit = int(rng.integers(5, 41))
         span = int(rng.integers(2000, 8001))
@@ -922,7 +928,9 @@ def generate(args):
 
     mismap = None
     if getattr(args, "repeats", False):
-        fams = apply_repeat_structure(rng, ref_seqs, svs)
+        fams = apply_repeat_structure(
+            rng, ref_seqs, svs,
+            min_anchored=getattr(args, "repeat_anchors", 0))
         with open(args.out + ".repeats.tsv", "w") as f:
             f.write("type\tunit\tcopies\n")
             for fam in fams:
@@ -1145,10 +1153,30 @@ def check(args):
                     return True
             return False
 
+        def inside_tandem(tr, margin=150):
+            """Junction strictly interior to a satellite array: the SV
+            degrades to a unit-remainder indel (the periodic reference
+            absorbs whole units) and no unique flank exists within
+            reach of the assembler — information-theoretically
+            unrecoverable from local evidence, and the class the
+            reference's repeat-word truncation + flank-uniqueness
+            filter (methods.tex:406) protect precision against."""
+            for (ch, b, e, typ) in spans:
+                if typ != "tandem" or tr["chrom"] != ch:
+                    continue
+                if b + margin <= tr["pos"] <= e - margin and \
+                        tr["pos"] + tr["size"] <= e - margin:
+                    return True
+            return False
+
         rep_truth = [t for t in truth if near_repeat(t)]
         clean_truth = [t for t in truth if not near_repeat(t)]
         rep_found = sum(1 for t in rep_truth if match(t))
         clean_found = sum(1 for t in clean_truth if match(t))
+        inside = [t for t in rep_truth if inside_tandem(t)]
+        edge = [t for t in rep_truth if not inside_tandem(t)]
+        inside_found = sum(1 for t in inside if match(t))
+        edge_found = sum(1 for t in edge if match(t))
         from manta_tpu.graph.locusgraph import SVLocusSet
         g = SVLocusSet.load(
             os.path.join(run_dir, "workspace", "svLocusGraph.npz"))
@@ -1157,6 +1185,12 @@ def check(args):
             "truth_in_repeat": len(rep_truth),
             "recall_in_repeat": round(rep_found / max(len(rep_truth), 1),
                                       4),
+            "truth_inside_tandem": len(inside),
+            "recall_inside_tandem": round(
+                inside_found / max(len(inside), 1), 4),
+            "truth_repeat_edge": len(edge),
+            "recall_repeat_edge": round(
+                edge_found / max(len(edge), 1), 4),
             "recall_clean": round(clean_found / max(len(clean_truth), 1),
                                   4),
             "graph_highest_search_count": int(g.highest_search_count),
@@ -1185,6 +1219,9 @@ def main():
     ap.add_argument("--err-rate", type=float, default=0.001)
     ap.add_argument("--noise-rate", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--repeat-anchors", type=int, default=0,
+                    help="with --repeats: plant at least this many SV "
+                         "junctions inside satellite arrays")
     ap.add_argument("--repeats", action="store_true",
                     help="adversarial genome content: satellite arrays,"
                          " segdup families + read mismapping, "
