@@ -462,24 +462,35 @@ def merge_runs_to_bam(run_prefixes: list[str], path: str,
     record bytes from mmapped runs in merged order; the deterministic
     block stream yields every record's virtual offset vectorially, from
     which the BAI bins / linear index are built by run-length grouping."""
-    # load sidecars once (np.load is lazy per access — cache the arrays)
+    # Load sidecars with tight dtypes and free aggressively: at 840 M
+    # records every full-length int64 column is 6.7 GB, and the first
+    # version of this merge held ~14 of them simultaneously — OOM-killed
+    # at 130 GB on a 125 GB box (round 5). int32 columns + uint8 run
+    # ids + on-demand virtual offsets keep the peak ~35 GB at 840 M.
     sides = []
     for p in run_prefixes:
         z = np.load(p + ".npz")
+        # off/zoff stay per-run (the chunk loop slices them); the
+        # int32 position columns concatenate below and are then freed
         sides.append({k: z[k] for k in ("tid", "pos", "end", "off",
                                         "zoff")})
     mms = [np.memmap(p + ".bin", dtype=np.uint8, mode="r")
            if os.path.getsize(p + ".bin") else np.zeros(0, np.uint8)
            for p in run_prefixes]
-    tid = np.concatenate([s["tid"] for s in sides]).astype(np.int64)
-    pos = np.concatenate([s["pos"] for s in sides]).astype(np.int64)
-    end = np.concatenate([s["end"] for s in sides]).astype(np.int64)
-    run_id = np.concatenate([np.full(len(s["tid"]), ri, np.int32)
+    tid = np.concatenate([s["tid"] for s in sides])          # int32
+    pos = np.concatenate([s["pos"] for s in sides])          # int32
+    end = np.concatenate([s["end"] for s in sides])          # int32
+    rid_dt = np.uint8 if len(sides) <= 255 else np.uint16
+    run_id = np.concatenate([np.full(len(s["tid"]), ri, rid_dt)
                              for ri, s in enumerate(sides)])
-    lidx = np.concatenate([np.arange(len(s["tid"]), dtype=np.int64)
+    lidx = np.concatenate([np.arange(len(s["tid"]), dtype=np.int32)
                            for s in sides])
-    rec_len = np.concatenate([np.diff(s["off"]) for s in sides])
-    order = np.lexsort((pos, np.where(tid < 0, 1 << 30, tid)))
+    rec_len = np.concatenate(
+        [np.diff(s["off"]).astype(np.int32) for s in sides])
+    for s in sides:
+        del s["tid"], s["pos"], s["end"]
+    # unmapped (tid = -1) sorts last under an unsigned view of the key
+    order = np.lexsort((pos, tid.view(np.uint32)))
     n = len(order)
 
     import ctypes
@@ -501,13 +512,13 @@ def merge_runs_to_bam(run_prefixes: list[str], path: str,
         u = np.zeros(n + 1, np.int64)
         np.cumsum(rec_len[order], out=u[1:])
         u += hlen
+        del rec_len
 
         from .._native import i32p
         for c0 in range(0, n, chunk_records):
             sel = order[c0:min(n, c0 + chunk_records)]
-            lens = rec_len[sel]
-            dst = np.zeros(len(sel) + 1, np.int64)
-            np.cumsum(lens, out=dst[1:])
+            # merged-order record lengths come straight from u
+            dst = u[c0:c0 + len(sel) + 1] - int(u[c0])
             buf = np.empty(int(dst[-1]), np.uint8)
             rids = run_id[sel]
             for ri in range(len(run_prefixes)):
@@ -545,7 +556,7 @@ def merge_runs_to_bam(run_prefixes: list[str], path: str,
                 base = kb0 * _BGZF_PAYLOAD
                 rc = lib.mt_gather_ragged(
                     len(m),
-                    np.ascontiguousarray(loc - lo).ctypes.data_as(i64p),
+                    (loc - lo).astype(np.int64).ctypes.data_as(i64p),
                     np.ascontiguousarray(
                         off[lo:hi + 2] - base).ctypes.data_as(i64p),
                     raw.ctypes.data_as(u8p), 1,
@@ -556,15 +567,30 @@ def merge_runs_to_bam(run_prefixes: list[str], path: str,
         st.close()
         boff = st.block_offsets()
 
-    vbeg = (boff[u[:-1] // _BGZF_PAYLOAD] << 16) | (u[:-1] % _BGZF_PAYLOAD)
-    vend = (boff[u[1:] // _BGZF_PAYLOAD] << 16) | (u[1:] % _BGZF_PAYLOAD)
-
     tid_s = tid[order]
     pos_s = pos[order]
     end_s = end[order]
+    del tid, pos, end, run_id, lidx, order
+
+    def voff_at(idx):
+        """Virtual offsets for record-boundary indices into u (chunked
+        callers pass small index sets; full-array temps at 840 M
+        records are 6.7 GB each)."""
+        ui = u[idx]
+        return (boff[ui // _BGZF_PAYLOAD] << 16) | (ui % _BGZF_PAYLOAD)
+
+    # full vbeg is needed once for the linear index minimum-scatter;
+    # build it chunked to avoid the // and % int64 temps
+    vbeg = np.empty(n, np.int64)
+    for c0 in range(0, n, 50_000_000):
+        c1 = min(n, c0 + 50_000_000)
+        ui = u[c0:c1]
+        vbeg[c0:c1] = (boff[ui // _BGZF_PAYLOAD] << 16) | \
+            (ui % _BGZF_PAYLOAD)
     mapped = tid_s >= 0
-    bins_arr = np.zeros(n, np.int64)
-    bins_arr[mapped] = reg2bin_vec(pos_s[mapped], end_s[mapped])
+    bins_arr = np.zeros(n, np.int32)
+    bins_arr[mapped] = reg2bin_vec(pos_s[mapped],
+                                   end_s[mapped]).astype(np.int32)
 
     # chunk runs: consecutive mapped records sharing (tid, bin)
     bins: dict[int, dict[int, list[tuple[int, int]]]] = {}
@@ -576,10 +602,12 @@ def merge_runs_to_bam(run_prefixes: list[str], path: str,
                              | (b_m[1:] != b_m[:-1])) + 1
         starts = np.concatenate(([0], brk))
         ends = np.concatenate((brk, [len(mi)]))
-        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+        vend_ends = voff_at(mi[ends - 1] + 1)
+        for gi_, (s0, s1) in enumerate(zip(starts.tolist(),
+                                           ends.tolist())):
             t = int(t_m[s0])
             bins.setdefault(t, {}).setdefault(int(b_m[s0]), []).append(
-                (int(vbeg[mi[s0]]), int(vend[mi[s1 - 1]])))
+                (int(vbeg[mi[s0]]), int(vend_ends[gi_])))
         # linear 16kb index: min vbeg over records covering each window
         w_lo = pos_s[mi] >> 14
         w_hi = (end_s[mi] - 1) >> 14
