@@ -32,11 +32,29 @@ formulation of record, the off-TPU fallback, and the parity anchor.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compiled-kernel cache: on a production TPU host (and even
+# through the tunnel — measured round 5: 6.0 s first-process compile,
+# 0.46 s in every later process) this makes device-scoring workers pay
+# the Mosaic compile exactly once per kernel shape across ALL
+# processes and runs. MANTA_TPU_JAX_CACHE_DIR overrides the location;
+# empty string disables.
+_CACHE_DIR = _os.environ.get("MANTA_TPU_JAX_CACHE_DIR",
+                             _os.path.expanduser("~/.cache/manta_tpu_jax"))
+if _CACHE_DIR:
+    try:
+        _os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
 BAD = -10000
 NEG = -(1 << 28)
