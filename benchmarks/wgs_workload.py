@@ -56,6 +56,9 @@ READ_LEN = 100
 # generation switches to external-merge (bounded-memory) BAM writing
 # above this expected read count; tests lower it to cover the path
 SPILL_THRESHOLD_READS = 30_000_000
+# mutable module-level fragment-size model: --frag-mean/--frag-sd
+# override for wide-insert (FFPE-like) library shapes, whose wide
+# breakend CIs drive large contig-alignment windows in phase 2
 FRAG_MEAN, FRAG_SD, FRAG_LO, FRAG_HI = 300, 30, 200, 450
 MIN_ANCHOR = 20          # min aligned bases to anchor a junction read
 BASES = np.frombuffer(b"ACGT", np.uint8)
@@ -888,6 +891,11 @@ def write_fasta(path, names, seqs):
 
 
 def generate(args):
+    global FRAG_MEAN, FRAG_SD, FRAG_LO, FRAG_HI
+    mean = getattr(args, "frag_mean", 300)
+    sd = getattr(args, "frag_sd", 30)
+    FRAG_MEAN, FRAG_SD = mean, sd
+    FRAG_LO, FRAG_HI = max(READ_LEN + 10, mean - 5 * sd), mean + 5 * sd
     rng = np.random.default_rng(args.seed)
     nC = args.chroms
     chrom_lens = [args.mb * 1_000_000] * nC
@@ -1219,6 +1227,8 @@ def main():
     ap.add_argument("--err-rate", type=float, default=0.001)
     ap.add_argument("--noise-rate", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--frag-mean", type=int, default=300)
+    ap.add_argument("--frag-sd", type=int, default=30)
     ap.add_argument("--repeat-anchors", type=int, default=0,
                     help="with --repeats: plant at least this many SV "
                          "junctions inside satellite arrays")

@@ -576,10 +576,8 @@ def run_workflow(normal_bams: list[str], tumor_bams: list[str],
         # docs/PERF_r04.md decomposition), so high-job-volume runs win
         # with larger chunks; co-located PCIe dispatch (~sub-ms) does
         # not care
-        if device_scoring:
-            CHUNK = int(os.environ.get("MANTA_TPU_EDGE_CHUNK", "24"))
-        else:
-            CHUNK = 1
+        CHUNK = int(os.environ.get("MANTA_TPU_EDGE_CHUNK",
+                                   "24" if device_scoring else "1"))
         for c0 in range(0, len(edges), CHUNK):
             chunk = edges[c0:c0 + CHUNK]
             prepared = []
