@@ -214,6 +214,12 @@ def main():
                 "peak_pss_anon_gb"),
             "measured_edges_per_s": measured["edges_per_s"],
             "measured_utc": measured["measured_utc"],
+            # read scale is MEASURED (>=99% of 840M when the r05
+            # artifact is present); scaling 2 measured cores to the
+            # baseline's 20 is the only remaining extrapolation
+            "extrapolation": (
+                f"cores {measured['cores']}->20 only; read scale "
+                f"measured at {measured['pct_of_840m']}% of 840M"),
         }
     else:
         out = {
