@@ -464,3 +464,20 @@ def test_small_tandem_dup_called_from_sa_splits(tmp_path_factory):
     dups = [r for r in recs if "DUP:TANDEM" in r[4]
             and abs(int(r[1]) - dup_pos) <= 50 and r[6] == "PASS"]
     assert dups, "small tandem DUP not called from SA split evidence"
+
+
+def test_edge_chunk_staging_parity(tmp_path, demo_fasta, normal_bam,
+                                   tumor_bam, monkeypatch):
+    """MANTA_TPU_EDGE_CHUNK changes only the staging order (cross-edge
+    batching for device dispatch); outputs must be byte-identical to
+    the per-edge default — the somatic VCF still matches the oracle."""
+    monkeypatch.setenv("MANTA_TPU_EDGE_CHUNK", "8")
+    run_dir = str(tmp_path / "chunked")
+    run_workflow([normal_bam], [tumor_bam], demo_fasta, run_dir,
+                 is_exome=True, verbose=False)
+    got = gzip.open(
+        f"{run_dir}/results/variants/somaticSV.vcf.gz", "rt").read()
+    want = gzip.open(EXPECTED, "rt").read()
+    strip = lambda t: [l for l in t.splitlines()
+                       if not l.startswith("#")]
+    assert strip(got) == strip(want)
