@@ -419,6 +419,72 @@ class SVScorer:
         for ratio in _DUP_DEPTH_RATIO:
             mu = max(rate * w_in * ratio, 1e-9)
             out.append(k_in * math.log(mu) - mu)   # Poisson, minus ln k!
+        cross = self._dup_crossing_frag_loglhood(
+            reader, tid, a, b, rate, bam_index)
+        m = max(out)
+        return [out[gt] - m + cross[gt] for gt in range(DGT_SIZE)]
+
+    def _dup_crossing_frag_loglhood(self, reader, tid, a, b, read_rate,
+                                    bam_index):
+        """Whole-DUP-crossing fragment term — the channel that separates
+        small hom from het tandem DUPs where the interior-depth window
+        is too narrow (~1.4 sigma at 200 bp; PERF_r05 §1 residuals).
+
+        A fragment whose mates flank the ENTIRE duplication maps with a
+        normal template length only when drawn from a reference-like
+        haplotype: on the duplicated haplotype the same flank-to-flank
+        span must cover BOTH copies (physical length >= 2*size + 2
+        anchors — essentially impossible for size ~>= fragment sigma) —
+        so hom DUPs produce ~ZERO normal-tlen crossing fragments while
+        het keeps ~half the reference rate. Poisson on the observed
+        normal-tlen crossing count with expectations scaled (1, 0.5,
+        0.05) for (ref, het, hom); the expectation integrates the
+        fragment-size survival function over left-anchor positions, so
+        sizes near the fragment ceiling degrade gracefully to a
+        zero-information term."""
+        zeros = [0.0] * DGT_SIZE
+        size = b - a
+        dists = getattr(self.scanner, "frag_dists", None)
+        stats = getattr(self.scanner, "stats", None)
+        if not dists or not stats:
+            return zeros
+        dist = dists[bam_index]
+        st = stats[bam_index]
+        p_lo, p_hi = st.proper_pair
+        anchor = 30
+        if size + 2 * anchor >= p_hi:
+            return zeros            # proper fragments cannot cross
+        w = int(p_hi) + 50
+        beg = max(a - w, 0)
+        batch = reader.fetch(tid, beg, a)
+        if batch.n == 0:
+            return zeros
+        sa = has_sa_tag(batch)
+        bad = is_read_unmapped_or_filtered_core(batch, sa)
+        fwd = (batch.flag & 0x10) == 0
+        tl = batch.tlen.astype(np.int64)
+        # left mate fully left of the dup, fragment end beyond it, and
+        # a template length consistent with the reference allele
+        frag_end = batch.pos + tl
+        cand = (~bad) & fwd & (tl > 0) & (batch.end_pos <= a) & \
+            (frag_end >= b + anchor) & (tl <= p_hi) & (tl >= p_lo)
+        k = int(cand.sum())
+        # expected REF-allele crossing count: read-start rate times the
+        # survival mass of fragments long enough to cross from each
+        # left-anchor offset (coarse 10 bp integration). A start at s
+        # needs F >= (b + anchor) - s with s <= a - read_len, i.e.
+        # F >= size + anchor + read_len.
+        rl = int(np.median(np.diff(batch.seq_off))) if batch.n else 100
+        mu_ref = 0.0
+        for d0 in range(size + anchor + rl, int(p_hi), 10):
+            mu_ref += (1.0 - dist.cdf(d0)) * 10.0
+        mu_ref *= read_rate / 2.0     # fwd left-anchors only
+        if mu_ref < 3.0:
+            return zeros              # too little power to speak
+        out = []
+        for frac in (1.0, 0.5, 0.05):
+            mu = max(mu_ref * frac, 1e-9)
+            out.append(k * math.log(mu) - mu)
         m = max(out)
         return [v - m for v in out]
 
