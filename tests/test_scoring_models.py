@@ -306,3 +306,84 @@ def test_dup_depth_loglhood_skips_tiny_and_cross_chrom(tmp_path):
     sv = _dup_sv(8000, 12000)
     sv.bp2.interval.tid = 1
     assert scorer._dup_depth_loglhood(sv, 0) == [0.0] * DGT_SIZE
+
+
+def test_dup_crossing_fragments_separate_small_hom_het(tmp_path):
+    """Whole-DUP-crossing fragment channel: for a duplication smaller
+    than the fragment size, hom produces ~zero normal-tlen crossing
+    fragments (the dup haplotype would need a fragment spanning BOTH
+    copies) while het keeps ~half the reference rate."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from batchutil import make_batch
+    from manta_tpu.core.sizedist import SizeDistribution
+    from manta_tpu.io.bam import BamReader, FLAG_PAIRED
+    from manta_tpu.io.bamwriter import BamWriter
+    from manta_tpu.scoring.scorer import SVScorer
+
+    chrom_len = 20000
+    beg, end = 9000, 9120                      # 120 bp DUP
+    rng = np.random.default_rng(3)
+
+    def build(crossing_frac):
+        """Uniform 0.35/bp read starts; fragments ~N(300,30). A
+        fraction of the fragments that WOULD cross [beg,end] keep
+        normal tlen (ref haplotype); the rest are dropped (the dup
+        haplotype contributes no normal crossing fragment)."""
+        reads = []
+        k = 0
+        pos = 0
+        while pos < chrom_len - 600:
+            pos += max(1, int(rng.exponential(1 / 0.35)))
+            frag = int(np.clip(rng.normal(300, 30), 210, 440))
+            crosses = pos + 100 <= beg and pos + frag >= end + 30
+            if crosses and rng.random() > crossing_frac:
+                continue
+            reads.append(dict(pos=pos, flag=FLAG_PAIRED, name=f"c{k}",
+                              next_refid=0, next_pos=pos + frag - 100,
+                              tlen=frag))
+            k += 1
+        batch = make_batch(reads)
+        bam = str(tmp_path / f"cross_{crossing_frac}.bam")
+        w = BamWriter(bam, "@HD\tVN:1.6\n@SQ\tSN:chrT\tLN:%d\n"
+                      % chrom_len, ["chrT"], [chrom_len])
+        for i in range(batch.n):
+            w.add_record(batch, i)
+        w.close()
+        return bam
+
+    frag_dist = SizeDistribution()
+    frag_dist.add_observations(
+        np.clip(rng.normal(300, 30, 20000), 210, 440).astype(int))
+
+    class _St:
+        proper_pair = (float(frag_dist.quantile(0.01)),
+                       float(frag_dist.quantile(0.99)))
+
+    results = {}
+    for name, frac in (("het", 0.5), ("hom", 0.0), ("ref", 1.0)):
+        scorer = SVScorer.__new__(SVScorer)
+        scorer.readers = [BamReader(build(frac))]
+        scorer.is_tumor = [False]
+
+        class _Sc:
+            chrom_lengths = [chrom_len]
+            frag_dists = [frag_dist]
+            stats = [_St()]
+        scorer.scanner = _Sc()
+        # the scorer halves the rate for fwd-only anchors; the
+        # generator emits only the fwd mate, so present both halves
+        rate = 0.70
+        lh = scorer._dup_crossing_frag_loglhood(
+            scorer.readers[0], 0, beg, end, rate, 0)
+        results[name] = lh
+    # the channel's production job is het-vs-hom at an already
+    # confident non-ref site (ref-vs-nonref is decided by junction
+    # evidence): hom truth must win outright, and het truth must
+    # prefer het over hom by a wide margin
+    assert int(np.argmax(results["hom"])) == DGT_HOM, results["hom"]
+    assert results["het"][DGT_HET] - results["het"][DGT_HOM] > 5.0, \
+        results["het"]
+    assert results["ref"][DGT_REF] >= results["ref"][DGT_HOM], \
+        results["ref"]
