@@ -108,20 +108,6 @@ inline int emit_path(const PathBuilder& pb, uint8_t* out_ops, int32_t* out_lens,
   return 0;
 }
 
-// pointer matrix entry: one byte per state per cell
-struct PtrMat {
-  std::vector<uint8_t> data;  // (nq+1) * (nr+1) * n_states
-  int stride_q, n_states;
-  void init(int nq, int nr, int states) {
-    n_states = states;
-    stride_q = states;
-    data.assign((size_t)(nq + 1) * (nr + 1) * states, 0);
-  }
-  inline uint8_t* at(int q, int r) {
-    return &data[((size_t)r * 0 + 0)];  // overwritten below
-  }
-};
-
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -330,7 +316,6 @@ extern "C" int mt_align_jump(
   *out_jump_ins = 0;
   *out_jump_range = 0;
   PathBuilder pb1, pb2;
-  PathBuilder* pb = nullptr;
   // emulate the shared running-segment across both paths
   uint8_t cur_op = OP_NONE;
   int32_t cur_len = 0;
